@@ -1,0 +1,70 @@
+"""Shared CLI plumbing for the two entry points.
+
+Contract mirrors the reference executables (src/main-theta.cpp:23-152,
+src/main-newmark.cpp): one optional positional argument = parameter file
+(default ``parameters/sine-membrane.json``); problem name =
+``<family>-<param-file-stem>``; env flags ``NMPDE_SAVE_SOLUTION`` /
+``NMPDE_LOG_EVERY`` / ``NMPDE_PARAM_FILE`` exported for downstream
+consumers, and friendly parse-error hints with exit(1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+from tpuwave import config
+from tpuwave.models.discretization import Discretization
+from tpuwave.models.runner import RunConfig, run_solver
+from tpuwave.utils.params import ParamError, load_params
+
+DEFAULT_PARAM_FILE = "parameters/sine-membrane.json"
+
+
+def run_main(family: str, make_solver, argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog=f"tpuwave-{family}",
+        description=f"{family}-method solver for the 2D wave equation (TPU-native)")
+    parser.add_argument("parameters", nargs="?", default=None,
+                        help="path to a JSON/PRM parameter file")
+    parser.add_argument("--results-root", default="results")
+    parser.add_argument("--mesh-root", default="mesh")
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--f32", action="store_true",
+                        help="run single precision (default: f64 parity mode)")
+    args = parser.parse_args(argv)
+
+    config.use_x64(not args.f32)
+
+    parameters_file = args.parameters
+    if parameters_file is None:
+        parameters_file = DEFAULT_PARAM_FILE
+        print(f"Usage: tpuwave-{family} <path-to-parameters-file>")
+        print(f"Using default parameter file: {parameters_file}")
+    else:
+        print(f"Using parameter file from argument: {parameters_file}")
+    print("===============================================")
+
+    try:
+        params = load_params(parameters_file)
+    except (ParamError, FileNotFoundError, OSError) as e:
+        print(f"Error while reading the parameter file:\n  {e}", file=sys.stderr)
+        print("Hint: check that the file exists and matches the documented "
+              "JSON schema (see parameters/*.json).", file=sys.stderr)
+        return 1
+
+    os.environ["NMPDE_PARAM_FILE"] = str(parameters_file)
+    os.environ["NMPDE_SAVE_SOLUTION"] = "1" if params.save_solution else "0"
+    os.environ["NMPDE_LOG_EVERY"] = str(params.effective_log_every)
+
+    problem_name = f"{family}-{Path(parameters_file).stem}"
+    print(f"  Problem name: {problem_name}")
+
+    disc = Discretization(params)
+    solver = make_solver(disc)
+    cfg = RunConfig(results_root=args.results_root, mesh_root=args.mesh_root,
+                    quiet=args.quiet)
+    result = run_solver(solver, problem_name, cfg)
+    return 2 if result.diverged else 0

@@ -1,0 +1,16 @@
+"""``tpuwave-theta`` — the main-theta equivalent (reference src/main-theta.cpp)."""
+
+from __future__ import annotations
+
+import sys
+
+from tpuwave.cli._common import run_main
+from tpuwave.models.theta import ThetaSolver
+
+
+def main(argv=None) -> int:
+    return run_main("theta", ThetaSolver, argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

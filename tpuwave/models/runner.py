@@ -1,0 +1,215 @@
+"""Run driver: the time loop + diagnostics/IO orchestration.
+
+Host-side equivalent of the reference ``run()`` methods
+(WaveTheta.cpp:341-447, WaveNewmark.cpp:280-491): time accumulation
+(``time += dt`` while ``time < T`` — reproduced with the same float
+accumulation so step counts and time stamps match bit-for-bit), divergence
+early-break at 1e130, log_every/print_every cadence, per-step VTU output,
+and the final convergence.csv row with wall-clock time.
+
+Device work per step is ONE jitted call (rhs + BC + CG solve(s)); the
+driver only fetches the two solution norms (needed every step for the
+divergence check, as in the reference) plus whatever the logging cadence
+requires.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time as _time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from tpuwave.config import env_flag_enabled
+from tpuwave.utils.csvlog import RunLogs, fmt_e
+from tpuwave.utils.naming import mesh_file_name, run_folder_name
+from tpuwave.utils.vtu import write_mesh_vtk, write_vtu_record
+
+__all__ = ["RunConfig", "RunResult", "run_solver", "time_steps"]
+
+DIVERGENCE_THRESHOLD = 1e130
+
+
+@dataclass
+class RunConfig:
+    results_root: str = "results"
+    mesh_root: str = "mesh"
+    quiet: bool = False
+    write_mesh: bool = True
+
+
+class RunResult(NamedTuple):
+    state: object
+    timestep_number: int
+    final_time: float
+    elapsed_s: float
+    total_iterations_1: int
+    total_iterations_2: int
+    diverged: bool
+    rel_l2: Optional[float]
+    rel_h1: Optional[float]
+    output_folder: Path
+
+
+def time_steps(t_final: float, dt: float):
+    """The exact time stamps the reference's ``while (time < T)`` loop
+    visits, including its float accumulation (WaveTheta.cpp:372-375)."""
+    times = []
+    t = 0.0
+    while t < t_final:
+        t += dt
+        times.append(t)
+    return times
+
+
+def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) -> RunResult:
+    cfg = config or RunConfig()
+    d = solver.disc
+    p = d.params
+
+    def pcout(*args):
+        if not cfg.quiet:
+            print(*args)
+
+    pcout("===============================================")
+    pcout(f"Initializing the mesh\n  Number of elements = {d.mesh.n_cells}")
+    pcout(f"Initializing the finite element space\n  Degree                     = {p.r}")
+    pcout(f"Initializing the DoF handler\n  Number of DoFs = {d.n_dofs}")
+
+    if cfg.write_mesh:
+        try:
+            write_mesh_vtk(mesh_file_name(cfg.mesh_root, p.nel, p.geometry),
+                           d.mesh.vertex_coords, d.mesh.cells)
+        except OSError:
+            pass
+
+    folder = run_folder_name(cfg.results_root, problem_name, p.r, p.nel,
+                             p.dt, p.t_final, solver.method_params_suffix())
+    folder.mkdir(parents=True, exist_ok=True)
+    pcout(f"Output folder: {folder}/")
+
+    # copy the parameter file for reproducibility
+    # (reference WaveEquationBase.cpp:110-131 via NMPDE_PARAM_FILE)
+    param_src = os.environ.get("NMPDE_PARAM_FILE") or p.source_path
+    if param_src and Path(param_src).exists():
+        shutil.copyfile(param_src, folder / "parameters.json")
+
+    convergence_path = None
+    if p.has_exact_solution:
+        convergence_path = Path(cfg.results_root) / problem_name / "convergence.csv"
+    logs = RunLogs(folder, convergence_path)
+
+    # env-variable overrides (reference main-theta.cpp:104-114)
+    save_solution = env_flag_enabled("NMPDE_SAVE_SOLUTION", p.save_solution)
+    log_every = p.effective_log_every
+    env_log = os.environ.get("NMPDE_LOG_EVERY")
+    if env_log is not None:
+        try:
+            log_every = int(env_log)
+        except ValueError:
+            pass
+
+    pcout("Setting initial conditions...")
+    state = solver.initial_state()
+    norm_u0 = float(np.linalg.norm(np.asarray(state.u)))
+    norm_v0 = float(np.linalg.norm(np.asarray(state.v)))
+    pcout(f"||u0|| = {norm_u0}")
+    pcout(f"||v0|| = {norm_v0}")
+    pcout("-----------------------------------------------")
+
+    def output(timestep: int, t: float):
+        if not save_solution:
+            return
+        nv = d.mesh.n_vertices
+        point_data = {"u": np.asarray(state.u)[:nv], "v": np.asarray(state.v)[:nv]}
+        if p.has_exact_solution:
+            ex = d.interpolate(p.solution, t)
+            point_data["u_exact"] = np.asarray(ex)[:nv]
+        cell_data = {"partitioning": np.zeros(d.mesh.n_cells)}
+        write_vtu_record(folder, "solution", timestep, d.mesh.vertex_coords,
+                         d.mesh.cells, point_data, cell_data)
+
+    timestep_number = 0
+    current_time = 0.0
+    output(0, 0.0)
+
+    total_it1 = total_it2 = 0
+    current_energy = 0.0
+    diverged = False
+    times = time_steps(p.t_final, p.dt)
+
+    start = _time.perf_counter()
+    for t in times:
+        current_time = t
+        timestep_number += 1
+        state, info = solver.step(state, t)
+        it1 = int(info["iterations_1"])
+        it2 = int(info["iterations_2"])
+        total_it1 += it1
+        total_it2 += it2
+        norm_u = float(info["norm_u"])
+        norm_v = float(info["norm_v"])
+
+        if d.check_divergence(norm_u, norm_v, DIVERGENCE_THRESHOLD):
+            pcout(f"Divergence detected at step {timestep_number}, "
+                  f"t = {current_time}; stopping simulation.")
+            diverged = True
+            break
+
+        if log_every > 0 and timestep_number % log_every == 0:
+            current_energy = float(d.energy(state.u, state.v))
+            logs.log_energy(timestep_number, current_time, current_energy)
+            if p.has_exact_solution:
+                l2, h1, rl2, rh1 = (float(x) for x in d.errors(state.u, current_time))
+                logs.log_error(timestep_number, current_time, l2, h1, rl2, rh1)
+            logs.log_probe(timestep_number, current_time, float(d.probe(state.u)))
+            logs.log_iterations(timestep_number, current_time, it1, it2)
+
+        if timestep_number % p.print_every == 0:
+            line = (f"Step {timestep_number:6d},  t={current_time:9.3e}"
+                    f",  ||u||={norm_u:9.3e},  ||v||={norm_v:9.3e}")
+            if log_every > 0:
+                line += f",  E={current_energy:9.3e}"
+            pcout(line)
+
+        output(timestep_number, current_time)
+
+    elapsed = _time.perf_counter() - start
+
+    pcout(f"\nSimulation completed: {timestep_number} steps, "
+          f"final time t = {current_time}")
+    pcout(f"Elapsed time: {elapsed:.3f} seconds")
+    avg1 = total_it1 / timestep_number if timestep_number else 0.0
+    pcout(f"Total CG iterations (1): {total_it1}, avg per step: {avg1:.1f}")
+    if total_it2:
+        avg2 = total_it2 / timestep_number if timestep_number else 0.0
+        pcout(f"Total CG iterations (2): {total_it2}, avg per step: {avg2:.1f}")
+
+    rel_l2 = rel_h1 = None
+    if p.has_exact_solution:
+        _, _, rl2, rh1 = (float(x) for x in d.errors(state.u, current_time))
+        rel_l2, rel_h1 = rl2, rh1
+        is_theta = solver.method_name == "theta"
+        h = 1.0 / math.sqrt(p.nel[0] * p.nel[1])
+        logs.log_convergence(
+            h=h, nel=p.nel, r=p.r, dt=p.dt, t_final=p.t_final,
+            problem_name=problem_name,
+            theta=p.theta if is_theta else None,
+            beta=None if is_theta else p.beta,
+            gamma=None if is_theta else p.gamma,
+            rel_l2=rl2, rel_h1=rh1, elapsed_s=elapsed)
+        pcout("Final (last-iteration) errors:")
+        pcout(f"  Relative L2 error  = {fmt_e(rl2)}")
+        pcout(f"  Relative H1 error  = {fmt_e(rh1)}")
+
+    logs.close()
+    return RunResult(state=state, timestep_number=timestep_number,
+                     final_time=current_time, elapsed_s=elapsed,
+                     total_iterations_1=total_it1, total_iterations_2=total_it2,
+                     diverged=diverged, rel_l2=rel_l2, rel_h1=rel_h1,
+                     output_folder=folder)

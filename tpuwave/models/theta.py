@@ -1,0 +1,121 @@
+"""theta-method time stepper (Forward Euler / Crank-Nicolson / Backward Euler).
+
+First-order-system reformulation of the wave equation, exactly the scheme of
+the reference ``WaveTheta`` (src/WaveTheta.cpp; update equations documented
+in WaveTheta.hpp:28-44). Per step, two SPD solves:
+
+  (M + (theta dt)^2 K) u^{n+1} = M u^n - dt^2 th(1-th) K u^n + dt M v^n
+                                 + th dt^2 (th f^{n+1} + (1-th) f^n)
+  M v^{n+1} = M v^n - dt (1-th) K u^n - dt th K u^{n+1}
+                                 + dt (th f^{n+1} + (1-th) f^n)
+
+with Dirichlet data u|dOmega = g(t^{n+1}) and v|dOmega = dg/dt(t^{n+1})
+imposed by symmetric elimination (reference solve_u/solve_v,
+WaveTheta.cpp:251-339). Both solves are consistent-mass CG, warm-started —
+even for theta = 0, matching the reference (SURVEY.md 'critical
+implementation fact').
+
+The whole step body is ONE jit program: rhs assembly, BC elimination, and
+both CG solves fuse into a single XLA computation per step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuwave.models.discretization import Discretization
+from tpuwave.ops.operators import constrain_system
+from tpuwave.solve.cg import pcg
+
+__all__ = ["ThetaSolver", "ThetaState"]
+
+
+class ThetaState(NamedTuple):
+    u: jax.Array
+    v: jax.Array
+
+
+class ThetaSolver:
+    method_name = "theta"
+
+    def __init__(self, disc: Discretization):
+        self.disc = disc
+        p = disc.params
+        self.theta = p.theta
+        self.dt = p.dt
+
+        # matrix_u = M + (theta dt)^2 K; matrix_v = M (WaveTheta.cpp:110-116),
+        # merged into single fused element operators.
+        self.matrix_u = disc.mass.axpy((p.theta * p.dt) ** 2, disc.stiffness)
+        self.matrix_v = disc.mass
+        self.diag_u = self.matrix_u.diagonal()
+        self.diag_v = disc.mass_diag
+        self.prec_u = 1.0 / self.diag_u
+        self.prec_v = 1.0 / self.diag_v
+
+        self._step = jax.jit(self._step_impl)
+
+    def method_params_suffix(self) -> str:
+        from tpuwave.utils.naming import clean_double
+        return "-theta" + clean_double(self.theta)
+
+    # ------------------------------------------------------------------
+    def initial_state(self) -> ThetaState:
+        d = self.disc
+        u0 = d.interpolate(d.params.u0)
+        v0 = d.interpolate(d.params.v0)
+        return ThetaState(u=u0, v=v0)
+
+    def _step_impl(self, state: ThetaState, t):
+        """Advance from t^n = t - dt to t^{n+1} = t (time already incremented,
+        as in the reference run loop WaveTheta.cpp:374-375)."""
+        d = self.disc
+        th, dt = self.theta, self.dt
+        u_n, v_n = state.u, state.v
+
+        mu = d.mass(u_n)
+        ku = d.stiffness(u_n)
+        mv = d.mass(v_n)
+
+        if d.has_forcing:
+            f_avg = th * d.load_vector(t) + (1.0 - th) * d.load_vector(t - dt)
+        else:
+            f_avg = None
+
+        # ---- u system (WaveTheta.cpp:119-186, 251-294) -------------------
+        rhs_u = mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv
+        if f_avg is not None:
+            rhs_u = rhs_u + (th * dt * dt) * f_avg
+
+        g_np1 = d.boundary_values(d.params.g, t)
+        apply_u, rhs_u_c, x0_u = constrain_system(
+            self.matrix_u, self.diag_u, d.boundary_mask, g_np1, rhs_u, u_n)
+        res_u = pcg(apply_u, rhs_u_c, x0_u, precond_inv_diag=self.prec_u)
+        u_np1 = res_u.x
+
+        # ---- v system (WaveTheta.cpp:188-249, 296-339) -------------------
+        rhs_v = mv - (dt * (1.0 - th)) * ku - (dt * th) * d.stiffness(u_np1)
+        if f_avg is not None:
+            rhs_v = rhs_v + dt * f_avg
+
+        dg_np1 = d.boundary_values(d.params.dgdt, t)
+        apply_v, rhs_v_c, x0_v = constrain_system(
+            self.matrix_v, self.diag_v, d.boundary_mask, dg_np1, rhs_v, v_n)
+        res_v = pcg(apply_v, rhs_v_c, x0_v, precond_inv_diag=self.prec_v)
+        v_np1 = res_v.x
+
+        new_state = ThetaState(u=u_np1, v=v_np1)
+        info = {
+            "iterations_1": res_u.iterations,
+            "iterations_2": res_v.iterations,
+            "norm_u": jnp.linalg.norm(u_np1),
+            "norm_v": jnp.linalg.norm(v_np1),
+        }
+        return new_state, info
+
+    def step(self, state: ThetaState, t):
+        return self._step(state, t)
