@@ -1,0 +1,163 @@
+"""Fast grid-stencil path: stencil == element operators, lumped mass,
+explicit scheme agreement, scan loop, and sharded execution on the
+8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuwave.core.mesh import FeSpace, StructuredTriMesh
+from tpuwave.core.quadrature import gauss_simplex
+from tpuwave.models.fast import FastState, FastWaveSolver
+from tpuwave.ops.assembly import element_mass_class, element_stiffness_class
+from tpuwave.ops.operators import MatrixFreeOperator
+from tpuwave.ops.stencil import (apply_stencil, boundary_mask_grid,
+                                 class_matrices_to_stencil, lumped_mass_grid)
+
+
+def build_flat(nx, ny, geom=((0.0, 0.0), (1.0, 1.0)), c2=1.0):
+    m = StructuredTriMesh((nx, ny), geom)
+    sp = FeSpace(m, 1)
+    quad = gauss_simplex(2)
+    mass = MatrixFreeOperator(sp.cell_dofs, sp.n_dofs,
+                              a_class=element_mass_class(sp, quad))
+    stiff = MatrixFreeOperator(sp.cell_dofs, sp.n_dofs,
+                               a_class=element_stiffness_class(sp, quad, c2))
+    return m, sp, mass, stiff
+
+
+@pytest.mark.parametrize("op_name", ["mass", "stiff"])
+def test_stencil_matches_flat_on_interior(op_name):
+    nx, ny = 7, 5
+    m, sp, mass, stiff = build_flat(nx, ny, geom=((0.0, 0.0), (1.4, 1.0)))
+    quad = gauss_simplex(2)
+    a_class = (element_mass_class(sp, quad) if op_name == "mass"
+               else element_stiffness_class(sp, quad, 1.0))
+    s = class_matrices_to_stencil(a_class)
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(ny + 1, nx + 1))
+    got = np.asarray(apply_stencil(jnp.asarray(u), tuple(map(tuple, s))))
+    op = mass if op_name == "mass" else stiff
+    want = np.asarray(op(jnp.asarray(u.ravel()))).reshape(ny + 1, nx + 1)
+    interior = ~boundary_mask_grid(sp)
+    np.testing.assert_allclose(got[interior], want[interior],
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_lumped_mass_grid_matches_rowsums():
+    for nx, ny in ((4, 3), (7, 7), (2, 5)):
+        m, sp, mass, _ = build_flat(nx, ny, geom=((-1.0, 0.0), (2.0, 2.0)))
+        want = np.asarray(mass.row_sums()).reshape(ny + 1, nx + 1)
+        got = lumped_mass_grid(sp)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def standing_u0(xs, ys):
+    return jnp.sin(jnp.pi * xs) * jnp.sin(jnp.pi * ys)
+
+
+def test_fast_explicit_matches_reference_path():
+    """Grid fast path == flat lumped-explicit NewmarkSolver trajectory."""
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.newmark import NewmarkSolver
+    from tests.test_schemes import standing_mode
+    from tpuwave.utils.params import load_params
+
+    nel, dt, steps = 20, 0.005, 20
+    fast = FastWaveSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), dt,
+                          beta=0.0, dtype=jnp.float64)
+    st = fast.initial_state(standing_u0)
+    for _ in range(steps):
+        st = fast.step(st)
+
+    p = load_params(standing_mode(Nel=str(nel), Dt=str(dt), T=str(dt * steps),
+                                  Beta="0.0"))
+    d = Discretization(p)
+    s = NewmarkSolver(d, lumped_explicit=True)
+    ref = s.initial_state()
+    t = 0.0
+    while t < p.t_final:
+        t += p.dt
+        ref, _ = s.step(ref, t)
+
+    got = np.asarray(st.u).ravel()
+    want = np.asarray(ref.u)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_fast_scan_equals_stepwise():
+    fast = FastWaveSolver((16, 16), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                          dtype=jnp.float64)
+    st0 = fast.initial_state(standing_u0)
+    st_scan = fast.run_scan(st0, 10)
+    st_loop = st0
+    for _ in range(10):
+        st_loop = fast.step(st_loop)
+    np.testing.assert_allclose(np.asarray(st_scan.u), np.asarray(st_loop.u),
+                               rtol=1e-12)
+
+
+def test_fast_energy_stable_explicit():
+    fast = FastWaveSolver((24, 24), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                          dtype=jnp.float64)
+    st = fast.initial_state(standing_u0)
+    e0 = float(fast.energy(st))
+    st = fast.run_scan(st, 100)
+    eT = float(fast.energy(st))
+    assert eT == pytest.approx(e0, rel=0.02)  # CD: bounded oscillation
+
+
+def test_fast_implicit_newmark_matches_consistent():
+    """Implicit stencil Newmark(1/4,1/2) tracks the exact solution."""
+    fast = FastWaveSolver((24, 24), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                          beta=0.25, gamma=0.5, lumped=False,
+                          dtype=jnp.float64)
+    st = fast.initial_state(standing_u0)
+    n = 20
+    st = fast.run_scan(st, n)
+    t = 0.01 * n
+    xs, ys = fast.grid_coords()
+    exact = np.cos(np.sqrt(2) * np.pi * t) * np.asarray(standing_u0(xs, ys))
+    err = np.linalg.norm(np.asarray(st.u) - exact) / np.linalg.norm(exact)
+    assert err < 5e-3
+
+
+def test_fast_sharded_matches_single_device():
+    """8-way row sharding (virtual CPU mesh) reproduces the single-device
+    trajectory — the 'multi-node without a cluster' check."""
+    from tpuwave.parallel.sharding import device_mesh, grid_sharding
+
+    assert len(jax.devices()) >= 8
+    mesh = device_mesh(8)
+    sh = grid_sharding(mesh)
+    # ny+1 = 24 rows over 8 devices = 3 rows per shard
+    single = FastWaveSolver((16, 23), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                            dtype=jnp.float64)
+    st = single.initial_state(standing_u0)
+    want = single.run_scan(st, 25)
+
+    sharded = FastWaveSolver((16, 23), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                             dtype=jnp.float64, sharding=sh)
+    st_s = sharded.initial_state(standing_u0)
+    assert len(st_s.u.sharding.device_set) == 8
+    got = sharded.run_scan(st_s, 25)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-11, atol=1e-12)
+
+
+def test_fast_sharded_implicit_cg():
+    """Sharded implicit path (CG dots -> psum) matches single device."""
+    from tpuwave.parallel.sharding import device_mesh, grid_sharding
+
+    mesh = device_mesh(8)
+    sh = grid_sharding(mesh)
+    kw = dict(beta=0.25, gamma=0.5, lumped=False, dtype=jnp.float64)
+    single = FastWaveSolver((12, 15), ((0.0, 0.0), (1.0, 1.0)), 0.01, **kw)
+    st = single.initial_state(standing_u0)
+    want = single.run_scan(st, 5)
+    sharded = FastWaveSolver((12, 15), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                             sharding=sh, **kw)
+    got = sharded.run_scan(sharded.initial_state(standing_u0), 5)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-9, atol=1e-11)

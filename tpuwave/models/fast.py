@@ -1,0 +1,194 @@
+"""Fast (production) solver path: P1 grid-stencil schemes under lax.scan.
+
+This is the performance mode the reference cannot reach: the whole time
+loop is ONE compiled XLA program (scan over steps), the operator is a
+7-point stencil on the vertex grid (ops/stencil.py), the explicit Newmark
+path uses a row-sum lumped mass (no linear solve at all), and the state
+shards over a device mesh by rows (parallel/sharding.py).
+
+Scope: P1 elements, constant wave speed, homogeneous Dirichlet data, zero
+forcing — exactly the reference's scalability configuration
+(scripts/scalability_sweep.py:85-120: standing-mode, IO off). The parity
+path (models/theta.py / models/newmark.py) covers the general cases.
+
+Numerics note: parity runs are f64; this path defaults to f32 for TPU
+speed, with error/energy still computed via f64 reductions if requested.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuwave.core.mesh import FeSpace, StructuredTriMesh
+from tpuwave.core.quadrature import gauss_simplex
+from tpuwave.ops.assembly import element_mass_class, element_stiffness_class
+from tpuwave.ops.stencil import (GridStencilOperator, apply_stencil,
+                                 boundary_mask_grid,
+                                 class_matrices_to_stencil, lumped_mass_grid)
+from tpuwave.solve.cg import pcg
+
+__all__ = ["FastWaveSolver", "FastState"]
+
+
+class FastState(NamedTuple):
+    u: jax.Array  # (ny+1, nx+1)
+    v: jax.Array
+    a: jax.Array
+
+
+class FastWaveSolver:
+    """Grid-stencil wave solver (explicit lumped Newmark + implicit CG).
+
+    Parameters
+    ----------
+    nel, geometry : mesh spec (P1 vertex grid (ny+1, nx+1))
+    dt            : time step
+    c             : constant wave speed
+    scheme        : 'newmark' (beta/gamma) or 'theta' (theta)
+    lumped        : explicit beta=0 diagonal-mass path (no CG)
+    dtype         : state dtype (f32 default — TPU production mode)
+    """
+
+    def __init__(self, nel: Tuple[int, int], geometry, dt: float, *,
+                 c: float = 1.0, scheme: str = "newmark", beta: float = 0.0,
+                 gamma: float = 0.5, theta: float = 0.5, lumped: bool = True,
+                 dtype=jnp.float32, sharding=None):
+        self.mesh = StructuredTriMesh(tuple(nel), geometry)
+        self.space = FeSpace(self.mesh, 1)
+        self.shape = (self.mesh.ny + 1, self.mesh.nx + 1)
+        self.dt = float(dt)
+        self.scheme = scheme
+        self.beta = float(beta)
+        self.gamma = float(gamma)
+        self.theta = float(theta)
+        self.dtype = dtype
+        self.lumped = bool(lumped) and scheme == "newmark" and beta == 0.0
+        self.sharding = sharding
+
+        quad = gauss_simplex(2)
+        m_class = element_mass_class(self.space, quad)
+        k_class = element_stiffness_class(self.space, quad, c * c)
+        self.mass = GridStencilOperator(class_matrices_to_stencil(m_class),
+                                        self.shape, dtype)
+        self.stiff = GridStencilOperator(class_matrices_to_stencil(k_class),
+                                         self.shape, dtype)
+        self.inv_lumped = jnp.asarray(1.0 / lumped_mass_grid(self.space),
+                                      dtype=dtype)
+        bnd = boundary_mask_grid(self.space)
+        self.boundary = jnp.asarray(bnd)
+        self.interior = jnp.asarray(~bnd)
+        if sharding is not None:
+            self.inv_lumped = jax.device_put(self.inv_lumped, sharding)
+            self.boundary = jax.device_put(self.boundary, sharding)
+            self.interior = jax.device_put(self.interior, sharding)
+
+        if scheme == "newmark":
+            self.system = self.mass.axpy(self.beta * self.dt * self.dt, self.stiff)
+        else:
+            self.system = self.mass.axpy((self.theta * self.dt) ** 2, self.stiff)
+        self._inv_diag = 1.0 / self.system.stencil[1][1]
+
+        self._n_dofs = self.shape[0] * self.shape[1]
+
+    # ------------------------------------------------------------------
+    def grid_coords(self):
+        """(ny+1, nx+1) x and y coordinate planes (device, jit-friendly)."""
+        (x0, y0) = self.mesh.origin
+        ny1, nx1 = self.shape
+        xs = x0 + self.mesh.hx * jax.lax.broadcasted_iota(self.dtype, (ny1, nx1), 1)
+        ys = y0 + self.mesh.hy * jax.lax.broadcasted_iota(self.dtype, (ny1, nx1), 0)
+        return xs, ys
+
+    def initial_state(self, u0_fn, v0_fn=None) -> FastState:
+        """Interpolate initial data; consistent a0 from the lumped mass."""
+        xs, ys = self.grid_coords()
+        u0 = jnp.asarray(u0_fn(xs, ys), dtype=self.dtype)
+        v0 = (jnp.zeros(self.shape, self.dtype) if v0_fn is None
+              else jnp.asarray(v0_fn(xs, ys), dtype=self.dtype))
+        a0 = jnp.where(self.boundary, 0.0, -self.stiff(u0) * self.inv_lumped)
+        st = FastState(u=u0, v=v0, a=a0.astype(self.dtype))
+        if self.sharding is not None:
+            st = FastState(*(jax.device_put(x, self.sharding) for x in st))
+        return st
+
+    # ------------------------------------------------------------------
+    def _explicit_step(self, state: FastState) -> FastState:
+        """Lumped-mass central difference (Newmark beta=0, gamma=1/2):
+        one stencil apply + elementwise updates, zero solves."""
+        dt = jnp.asarray(self.dt, self.dtype)
+        u, v, a = state
+        z = u + dt * v + (0.5 * dt * dt) * a
+        a_new = jnp.where(self.boundary, 0.0, -self.stiff(z) * self.inv_lumped)
+        a_new = a_new.astype(self.dtype)
+        v_new = v + (0.5 * dt) * (a + a_new)
+        return FastState(u=z, v=v_new, a=a_new)
+
+    def _implicit_newmark_step(self, state: FastState) -> FastState:
+        dt, beta, gamma = self.dt, self.beta, self.gamma
+        u, v, a = state
+        z = u + dt * v + (dt * dt * (0.5 - beta)) * a
+        rhs = jnp.where(self.interior, -self.stiff(z), 0.0)
+
+        def apply_c(w):
+            return jnp.where(self.interior, self.system(jnp.where(self.interior, w, 0.0)),
+                             self.system.stencil[1][1] * w)
+
+        res = pcg(apply_c, rhs, jnp.where(self.interior, a, 0.0),
+                  precond_inv_diag=self._inv_diag,
+                  abs_tol=1e-12 if self.dtype == jnp.float64 else 1e-6)
+        a_new = res.x.astype(self.dtype)
+        u_new = z + (beta * dt * dt) * a_new
+        v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
+        return FastState(u=u_new, v=v_new, a=a_new)
+
+    def step(self, state: FastState) -> FastState:
+        if self.lumped:
+            return self._explicit_step(state)
+        return self._implicit_newmark_step(state)
+
+    # ------------------------------------------------------------------
+    def _build_run(self, n_steps: int):
+        def run(state):
+            def body(st, _):
+                return self.step(st), None
+            out, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return out
+        return jax.jit(run)
+
+    def run_scan(self, state: FastState, n_steps: int) -> FastState:
+        """The whole time loop as one compiled scan — no host round-trips
+        (the fast-mode analogue of the reference while-loop,
+        WaveTheta.cpp:372-411, with IO off)."""
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        if n_steps not in cache:
+            cache[n_steps] = self._build_run(n_steps)
+        return cache[n_steps](state)
+
+    # ------------------------------------------------------------------
+    def energy(self, state: FastState):
+        """E = 1/2 (v M v + u K u), f64 reductions, interior-exact.
+
+        Uses the flat element path for the boundary-correct quadratic forms.
+        """
+        from tpuwave.ops.operators import MatrixFreeOperator
+        quad = gauss_simplex(2)
+        m_class = element_mass_class(self.space, quad)
+        k_class = element_stiffness_class(self.space, quad, 1.0)
+        mass = MatrixFreeOperator(self.space.cell_dofs, self.space.n_dofs,
+                                  a_class=m_class, dtype=jnp.float64)
+        stiff = MatrixFreeOperator(self.space.cell_dofs, self.space.n_dofs,
+                                   a_class=k_class, dtype=jnp.float64)
+        u = state.u.reshape(-1).astype(jnp.float64)
+        v = state.v.reshape(-1).astype(jnp.float64)
+        return 0.5 * (jnp.vdot(v, mass(v)) + jnp.vdot(u, stiff(u)))
+
+    @property
+    def n_dofs(self) -> int:
+        return self._n_dofs

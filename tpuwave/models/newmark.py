@@ -91,6 +91,12 @@ class NewmarkSolver:
         g_m = d.boundary_values(d.params.g, -dt)
         a0_bc = (g_p - 2.0 * g_0 + g_m) / (dt * dt)
 
+        if self.lumped_explicit:
+            # diagonal-mass a0 so the whole trajectory is solve-free
+            a0 = jnp.where(d.boundary_mask, a0_bc, rhs / d.lumped_mass)
+            self.initial_iterations = 0
+            return NewmarkState(u=u0, v=v0, a=a0)
+
         zeros = jnp.zeros_like(u0)
         apply_m, rhs_c, x0 = constrain_system(
             d.mass, d.mass_diag, d.boundary_mask, a0_bc, rhs, zeros)

@@ -1,0 +1,59 @@
+"""Device-mesh layout for spatial domain decomposition.
+
+The reference's ONLY parallelism is MPI domain decomposition of the mesh
+(reference WaveEquationBase.cpp:65-69; SURVEY.md section 2.2). The
+TPU-native equivalent: shard the (ny+1, nx+1) vertex grid by ROWS over a 1D
+`jax.sharding.Mesh`. Every operator in the hot path is a 7-point stencil,
+so GSPMD lowers the row shifts to nearest-neighbour collective-permutes
+over ICI (each shard talks to <= 2 neighbours, the analogue of the
+reference's ghost-row exchange) and CG dot products to psum — no explicit
+communication code.
+
+2D meshes (rows x cols) are supported by the same helper for pods where a
+single row-slab per chip would be too thin.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["device_mesh", "grid_sharding", "replicated", "shard_grid_arrays"]
+
+
+def device_mesh(n_devices: Optional[int] = None,
+                shape: Optional[Tuple[int, int]] = None,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """1D mesh ('y',) over rows by default; pass shape=(ry, rx) for 2D
+    ('y', 'x') row x column slabs."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if shape is None:
+        return Mesh(np.array(devs), ("y",))
+    ry, rx = shape
+    if ry * rx != len(devs):
+        raise ValueError(f"mesh shape {shape} != {len(devs)} devices")
+    return Mesh(np.array(devs).reshape(ry, rx), ("y", "x"))
+
+
+def grid_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (ny+1, nx+1) grid state arrays: rows over 'y'
+    (and columns over 'x' when the mesh is 2D)."""
+    if "x" in mesh.axis_names:
+        return NamedSharding(mesh, P("y", "x"))
+    return NamedSharding(mesh, P("y", None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_grid_arrays(mesh: Mesh, *arrays):
+    """Place grid arrays with the row sharding."""
+    sh = grid_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) != 1 else out[0]
