@@ -134,11 +134,8 @@ class FastWaveSolver:
         z = u + dt * v + (dt * dt * (0.5 - beta)) * a
         rhs = jnp.where(self.interior, -self.stiff(z), 0.0)
 
-        def apply_c(w):
-            return jnp.where(self.interior, self.system(jnp.where(self.interior, w, 0.0)),
-                             self.system.stencil[1][1] * w)
-
-        res = pcg(apply_c, rhs, jnp.where(self.interior, a, 0.0),
+        res = pcg(self._constrained(self.system), rhs,
+                  jnp.where(self.interior, a, 0.0),
                   precond_inv_diag=self._inv_diag,
                   abs_tol=1e-12 if self.dtype == jnp.float64 else 1e-6)
         a_new = res.x.astype(self.dtype)
@@ -146,7 +143,40 @@ class FastWaveSolver:
         v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
         return FastState(u=u_new, v=v_new, a=a_new)
 
+    def _constrained(self, op):
+        def apply_c(w):
+            return jnp.where(self.interior, op(jnp.where(self.interior, w, 0.0)),
+                             op.stencil[1][1] * w)
+        return apply_c
+
+    def _theta_step(self, state: FastState) -> FastState:
+        """Stencil theta-method (homogeneous BCs, no forcing): two CG
+        solves per step like the reference WaveTheta, on grid stencils."""
+        dt, th = self.dt, self.theta
+        u, v, a = state
+        mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
+        abs_tol = 1e-12 if self.dtype == jnp.float64 else 1e-6
+
+        rhs_u = jnp.where(self.interior,
+                          mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv, 0.0)
+        res_u = pcg(self._constrained(self.system), rhs_u,
+                    jnp.where(self.interior, u, 0.0),
+                    precond_inv_diag=self._inv_diag, abs_tol=abs_tol)
+        u_new = res_u.x.astype(self.dtype)
+
+        rhs_v = jnp.where(self.interior,
+                          mv - (dt * (1.0 - th)) * ku - (dt * th) * self.stiff(u_new),
+                          0.0)
+        res_v = pcg(self._constrained(self.mass), rhs_v,
+                    jnp.where(self.interior, v, 0.0),
+                    precond_inv_diag=1.0 / self.mass.stencil[1][1],
+                    abs_tol=abs_tol)
+        v_new = res_v.x.astype(self.dtype)
+        return FastState(u=u_new, v=v_new, a=a)
+
     def step(self, state: FastState) -> FastState:
+        if self.scheme == "theta":
+            return self._theta_step(state)
         if self.lumped:
             return self._explicit_step(state)
         return self._implicit_newmark_step(state)

@@ -41,6 +41,10 @@ class RunConfig:
     mesh_root: str = "mesh"
     quiet: bool = False
     write_mesh: bool = True
+    #: abort the time loop after this many wall-clock seconds (the
+    #: in-process analogue of the sweep scripts' subprocess timeout-kill,
+    #: reference convergence_sweep.py:228-231). None = no limit.
+    max_wall_s: Optional[float] = None
 
 
 class RunResult(NamedTuple):
@@ -54,6 +58,7 @@ class RunResult(NamedTuple):
     rel_l2: Optional[float]
     rel_h1: Optional[float]
     output_folder: Path
+    timed_out: bool = False
 
 
 def time_steps(t_final: float, dt: float):
@@ -141,10 +146,17 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     total_it1 = total_it2 = 0
     current_energy = 0.0
     diverged = False
+    timed_out = False
     times = time_steps(p.t_final, p.dt)
 
     start = _time.perf_counter()
     for t in times:
+        if cfg.max_wall_s is not None and \
+                _time.perf_counter() - start > cfg.max_wall_s:
+            pcout(f"Wall-clock limit {cfg.max_wall_s}s exceeded at step "
+                  f"{timestep_number}; aborting run.")
+            timed_out = True
+            break
         current_time = t
         timestep_number += 1
         state, info = solver.step(state, t)
@@ -191,7 +203,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
         pcout(f"Total CG iterations (2): {total_it2}, avg per step: {avg2:.1f}")
 
     rel_l2 = rel_h1 = None
-    if p.has_exact_solution:
+    if p.has_exact_solution and not timed_out:
         _, _, rl2, rh1 = (float(x) for x in d.errors(state.u, current_time))
         rel_l2, rel_h1 = rl2, rh1
         is_theta = solver.method_name == "theta"
@@ -212,4 +224,4 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
                      final_time=current_time, elapsed_s=elapsed,
                      total_iterations_1=total_it1, total_iterations_2=total_it2,
                      diverged=diverged, rel_l2=rel_l2, rel_h1=rel_h1,
-                     output_folder=folder)
+                     output_folder=folder, timed_out=timed_out)
