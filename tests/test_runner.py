@@ -96,8 +96,8 @@ def test_run_outputs(tmp_path):
     for k in range(6):
         assert (folder / f"solution_{k:04d}.pvtu").exists()
         assert (folder / f"solution_{k:04d}.0.vtu").exists()
-    vtu = (folder / "solution_0005.0.vtu").read_text()
-    assert "u_exact" in vtu and "partitioning" in vtu
+    vtu = (folder / "solution_0005.0.vtu").read_bytes()
+    assert b"u_exact" in vtu and b"partitioning" in vtu
 
     # mesh snapshot
     assert (tmp_path / "mesh").exists()

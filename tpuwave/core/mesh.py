@@ -119,6 +119,11 @@ class StructuredTriMesh:
     def cells(self) -> np.ndarray:
         """(n_cells, 3) int32 triangle->vertex connectivity."""
         nx, ny = self.nx, self.ny
+        if nx * ny >= 1 << 16:  # large meshes: native O(N) builder
+            from tpuwave import native
+            out = native.p1_cells(nx, ny)
+            if out is not None:
+                return out
         ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="xy")
         ii, jj = ii.ravel(), jj.ravel()
         v00 = self.vertex_index(ii, jj)
@@ -253,6 +258,11 @@ class FeSpace:
         if self.degree == 1:
             return m.cells
         nx, ny = m.nx, m.ny
+        if nx * ny >= 1 << 16:
+            from tpuwave import native
+            out = native.p2_cell_dofs(nx, ny)
+            if out is not None:
+                return out
         ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="xy")
         ii, jj = ii.ravel(), jj.ravel()
         nv = m.n_vertices

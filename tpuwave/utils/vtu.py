@@ -58,6 +58,15 @@ def write_vtu_record(folder, basename: str, counter: int,
     cells = np.asarray(cells, dtype=np.int32)
     n_pts, n_cells = pts.shape[0], cells.shape[0]
 
+    # fast path: native raw-appended-binary writer (C++ runtime)
+    from tpuwave import native
+    if native.write_vtu_native(folder / piece_name, pts, cells,
+                               {k: np.asarray(v, dtype=np.float64)
+                                for k, v in point_data.items()},
+                               {k: np.asarray(v, dtype=np.float64)
+                                for k, v in (cell_data or {}).items()}):
+        return _write_pvtu(folder, stem, piece_name, point_data, cell_data)
+
     parts = []
     parts.append('<?xml version="1.0"?>\n')
     parts.append('<VTKFile type="UnstructuredGrid" version="0.1" '
@@ -85,7 +94,11 @@ def write_vtu_record(folder, basename: str, counter: int,
 
     parts.append("</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
     (folder / piece_name).write_text("".join(parts))
+    return _write_pvtu(folder, stem, piece_name, point_data, cell_data)
 
+
+def _write_pvtu(folder: Path, stem: str, piece_name: str,
+                point_data, cell_data) -> Path:
     # parallel record referencing the single piece
     pvtu = ['<?xml version="1.0"?>\n',
             '<VTKFile type="PUnstructuredGrid" version="0.1" '
@@ -113,6 +126,12 @@ def write_mesh_vtk(path, points: np.ndarray, cells: np.ndarray) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     pts = np.asarray(points, dtype=np.float64)
+
+    from tpuwave import native
+    if native.write_mesh_vtk_native(path, pts[:, :2],
+                                    np.asarray(cells, dtype=np.int32)):
+        return path
+
     cells = np.asarray(cells, dtype=np.int64)
     lines = ["# vtk DataFile Version 3.0",
              "Triangulation generated by tpuwave", "ASCII",
