@@ -34,6 +34,12 @@ def run_main(family: str, make_solver, argv=None) -> int:
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--f32", action="store_true",
                         help="run single precision (default: f64 parity mode)")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="snapshot state every N steps (0 = off)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the newest checkpoint in the run folder")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace into this directory")
     args = parser.parse_args(argv)
 
     config.use_x64(not args.f32)
@@ -65,6 +71,9 @@ def run_main(family: str, make_solver, argv=None) -> int:
     disc = Discretization(params)
     solver = make_solver(disc)
     cfg = RunConfig(results_root=args.results_root, mesh_root=args.mesh_root,
-                    quiet=args.quiet)
-    result = run_solver(solver, problem_name, cfg)
+                    quiet=args.quiet, checkpoint_every=args.checkpoint_every,
+                    resume=args.resume)
+    from tpuwave.utils.profiling import trace
+    with trace(args.profile_dir):
+        result = run_solver(solver, problem_name, cfg)
     return 2 if result.diverged else 0

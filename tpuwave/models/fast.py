@@ -41,6 +41,23 @@ class FastState(NamedTuple):
     a: jax.Array
 
 
+class LeapfrogState(NamedTuple):
+    """Two-array state for the explicit fast path.
+
+    Newmark beta=0, gamma=1/2 with lumped mass is algebraically identical
+    to the leapfrog / central-difference recurrence
+
+        u^{n+1} = 2 u^n - u^{n-1} - dt^2 M_L^{-1} K u^n
+
+    which needs only (u^n, u^{n-1}) — read 2 + write 1 arrays per step
+    instead of read 3 + write 3, roughly halving HBM traffic (the
+    bandwidth-bound cost on TPU). v^n is recoverable as
+    (u^{n+1} - u^{n-1}) / (2 dt).
+    """
+    u: jax.Array
+    u_prev: jax.Array
+
+
 class FastWaveSolver:
     """Grid-stencil wave solver (explicit lumped Newmark + implicit CG).
 
@@ -180,6 +197,42 @@ class FastWaveSolver:
         if self.lumped:
             return self._explicit_step(state)
         return self._implicit_newmark_step(state)
+
+    # ------------------------------------------------------------------
+    # leapfrog (two-array) explicit path — same trajectory as the lumped
+    # Newmark beta=0 path, minimal HBM traffic
+    # ------------------------------------------------------------------
+    def initial_leapfrog_state(self, u0_fn, v0_fn=None) -> LeapfrogState:
+        """(u^1, u^0): the first step is taken via the 3-array scheme so the
+        trajectory matches the Newmark path bit-for-bit from step 2 on."""
+        st = self.initial_state(u0_fn, v0_fn)
+        st1 = self._explicit_step(st)
+        return LeapfrogState(u=st1.u, u_prev=st.u)
+
+    def leapfrog_step(self, state: LeapfrogState) -> LeapfrogState:
+        dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
+        u, u_prev = state
+        u_next = 2.0 * u - u_prev - dt2 * (self.stiff(u) * self.inv_lumped)
+        u_next = jnp.where(self.boundary, 0.0, u_next).astype(self.dtype)
+        return LeapfrogState(u=u_next, u_prev=u)
+
+    def leapfrog_velocity(self, state_next: LeapfrogState,
+                          state: LeapfrogState):
+        """v^n = (u^{n+1} - u^{n-1}) / (2 dt)."""
+        return (state_next.u - state.u_prev) / (2.0 * self.dt)
+
+    def run_leapfrog_scan(self, state: LeapfrogState, n_steps: int) -> LeapfrogState:
+        cache = getattr(self, "_lf_cache", None)
+        if cache is None:
+            cache = self._lf_cache = {}
+        if n_steps not in cache:
+            def run(st):
+                def body(s, _):
+                    return self.leapfrog_step(s), None
+                out, _ = jax.lax.scan(body, st, None, length=n_steps)
+                return out
+            cache[n_steps] = jax.jit(run)
+        return cache[n_steps](state)
 
     # ------------------------------------------------------------------
     def _build_run(self, n_steps: int):

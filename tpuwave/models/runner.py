@@ -45,6 +45,11 @@ class RunConfig:
     #: in-process analogue of the sweep scripts' subprocess timeout-kill,
     #: reference convergence_sweep.py:228-231). None = no limit.
     max_wall_s: Optional[float] = None
+    #: snapshot the stepper state every N steps (0 = off); see
+    #: tpuwave.utils.checkpoint (a capability the reference lacks)
+    checkpoint_every: int = 0
+    #: resume from the newest checkpoint in the run folder, if any
+    resume: bool = False
 
 
 class RunResult(NamedTuple):
@@ -104,10 +109,19 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     if param_src and Path(param_src).exists():
         shutil.copyfile(param_src, folder / "parameters.json")
 
+    # checkpoint/resume (capability beyond the reference; utils/checkpoint.py)
+    restored = None
+    if cfg.resume:
+        from tpuwave.utils.checkpoint import load_latest
+        restored = load_latest(folder)
+        if restored is not None:
+            pcout(f"Resuming from checkpoint at step {restored[0]}, "
+                  f"t = {restored[1]}")
+
     convergence_path = None
     if p.has_exact_solution:
         convergence_path = Path(cfg.results_root) / problem_name / "convergence.csv"
-    logs = RunLogs(folder, convergence_path)
+    logs = RunLogs(folder, convergence_path, append=restored is not None)
 
     # env-variable overrides (reference main-theta.cpp:104-114)
     save_solution = env_flag_enabled("NMPDE_SAVE_SOLUTION", p.save_solution)
@@ -121,6 +135,11 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
 
     pcout("Setting initial conditions...")
     state = solver.initial_state()
+    if restored is not None:
+        import jax.numpy as jnp
+        _, _, fields = restored
+        state = type(state)(**{k: jnp.asarray(v, dtype=getattr(state, k).dtype)
+                               for k, v in fields.items()})
     norm_u0 = float(np.linalg.norm(np.asarray(state.u)))
     norm_v0 = float(np.linalg.norm(np.asarray(state.v)))
     pcout(f"||u0|| = {norm_u0}")
@@ -141,13 +160,18 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
 
     timestep_number = 0
     current_time = 0.0
-    output(0, 0.0)
+    if restored is None:
+        output(0, 0.0)
 
     total_it1 = total_it2 = 0
     current_energy = 0.0
     diverged = False
     timed_out = False
     times = time_steps(p.t_final, p.dt)
+    if restored is not None:
+        timestep_number = restored[0]
+        current_time = restored[1]
+        times = times[restored[0]:]
 
     start = _time.perf_counter()
     for t in times:
@@ -188,6 +212,11 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
             if log_every > 0:
                 line += f",  E={current_energy:9.3e}"
             pcout(line)
+
+        if cfg.checkpoint_every > 0 and \
+                timestep_number % cfg.checkpoint_every == 0:
+            from tpuwave.utils.checkpoint import save_checkpoint
+            save_checkpoint(folder, timestep_number, current_time, state)
 
         output(timestep_number, current_time)
 

@@ -1,0 +1,62 @@
+"""Checkpoint / resume for long runs.
+
+The reference has no checkpointing (SURVEY.md section 5) — a run always
+restarts from t=0. tpuwave adds a minimal, dependency-free snapshot layer:
+the stepper state (u, v[, a]), timestep number and accumulated time are
+written as ``checkpoint_NNNNNN.npz`` in the run folder every
+``checkpoint_every`` steps, and ``load_latest`` restores the newest one so
+the driver can continue mid-run (CSV logs are then opened in append mode).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["save_checkpoint", "load_latest", "checkpoint_path"]
+
+_CKPT_RE = re.compile(r"checkpoint_(\d{6})\.npz$")
+
+
+def checkpoint_path(folder, timestep: int) -> Path:
+    return Path(folder) / f"checkpoint_{timestep:06d}.npz"
+
+
+def save_checkpoint(folder, timestep: int, time: float, state, *,
+                    keep: int = 2) -> Path:
+    """Write the state tuple/NamedTuple; prune all but the newest ``keep``."""
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    fields = state._asdict() if hasattr(state, "_asdict") else {
+        f"arr{i}": a for i, a in enumerate(state)}
+    arrays = {k: np.asarray(v) for k, v in fields.items()}
+    path = checkpoint_path(folder, timestep)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(tmp, __timestep=timestep, __time=time, **arrays)
+    tmp.replace(path)
+
+    ckpts = sorted(p for p in folder.glob("checkpoint_*.npz")
+                   if _CKPT_RE.search(p.name))
+    for old in ckpts[:-keep]:
+        old.unlink()
+    return path
+
+
+def load_latest(folder) -> Optional[Tuple[int, float, dict]]:
+    """Return (timestep, time, {field: array}) of the newest checkpoint."""
+    folder = Path(folder)
+    if not folder.exists():
+        return None
+    ckpts = sorted(p for p in folder.glob("checkpoint_*.npz")
+                   if _CKPT_RE.search(p.name))
+    if not ckpts:
+        return None
+    with np.load(ckpts[-1]) as data:
+        timestep = int(data["__timestep"])
+        time = float(data["__time"])
+        fields = {k: data[k] for k in data.files
+                  if not k.startswith("__")}
+    return timestep, time, fields

@@ -75,15 +75,20 @@ class RunLogs:
     per-problem convergence.csv, with reference schemas
     (WaveEquationBase.cpp:143, 162, 214-220, 232, 259)."""
 
-    def __init__(self, output_folder, convergence_path: Optional[Path] = None):
+    def __init__(self, output_folder, convergence_path: Optional[Path] = None,
+                 append: bool = False):
         out = Path(output_folder)
-        self.energy = LazyCsv(out / "energy.csv", "timestep,time,energy")
+        self.energy = LazyCsv(out / "energy.csv", "timestep,time,energy",
+                              append=append)
         self.error = LazyCsv(
             out / "error.csv",
-            "timestep,time,L2_error,H1_error,rel_L2_error,rel_H1_error")
-        self.probe = LazyCsv(out / "probe.csv", "timestep,time,u_probe")
+            "timestep,time,L2_error,H1_error,rel_L2_error,rel_H1_error",
+            append=append)
+        self.probe = LazyCsv(out / "probe.csv", "timestep,time,u_probe",
+                             append=append)
         self.iterations = LazyCsv(out / "iterations.csv",
-                                  "timestep,time,iterations_1,iterations_2")
+                                  "timestep,time,iterations_1,iterations_2",
+                                  append=append)
         self.convergence = None
         if convergence_path is not None:
             self.convergence = LazyCsv(
@@ -92,9 +97,10 @@ class RunLogs:
                 "rel_L2_error_final,rel_H1_error_final,elapsed_time_s",
                 append=True)
         # stream-state emulation: time column switches to scientific after
-        # the first row in files that set persistent manipulators
-        self._error_sci = False
-        self._probe_sci = False
+        # the first row in files that set persistent manipulators (a resumed
+        # run starts in the already-scientific state)
+        self._error_sci = append
+        self._probe_sci = append
 
     def log_energy(self, timestep: int, time: float, energy: float):
         self.energy.write_row(timestep, fmt_g(time), fmt_g(energy))
