@@ -1,0 +1,54 @@
+"""Pallas fused leapfrog kernel: interpret-mode equivalence with the
+roll-based stencil path (runs on the CPU backend)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuwave.models.fast import FastWaveSolver
+
+
+def u0(xs, ys):
+    return jnp.sin(jnp.pi * xs) * jnp.sin(jnp.pi * ys)
+
+
+def test_pallas_leapfrog_matches_roll_path():
+    solver = FastWaveSolver((63, 63), ((0.0, 0.0), (1.0, 1.0)), 1e-3,
+                            beta=0.0, dtype=jnp.float32)
+    lf = solver.initial_leapfrog_state(u0)
+    want = solver.run_leapfrog_scan(lf, 5)
+    got = solver.run_leapfrog_pallas(lf, 5, block_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.u_prev), np.asarray(want.u_prev),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_handles_row_padding():
+    # 50 true rows padded to 64 (block_rows=16): padding stays zero
+    solver = FastWaveSolver((40, 49), ((0.0, 0.0), (1.0, 1.0)), 1e-3,
+                            beta=0.0, dtype=jnp.float32)
+    lf = solver.initial_leapfrog_state(u0)
+    want = solver.run_leapfrog_scan(lf, 3)
+    got = solver.run_leapfrog_pallas(lf, 3, block_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_leapfrog_equals_newmark_explicit():
+    """Leapfrog recurrence == lumped Newmark beta=0 trajectory."""
+    solver = FastWaveSolver((24, 24), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                            beta=0.0, dtype=jnp.float64)
+    st3 = solver.initial_state(u0)
+    lf = solver.initial_leapfrog_state(u0)   # already at step 1
+    st3 = solver.step(st3)
+    for _ in range(10):
+        st3 = solver.step(st3)
+        lf = solver.leapfrog_step(lf)
+    np.testing.assert_allclose(np.asarray(lf.u), np.asarray(st3.u),
+                               rtol=1e-12, atol=1e-14)
+    # velocity reconstruction: v^n = (u^{n+1} - u^{n-1}) / 2dt == Newmark v^n
+    lf_next = solver.leapfrog_step(lf)
+    v = solver.leapfrog_velocity(lf_next, lf)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(st3.v),
+                               rtol=1e-10, atol=1e-12)

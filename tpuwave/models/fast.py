@@ -235,6 +235,44 @@ class FastWaveSolver:
         return cache[n_steps](state)
 
     # ------------------------------------------------------------------
+    # fused Pallas leapfrog (ops/pallas_kernels.py): minimum-HBM-traffic
+    # explicit step; measured ~2.2x faster than the roll path on v5e
+    # ------------------------------------------------------------------
+    def run_leapfrog_pallas(self, state: LeapfrogState, n_steps: int,
+                            block_rows: int = 128,
+                            interpret: bool = False) -> LeapfrogState:
+        from tpuwave.ops.pallas_kernels import leapfrog_step_pallas
+
+        h, w = self.shape
+        hp = -(-h // block_rows) * block_rows
+        wp = -(-w // 128) * 128
+        coef = self.dt * self.dt / self.mesh.det_j
+        stencil = self.stiff.stencil
+
+        cache = getattr(self, "_lfp_cache", None)
+        if cache is None:
+            cache = self._lfp_cache = {}
+        key = (n_steps, block_rows, interpret)
+        if key not in cache:
+            def run(u, up):
+                def body(c, _):
+                    cu, cup = c
+                    un = leapfrog_step_pallas(
+                        cu, cup, stencil=stencil, coef=coef,
+                        block_rows=block_rows, true_rows=h, true_cols=w,
+                        interpret=interpret)
+                    return (un, cu), None
+                (u_fin, up_fin), _ = jax.lax.scan(body, (u, up), None,
+                                                  length=n_steps)
+                return u_fin, up_fin
+            cache[key] = jax.jit(run)
+
+        u_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(state.u)
+        up_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(state.u_prev)
+        u_fin, up_fin = cache[key](u_pad, up_pad)
+        return LeapfrogState(u=u_fin[:h, :w], u_prev=up_fin[:h, :w])
+
+    # ------------------------------------------------------------------
     def _build_run(self, n_steps: int):
         def run(state):
             def body(st, _):
