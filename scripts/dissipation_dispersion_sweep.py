@@ -28,8 +28,8 @@ def parse_args():
     p.add_argument("--nel-explicit", type=int, default=60)
     p.add_argument("--r", type=int, default=1)
     p.add_argument("--dt", type=float, nargs="+",
-                   default=[0.15, 0.1, 0.05, 0.02, 0.01, 0.008, 0.005,
-                            0.002, 0.001, 0.0005, 0.0002])
+                   default=[0.15, 0.1, 0.05, 0.02, 0.01, 0.005, 0.002,
+                            0.001, 0.0005, 0.0001, 0.00005])
     p.add_argument("--T", type=float, default=5.0)
     p.add_argument("--schemes", nargs="+",
                    default=["theta-0.0", "theta-0.5", "theta-1.0",
