@@ -42,7 +42,8 @@ class ThetaState(NamedTuple):
 class ThetaSolver:
     method_name = "theta"
 
-    def __init__(self, disc: Discretization):
+    def __init__(self, disc: Discretization, *, precond: str = "jacobi",
+                 cheby_degree: int = 3):
         self.disc = disc
         p = disc.params
         self.theta = p.theta
@@ -56,6 +57,17 @@ class ThetaSolver:
         self.diag_v = disc.mass_diag
         self.prec_u = 1.0 / self.diag_u
         self.prec_v = 1.0 / self.diag_v
+        if precond == "chebyshev":
+            # AMG stand-in for the stiffness-dominated u-system
+            # (solve/chebyshev.py); the mass-dominated v-system keeps Jacobi
+            from tpuwave.solve.chebyshev import (ChebyshevPreconditioner,
+                                                 estimate_lambda_max)
+            lmax = estimate_lambda_max(self.matrix_u, self.prec_u, disc.n_dofs)
+            self.prec_u = ChebyshevPreconditioner(
+                self.matrix_u, self.diag_u, lambda_max=lmax,
+                degree=cheby_degree)
+        elif precond != "jacobi":
+            raise ValueError(f"Unknown preconditioner {precond!r}")
 
         self._step = jax.jit(self._step_impl)
 

@@ -41,12 +41,19 @@ def pcg(apply_a: Callable, b, x0, *, precond_inv_diag=None,
         reduction: float = 1e-6) -> CgResult:
     """Solve A x = b with (Jacobi-)preconditioned CG.
 
-    ``precond_inv_diag``: elementwise inverse preconditioner (None = identity).
+    ``precond_inv_diag``: elementwise inverse-diagonal array (Jacobi), a
+    callable SPD preconditioner (e.g. solve/chebyshev.py), or None.
     """
     dtype = b.dtype
 
-    def precond(r):
-        return r if precond_inv_diag is None else precond_inv_diag * r
+    if precond_inv_diag is None:
+        def precond(r):
+            return r
+    elif callable(precond_inv_diag):
+        precond = precond_inv_diag
+    else:
+        def precond(r):
+            return precond_inv_diag * r
 
     r0 = b - apply_a(x0)
     norm0 = jnp.linalg.norm(r0)
