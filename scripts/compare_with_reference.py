@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Compare tpuwave sweep outputs against the reference's published CSVs.
+
+Usage:
+    python scripts/compare_with_reference.py \
+        analysis/data/dissdisp-results.csv \
+        /root/reference/analysis/data/dissdisp-results.csv
+
+Matches rows on (scheme, Nel, R, dt, T) and reports relative differences of
+energy_ratio / final_rel_L2 / final_rel_H1 (dissdisp schema) or
+rel_L2_error_final / rel_H1_error_final (convergence schema). Rows where
+both codes diverge (energy ratio > 1e10 or non-finite errors) are counted
+as matching blowups.
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import sys
+
+
+def key_of(row):
+    for k in ("scheme", "method"):
+        if k in row:
+            scheme = row[k]
+            break
+    else:
+        scheme = f"theta-{row.get('theta')}|{row.get('beta')}"
+    nel = row.get("Nel") or row.get("N_el_x")
+    return (scheme, nel, row.get("R", row.get("r")), row["dt"],
+            row.get("T"), row.get("theta", ""), row.get("beta", ""))
+
+
+def metrics_of(row):
+    out = {}
+    for name in ("energy_ratio", "final_rel_L2", "final_rel_H1",
+                 "max_rel_L2", "rel_L2_error_final", "rel_H1_error_final"):
+        if name in row and row[name] not in ("", "N/A"):
+            try:
+                out[name] = float(row[name])
+            except ValueError:
+                out[name] = float("nan")
+    return out
+
+
+def is_blowup(m):
+    vals = list(m.values())
+    return any((not math.isfinite(v)) or abs(v) > 1e10 for v in vals)
+
+
+def main():
+    ours_path, ref_path = sys.argv[1], sys.argv[2]
+    ours = {key_of(r): metrics_of(r) for r in csv.DictReader(open(ours_path))}
+    ref = {key_of(r): metrics_of(r) for r in csv.DictReader(open(ref_path))}
+    common = sorted(set(ours) & set(ref))
+    if not common:
+        print("No common rows — check schemas/keys")
+        return 1
+
+    worst = 0.0
+    n_exact = n_ok = n_blow = n_bad = 0
+    for k in common:
+        o, r = ours[k], ref[k]
+        if is_blowup(r) or is_blowup(o):
+            if is_blowup(r) == is_blowup(o):
+                n_blow += 1
+                print(f"{k}: blowup in both (parity)")
+            else:
+                n_bad += 1
+                print(f"{k}: STABILITY MISMATCH ours={o} ref={r}")
+            continue
+        diffs = {name: abs(o[name] - r[name]) / max(abs(r[name]), 1e-300)
+                 for name in o.keys() & r.keys()}
+        d = max(diffs.values(), default=0.0)
+        worst = max(worst, d)
+        if d == 0.0:
+            n_exact += 1
+            print(f"{k}: EXACT (all printed digits)")
+        elif d < 1e-3:
+            n_ok += 1
+            print(f"{k}: max reldiff {d:.2e}")
+        else:
+            n_bad += 1
+            print(f"{k}: LARGE DIFF {d:.2e}  ours={o}  ref={r}")
+
+    print(f"\n{len(common)} common rows: {n_exact} exact, {n_ok} within 1e-3, "
+          f"{n_blow} matching blowups, {n_bad} mismatches; "
+          f"worst stable reldiff {worst:.2e}")
+    return 0 if n_bad == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

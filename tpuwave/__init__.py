@@ -33,3 +33,19 @@ DoF/element axes over a ``jax.sharding.Mesh`` with XLA collectives.
 __version__ = "0.1.0"
 
 from tpuwave import config as config  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy re-exports (keep `import tpuwave` light — no jax import).
+    # NB: `tpuwave.solve` is the solver subpackage; the one-call helper is
+    # exported as `solve_problem` (== tpuwave.api.solve).
+    if name == "solve_problem":
+        from tpuwave.api import solve
+        return solve
+    if name == "build_solver":
+        from tpuwave.api import build_solver
+        return build_solver
+    if name == "load_params":
+        from tpuwave.utils.params import load_params
+        return load_params
+    raise AttributeError(f"module 'tpuwave' has no attribute {name!r}")

@@ -61,6 +61,11 @@ def run_main(family: str, make_solver, argv=None) -> int:
               "JSON schema (see parameters/*.json).", file=sys.stderr)
         return 1
 
+    # export the reference's env channels for the duration of the run only
+    # (the reference mains setenv these for the subprocess; in-process we
+    # must not leak them into subsequent runs)
+    env_save = {k: os.environ.get(k) for k in
+                ("NMPDE_PARAM_FILE", "NMPDE_SAVE_SOLUTION", "NMPDE_LOG_EVERY")}
     os.environ["NMPDE_PARAM_FILE"] = str(parameters_file)
     os.environ["NMPDE_SAVE_SOLUTION"] = "1" if params.save_solution else "0"
     os.environ["NMPDE_LOG_EVERY"] = str(params.effective_log_every)
@@ -68,12 +73,20 @@ def run_main(family: str, make_solver, argv=None) -> int:
     problem_name = f"{family}-{Path(parameters_file).stem}"
     print(f"  Problem name: {problem_name}")
 
-    disc = Discretization(params)
-    solver = make_solver(disc)
-    cfg = RunConfig(results_root=args.results_root, mesh_root=args.mesh_root,
-                    quiet=args.quiet, checkpoint_every=args.checkpoint_every,
-                    resume=args.resume)
-    from tpuwave.utils.profiling import trace
-    with trace(args.profile_dir):
-        result = run_solver(solver, problem_name, cfg)
+    try:
+        disc = Discretization(params)
+        solver = make_solver(disc)
+        cfg = RunConfig(results_root=args.results_root,
+                        mesh_root=args.mesh_root, quiet=args.quiet,
+                        checkpoint_every=args.checkpoint_every,
+                        resume=args.resume)
+        from tpuwave.utils.profiling import trace
+        with trace(args.profile_dir):
+            result = run_solver(solver, problem_name, cfg)
+    finally:
+        for k, v in env_save.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     return 2 if result.diverged else 0
