@@ -35,6 +35,31 @@ def test_pallas_handles_row_padding():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_multistep_pallas_matches_roll_path():
+    solver = FastWaveSolver((63, 63), ((0.0, 0.0), (1.0, 1.0)), 1e-3,
+                            beta=0.0, dtype=jnp.float32)
+    lf = solver.initial_leapfrog_state(u0)
+    want = solver.run_leapfrog_scan(lf, 8)
+    got = solver.run_leapfrog_multistep(lf, 8, steps_per_call=4,
+                                        block_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.u_prev), np.asarray(want.u_prev),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_multistep_rejects_bad_counts():
+    solver = FastWaveSolver((31, 31), ((0.0, 0.0), (1.0, 1.0)), 1e-3,
+                            beta=0.0, dtype=jnp.float32)
+    lf = solver.initial_leapfrog_state(u0)
+    with pytest.raises(ValueError, match="multiple"):
+        solver.run_leapfrog_multistep(lf, 6, steps_per_call=4, interpret=True)
+    from tpuwave.ops.pallas_kernels import leapfrog_multistep_pallas
+    with pytest.raises(ValueError, match="n_steps"):
+        leapfrog_multistep_pallas(lf.u, lf.u_prev, stencil=((0,)*3,)*3,
+                                  coef=1.0, n_steps=9, interpret=True)
+
+
 def test_leapfrog_equals_newmark_explicit():
     """Leapfrog recurrence == lumped Newmark beta=0 trajectory."""
     solver = FastWaveSolver((24, 24), ((0.0, 0.0), (1.0, 1.0)), 0.005,

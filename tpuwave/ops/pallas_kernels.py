@@ -38,6 +38,38 @@ __all__ = ["leapfrog_step_pallas"]
 _HALO = 8  # Mosaic sublane tiling: all dim-0 DMA slices must be 8-aligned
 
 
+def _halo_dma(ref_hbm, scratch, sem, i, n_blocks, br, n_cols):
+    """Fill scratch (br + 2*_HALO, W) so scratch[_HALO + r] = ref[i*br + r],
+    with _HALO rows of halo above/below (zeros outside the array)."""
+    hh = _HALO
+    row0 = i * br
+    h_pad = n_blocks * br
+
+    @pl.when(i == 0)
+    def _first():
+        dma = pltpu.make_async_copy(ref_hbm.at[pl.ds(0, br + hh), :],
+                                    scratch.at[pl.ds(hh, br + hh), :], sem)
+        dma.start()
+        scratch[0:hh, :] = jnp.zeros((hh, n_cols), scratch.dtype)
+        dma.wait()
+
+    @pl.when(jnp.logical_and(i > 0, i < n_blocks - 1))
+    def _middle():
+        start = pl.multiple_of(row0 - hh, hh)
+        dma = pltpu.make_async_copy(
+            ref_hbm.at[pl.ds(start, br + 2 * hh), :], scratch.at[:, :], sem)
+        dma.start()
+        dma.wait()
+
+    @pl.when(jnp.logical_and(i == n_blocks - 1, i > 0))
+    def _last():
+        dma = pltpu.make_async_copy(ref_hbm.at[pl.ds(h_pad - br - hh, br + hh), :],
+                                    scratch.at[pl.ds(0, br + hh), :], sem)
+        dma.start()
+        scratch[br + hh:br + 2 * hh, :] = jnp.zeros((hh, n_cols), scratch.dtype)
+        dma.wait()
+
+
 def _kernel(up_ref, u_hbm, out_ref, scratch, sem, *, stencil, coef,
             block_rows: int, n_rows: int, n_cols: int, true_cols: int):
     i = pl.program_id(0)
@@ -101,6 +133,115 @@ def _kernel(up_ref, u_hbm, out_ref, scratch, sem, *, stencil, coef,
     gc = jax.lax.broadcasted_iota(jnp.int32, (br, n_cols), 1)
     mask = (gr == 0) | (gr >= n_rows - 1) | (gc == 0) | (gc >= true_cols - 1)
     out_ref[:, :] = jnp.where(mask, 0.0, un).astype(out_ref.dtype)
+
+
+def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
+                      sem_u, sem_up, *, stencil, coef, n_steps: int,
+                      block_rows: int, n_rows: int, n_cols: int,
+                      true_cols: int):
+    """Temporal blocking: advance ``n_steps`` leapfrog steps in one pass.
+
+    Both u and u_prev are DMA'd with an 8-row halo; each inner step loses
+    one halo row of validity (8 >= n_steps), and every inner step re-applies
+    the Dirichlet/pad mask so lane-roll wraparound never propagates inward.
+    HBM traffic: read 2 + write 2 arrays per n_steps steps.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = _HALO
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    dma_u = _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
+    dma_up = _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols)
+
+    s = stencil
+    gr = (row0 - hh) + jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 1)
+    mask = (gr <= 0) | (gr >= n_rows - 1) | (gc == 0) | (gc >= true_cols - 1)
+
+    def row_contrib(rows, sj):
+        acc = sj[1] * rows
+        if sj[0] != 0.0:
+            acc += sj[0] * pltpu.roll(rows, shift=1, axis=1)
+        if sj[2] != 0.0:
+            acc += sj[2] * pltpu.roll(rows, shift=n_cols - 1, axis=1)
+        return acc
+
+    cur = scr_u[:, :]
+    prev = scr_up[:, :]
+    for _ in range(n_steps):
+        up_rows = pltpu.roll(cur, shift=1, axis=0)
+        dn_rows = pltpu.roll(cur, shift=h_tot - 1, axis=0)
+        ku = row_contrib(cur, s[1]) + row_contrib(up_rows, s[0]) \
+            + row_contrib(dn_rows, s[2])
+        nxt = 2.0 * cur - prev - coef * ku
+        nxt = jnp.where(mask, 0.0, nxt)
+        prev = cur
+        cur = nxt
+
+    out_u_ref[:, :] = cur[hh:hh + br, :].astype(out_u_ref.dtype)
+    out_up_ref[:, :] = prev[hh:hh + br, :].astype(out_up_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("stencil", "coef", "n_steps",
+                                             "block_rows", "true_rows",
+                                             "true_cols", "interpret"))
+def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
+                              n_steps: int = 4, block_rows: int = 128,
+                              true_rows: int = None, true_cols: int = None,
+                              interpret: bool = False):
+    """Advance n_steps (<= 8) fused leapfrog steps in ONE kernel pass.
+
+    Returns (u_new, u_prev_new). Same padding contract as
+    leapfrog_step_pallas. Note the top/bottom _HALO rows adjacent to halos
+    must remain valid through all inner steps, which the 8-row halo
+    guarantees for n_steps <= 8; the Dirichlet mask is re-applied each
+    inner step.
+    """
+    h, w = u.shape
+    if not 1 <= n_steps <= _HALO:
+        raise ValueError(f"n_steps must be in [1, {_HALO}]")
+    if h % block_rows != 0:
+        raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
+    if w % 128 != 0 and not interpret:
+        raise ValueError(f"cols {w} not a multiple of 128 (pad + mask)")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+    if grid < 2:
+        raise ValueError("need at least 2 row blocks; use the roll path")
+
+    kernel = functools.partial(
+        _multistep_kernel, stencil=stencil, coef=float(coef),
+        n_steps=n_steps, block_rows=block_rows, n_rows=n_rows, n_cols=w,
+        true_cols=n_cols_true)
+
+    out_u, out_up = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # u_prev in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # u in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct(u.shape, u.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows + 2 * _HALO, w), u.dtype),
+            pltpu.VMEM((block_rows + 2 * _HALO, w), u.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(u_prev, u)
+    return out_u, out_up
 
 
 @functools.partial(jax.jit, static_argnames=("stencil", "coef", "block_rows",
