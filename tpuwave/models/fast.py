@@ -154,7 +154,8 @@ class FastWaveSolver:
         res = pcg(self._constrained(self.system), rhs,
                   jnp.where(self.interior, a, 0.0),
                   precond_inv_diag=self._inv_diag,
-                  abs_tol=1e-12 if self.dtype == jnp.float64 else 1e-6)
+                  abs_tol=1e-12 if self.dtype == jnp.float64 else 1e-6,
+                  max_iter=10000 if self.dtype == jnp.float64 else 2000)
         a_new = res.x.astype(self.dtype)
         u_new = z + (beta * dt * dt) * a_new
         v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
@@ -173,12 +174,14 @@ class FastWaveSolver:
         u, v, a = state
         mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
         abs_tol = 1e-12 if self.dtype == jnp.float64 else 1e-6
+        max_iter = 10000 if self.dtype == jnp.float64 else 2000
 
         rhs_u = jnp.where(self.interior,
                           mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv, 0.0)
         res_u = pcg(self._constrained(self.system), rhs_u,
                     jnp.where(self.interior, u, 0.0),
-                    precond_inv_diag=self._inv_diag, abs_tol=abs_tol)
+                    precond_inv_diag=self._inv_diag, abs_tol=abs_tol,
+                    max_iter=max_iter)
         u_new = res_u.x.astype(self.dtype)
 
         rhs_v = jnp.where(self.interior,
@@ -187,7 +190,7 @@ class FastWaveSolver:
         res_v = pcg(self._constrained(self.mass), rhs_v,
                     jnp.where(self.interior, v, 0.0),
                     precond_inv_diag=1.0 / self.mass.stencil[1][1],
-                    abs_tol=abs_tol)
+                    abs_tol=abs_tol, max_iter=max_iter)
         v_new = res_v.x.astype(self.dtype)
         return FastState(u=u_new, v=v_new, a=a)
 

@@ -77,33 +77,8 @@ def _kernel(up_ref, u_hbm, out_ref, scratch, sem, *, stencil, coef,
     br = block_rows
     hh = _HALO
     row0 = i * br
-    h_pad = n_blocks * br
 
-    # --- halo DMA (all slices 8-row aligned): scratch row hh+r holds
-    # global row row0+r; hh rows of halo above and below ---
-    @pl.when(i == 0)
-    def _first():
-        dma = pltpu.make_async_copy(u_hbm.at[pl.ds(0, br + hh), :],
-                                    scratch.at[pl.ds(hh, br + hh), :], sem)
-        dma.start()
-        scratch[0:hh, :] = jnp.zeros((hh, n_cols), scratch.dtype)
-        dma.wait()
-
-    @pl.when(jnp.logical_and(i > 0, i < n_blocks - 1))
-    def _middle():
-        start = pl.multiple_of(row0 - hh, hh)
-        dma = pltpu.make_async_copy(
-            u_hbm.at[pl.ds(start, br + 2 * hh), :], scratch.at[:, :], sem)
-        dma.start()
-        dma.wait()
-
-    @pl.when(jnp.logical_and(i == n_blocks - 1, i > 0))
-    def _last():
-        dma = pltpu.make_async_copy(u_hbm.at[pl.ds(h_pad - br - hh, br + hh), :],
-                                    scratch.at[pl.ds(0, br + hh), :], sem)
-        dma.start()
-        scratch[br + hh:br + 2 * hh, :] = jnp.zeros((hh, n_cols), scratch.dtype)
-        dma.wait()
+    _halo_dma(u_hbm, scratch, sem, i, n_blocks, br, n_cols)
 
     s = stencil  # (3, 3) python floats: s[1+dj][1+di]
     a = scratch[:, :]                       # (br + 2*hh, W), aligned read
@@ -153,8 +128,8 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
     row0 = i * br
     h_tot = br + 2 * hh
 
-    dma_u = _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
-    dma_up = _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols)
+    _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
+    _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols)
 
     s = stencil
     gr = (row0 - hh) + jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 0)
