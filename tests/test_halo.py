@@ -36,6 +36,38 @@ def test_halo_leapfrog_matches_single_device(n_shards):
                                rtol=1e-12, atol=1e-13)
 
 
+@pytest.mark.parametrize("k", [1, 3])
+def test_multistep_halo_matches_single_device(k):
+    from tpuwave.parallel.halo import make_multistep_halo_leapfrog
+    mesh = device_mesh(4)
+    solver = FastWaveSolver((18, 23), ((0.0, 0.0), (1.0, 1.0)), 0.004,
+                            beta=0.0, dtype=jnp.float64)
+    advance, sharding = make_multistep_halo_leapfrog(mesh, solver, k_steps=k)
+
+    lf = solver.initial_leapfrog_state(u0)
+    want = lf
+    for _ in range(3 * k):
+        want = solver.leapfrog_step(want)
+
+    got = type(lf)(*(jax.device_put(x, sharding) for x in lf))
+    for _ in range(3):
+        got = advance(got)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got.u_prev),
+                               np.asarray(want.u_prev),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_multistep_halo_rejects_thin_shards():
+    from tpuwave.parallel.halo import make_multistep_halo_leapfrog
+    mesh = device_mesh(8)
+    solver = FastWaveSolver((20, 31), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                            beta=0.0, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="k_steps"):
+        make_multistep_halo_leapfrog(mesh, solver, k_steps=4)  # 4 rows/shard
+
+
 def test_halo_rejects_uneven_split():
     mesh = device_mesh(8)
     solver = FastWaveSolver((10, 10), ((0.0, 0.0), (1.0, 1.0)), 0.005,
