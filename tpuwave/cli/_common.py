@@ -40,6 +40,8 @@ def run_main(family: str, make_solver, argv=None) -> int:
                         help="resume from the newest checkpoint in the run folder")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace into this directory")
+    parser.add_argument("--phase-timing", action="store_true",
+                        help="print per-phase wall-clock breakdown")
     args = parser.parse_args(argv)
 
     config.use_x64(not args.f32)
@@ -72,6 +74,10 @@ def run_main(family: str, make_solver, argv=None) -> int:
 
     problem_name = f"{family}-{Path(parameters_file).stem}"
     print(f"  Problem name: {problem_name}")
+    # counterpart of main-newmark's MPI library/size report
+    import jax
+    devs = jax.devices()
+    print(f"  Backend: {devs[0].platform}, {len(devs)} device(s)")
 
     try:
         disc = Discretization(params)
@@ -79,7 +85,7 @@ def run_main(family: str, make_solver, argv=None) -> int:
         cfg = RunConfig(results_root=args.results_root,
                         mesh_root=args.mesh_root, quiet=args.quiet,
                         checkpoint_every=args.checkpoint_every,
-                        resume=args.resume)
+                        resume=args.resume, phase_timing=args.phase_timing)
         from tpuwave.utils.profiling import trace
         with trace(args.profile_dir):
             result = run_solver(solver, problem_name, cfg)

@@ -50,6 +50,10 @@ class RunConfig:
     checkpoint_every: int = 0
     #: resume from the newest checkpoint in the run folder, if any
     resume: bool = False
+    #: print a host-side per-phase wall-clock breakdown at the end (the
+    #: working version of the reference's commented-out StackedTimer,
+    #: WaveNewmark.cpp:404-423)
+    phase_timing: bool = False
 
 
 class RunResult(NamedTuple):
@@ -173,6 +177,9 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
         current_time = restored[1]
         times = times[restored[0]:]
 
+    from tpuwave.utils.profiling import PhaseTimer
+    phases = PhaseTimer(enabled=cfg.phase_timing)
+
     start = _time.perf_counter()
     for t in times:
         if cfg.max_wall_s is not None and \
@@ -183,9 +190,10 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
             break
         current_time = t
         timestep_number += 1
-        state, info = solver.step(state, t)
-        it1 = int(info["iterations_1"])
-        it2 = int(info["iterations_2"])
+        with phases.phase("step"):
+            state, info = solver.step(state, t)
+            it1 = int(info["iterations_1"])
+            it2 = int(info["iterations_2"])
         total_it1 += it1
         total_it2 += it2
         norm_u = float(info["norm_u"])
@@ -198,13 +206,17 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
             break
 
         if log_every > 0 and timestep_number % log_every == 0:
-            current_energy = float(d.energy(state.u, state.v))
-            logs.log_energy(timestep_number, current_time, current_energy)
-            if p.has_exact_solution:
-                l2, h1, rl2, rh1 = (float(x) for x in d.errors(state.u, current_time))
-                logs.log_error(timestep_number, current_time, l2, h1, rl2, rh1)
-            logs.log_probe(timestep_number, current_time, float(d.probe(state.u)))
-            logs.log_iterations(timestep_number, current_time, it1, it2)
+            with phases.phase("diagnostics"):
+                current_energy = float(d.energy(state.u, state.v))
+                logs.log_energy(timestep_number, current_time, current_energy)
+                if p.has_exact_solution:
+                    l2, h1, rl2, rh1 = (float(x) for x in
+                                        d.errors(state.u, current_time))
+                    logs.log_error(timestep_number, current_time,
+                                   l2, h1, rl2, rh1)
+                logs.log_probe(timestep_number, current_time,
+                               float(d.probe(state.u)))
+                logs.log_iterations(timestep_number, current_time, it1, it2)
 
         if timestep_number % p.print_every == 0:
             line = (f"Step {timestep_number:6d},  t={current_time:9.3e}"
@@ -218,9 +230,12 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
             from tpuwave.utils.checkpoint import save_checkpoint
             save_checkpoint(folder, timestep_number, current_time, state)
 
-        output(timestep_number, current_time)
+        with phases.phase("output"):
+            output(timestep_number, current_time)
 
     elapsed = _time.perf_counter() - start
+    if cfg.phase_timing:
+        pcout(phases.report())
 
     pcout(f"\nSimulation completed: {timestep_number} steps, "
           f"final time t = {current_time}")
