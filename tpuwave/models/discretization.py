@@ -11,8 +11,6 @@ jit-traceable functions over arrays.
 
 from __future__ import annotations
 
-from functools import cached_property
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,7 @@ speed, with error/energy still computed via f64 reductions if requested.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +26,7 @@ import numpy as np
 from tpuwave.core.mesh import FeSpace, StructuredTriMesh
 from tpuwave.core.quadrature import gauss_simplex
 from tpuwave.ops.assembly import element_mass_class, element_stiffness_class
-from tpuwave.ops.stencil import (GridStencilOperator, apply_stencil,
-                                 boundary_mask_grid,
+from tpuwave.ops.stencil import (GridStencilOperator, boundary_mask_grid,
                                  class_matrices_to_stencil, lumped_mass_grid)
 from tpuwave.solve.cg import pcg
 

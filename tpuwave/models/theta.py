@@ -21,7 +21,6 @@ both CG solves fuse into a single XLA computation per step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

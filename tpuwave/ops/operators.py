@@ -19,7 +19,7 @@ scatter-adds (the TPU analogue of Trilinos ``compress(add)``).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

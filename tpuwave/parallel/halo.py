@@ -13,8 +13,6 @@ hand-tuned variants (e.g. overlapping the exchange with interior compute).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

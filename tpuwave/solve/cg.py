@@ -20,8 +20,7 @@ iteration counts (SURVEY.md section 2.1).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
