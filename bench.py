@@ -15,8 +15,13 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# persistent XLA compilation cache: makes repeated bench runs start fast
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 import jax
 import jax.numpy as jnp
