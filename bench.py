@@ -35,7 +35,7 @@ def main():
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
     nel = 4096 if on_accel else 512
-    chunk = 50 if on_accel else 10
+    chunk = 48 if on_accel else 8
     repeats = 5 if on_accel else 3
 
     solver = FastWaveSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), 8e-5,
@@ -49,12 +49,15 @@ def main():
         return float(jnp.sum(st.u))
 
     def run(st, path):
+        if path == "pallas-k8":
+            return solver.run_leapfrog_multistep(st, chunk, steps_per_call=8,
+                                                 block_rows=64)
         if path == "pallas":
             return solver.run_leapfrog_pallas(st, chunk)
         return solver.run_leapfrog_scan(st, chunk)
 
     results = {}
-    paths = ["pallas", "roll"] if on_accel else ["roll"]
+    paths = ["pallas-k8", "pallas", "roll"] if on_accel else ["roll"]
     for path in paths:
         try:
             st = run(state, path)

@@ -214,6 +214,8 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(u_prev, u)
     return out_u, out_up
