@@ -146,6 +146,25 @@ def test_fast_sharded_matches_single_device():
                                rtol=1e-11, atol=1e-12)
 
 
+def test_fast_sharded_2d_mesh():
+    """2D (rows x cols) domain decomposition via a ('y','x') device mesh."""
+    from tpuwave.parallel.sharding import device_mesh, grid_sharding
+
+    mesh = device_mesh(8, shape=(4, 2))
+    sh = grid_sharding(mesh)
+    single = FastWaveSolver((15, 19), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                            dtype=jnp.float64)
+    want = single.run_scan(single.initial_state(standing_u0), 15)
+
+    sharded = FastWaveSolver((15, 19), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                             dtype=jnp.float64, sharding=sh)
+    st = sharded.initial_state(standing_u0)
+    assert len(st.u.sharding.device_set) == 8
+    got = sharded.run_scan(st, 15)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-11, atol=1e-12)
+
+
 def test_fast_sharded_implicit_cg():
     """Sharded implicit path (CG dots -> psum) matches single device."""
     from tpuwave.parallel.sharding import device_mesh, grid_sharding

@@ -337,16 +337,22 @@ class FastWaveSolver:
     def energy(self, state: FastState):
         """E = 1/2 (v M v + u K u), f64 reductions, interior-exact.
 
-        Uses the flat element path for the boundary-correct quadratic forms.
+        Uses the flat element path for the boundary-correct quadratic forms
+        (operators built once and cached).
         """
-        from tpuwave.ops.operators import MatrixFreeOperator
-        quad = gauss_simplex(2)
-        m_class = element_mass_class(self.space, quad)
-        k_class = element_stiffness_class(self.space, quad, 1.0)
-        mass = MatrixFreeOperator(self.space.cell_dofs, self.space.n_dofs,
-                                  a_class=m_class, dtype=jnp.float64)
-        stiff = MatrixFreeOperator(self.space.cell_dofs, self.space.n_dofs,
-                                   a_class=k_class, dtype=jnp.float64)
+        ops = getattr(self, "_energy_ops", None)
+        if ops is None:
+            from tpuwave.ops.operators import MatrixFreeOperator
+            quad = gauss_simplex(2)
+            mass = MatrixFreeOperator(self.space.cell_dofs, self.space.n_dofs,
+                                      a_class=element_mass_class(self.space, quad),
+                                      dtype=jnp.float64)
+            stiff = MatrixFreeOperator(
+                self.space.cell_dofs, self.space.n_dofs,
+                a_class=element_stiffness_class(self.space, quad, 1.0),
+                dtype=jnp.float64)
+            ops = self._energy_ops = (mass, stiff)
+        mass, stiff = ops
         u = state.u.reshape(-1).astype(jnp.float64)
         v = state.v.reshape(-1).astype(jnp.float64)
         return 0.5 * (jnp.vdot(v, mass(v)) + jnp.vdot(u, stiff(u)))
