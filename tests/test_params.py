@@ -142,3 +142,18 @@ def test_all_presets_load(parameters_dir):
         if p.has_exact_solution:
             wsol += 1
     assert wsol == 4  # standing/two-modes/five-modes + dumping-wave
+
+
+def test_presets_match_generator(parameters_dir):
+    """parameters/*.json must stay in sync with scripts/generate_presets.py."""
+    import importlib.util
+    import json as _json
+    from pathlib import Path
+    spec = importlib.util.spec_from_file_location(
+        "generate_presets",
+        Path(parameters_dir).parent / "scripts" / "generate_presets.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name, data in mod.PRESETS.items():
+        on_disk = _json.loads((parameters_dir / f"{name}.json").read_text())
+        assert on_disk == data, f"preset {name} out of sync with generator"
