@@ -74,3 +74,9 @@ def test_halo_rejects_uneven_split():
                             beta=0.0, dtype=jnp.float64)
     with pytest.raises(ValueError, match="divide"):
         make_halo_leapfrog_step(mesh, solver)
+
+
+def test_init_distributed_noop_without_env(monkeypatch):
+    from tpuwave.parallel.sharding import init_distributed
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert init_distributed() is False

@@ -21,7 +21,28 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["device_mesh", "grid_sharding", "replicated", "shard_grid_arrays"]
+__all__ = ["device_mesh", "grid_sharding", "replicated", "shard_grid_arrays",
+           "init_distributed"]
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None) -> bool:
+    """Multi-host initialisation (the jax.distributed counterpart of the
+    reference's Utilities::MPI::MPI_InitFinalize, main-theta.cpp:25).
+
+    Call once per host before any device use when running across hosts
+    (multi-slice pods / DCN). Arguments default to the JAX coordination
+    env vars; returns False (no-op) when no multi-host environment is
+    configured, so single-host runs need no changes.
+    """
+    import os
+    if coordinator_address is None and not os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"):
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def device_mesh(n_devices: Optional[int] = None,
