@@ -51,7 +51,8 @@ def main():
     def run(st, path):
         if path == "pallas-k8":
             return solver.run_leapfrog_multistep(st, chunk, steps_per_call=8,
-                                                 block_rows=64)
+                                                 block_rows=128,
+                                                 double_buffer=True)
         if path == "pallas":
             return solver.run_leapfrog_pallas(st, chunk)
         return solver.run_leapfrog_scan(st, chunk)

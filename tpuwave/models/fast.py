@@ -276,7 +276,8 @@ class FastWaveSolver:
     def run_leapfrog_multistep(self, state: LeapfrogState, n_steps: int,
                                steps_per_call: int = 4,
                                block_rows: int = 128,
-                               interpret: bool = False) -> LeapfrogState:
+                               interpret: bool = False,
+                               double_buffer: bool = False) -> LeapfrogState:
         """Temporally-blocked pallas path: ``steps_per_call`` fused steps per
         kernel pass (HBM traffic ~ (2 reads + 2 writes)/steps_per_call per
         step). ``n_steps`` must be a multiple of ``steps_per_call``."""
@@ -293,7 +294,7 @@ class FastWaveSolver:
         cache = getattr(self, "_lfm_cache", None)
         if cache is None:
             cache = self._lfm_cache = {}
-        key = (n_steps, steps_per_call, block_rows, interpret)
+        key = (n_steps, steps_per_call, block_rows, interpret, double_buffer)
         if key not in cache:
             def run(u, up):
                 def body(c, _):
@@ -301,7 +302,8 @@ class FastWaveSolver:
                     nu, nup = leapfrog_multistep_pallas(
                         cu, cup, stencil=stencil, coef=coef,
                         n_steps=steps_per_call, block_rows=block_rows,
-                        true_rows=h, true_cols=w, interpret=interpret)
+                        true_rows=h, true_cols=w, interpret=interpret,
+                        double_buffer=double_buffer)
                     return (nu, nup), None
                 (uf, upf), _ = jax.lax.scan(body, (u, up), None,
                                             length=n_steps // steps_per_call)

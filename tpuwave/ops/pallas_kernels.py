@@ -38,36 +38,51 @@ __all__ = ["leapfrog_step_pallas"]
 _HALO = 8  # Mosaic sublane tiling: all dim-0 DMA slices must be 8-aligned
 
 
-def _halo_dma(ref_hbm, scratch, sem, i, n_blocks, br, n_cols):
-    """Fill scratch (br + 2*_HALO, W) so scratch[_HALO + r] = ref[i*br + r],
-    with _HALO rows of halo above/below (zeros outside the array)."""
+def _halo_dma_cases(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
+                    do_start: bool, do_wait: bool):
+    """Start and/or wait the halo slab DMA for block ``i`` into ``scratch``.
+
+    Fill rule: scratch[_HALO + r] = ref[i*br + r], with _HALO rows of halo
+    above/below (zeros outside the array). Split start/wait enables
+    double-buffered prefetch (scratch persists across sequential TPU grid
+    steps).
+    """
     hh = _HALO
     row0 = i * br
     h_pad = n_blocks * br
 
+    def run(dma, zero_slice):
+        if do_start:
+            dma.start()
+            if zero_slice is not None:
+                scratch[zero_slice, :] = jnp.zeros(
+                    (hh, n_cols), scratch.dtype)
+        if do_wait:
+            dma.wait()
+
     @pl.when(i == 0)
     def _first():
-        dma = pltpu.make_async_copy(ref_hbm.at[pl.ds(0, br + hh), :],
-                                    scratch.at[pl.ds(hh, br + hh), :], sem)
-        dma.start()
-        scratch[0:hh, :] = jnp.zeros((hh, n_cols), scratch.dtype)
-        dma.wait()
+        run(pltpu.make_async_copy(ref_hbm.at[pl.ds(0, br + hh), :],
+                                  scratch.at[pl.ds(hh, br + hh), :], sem),
+            slice(0, hh))
 
     @pl.when(jnp.logical_and(i > 0, i < n_blocks - 1))
     def _middle():
         start = pl.multiple_of(row0 - hh, hh)
-        dma = pltpu.make_async_copy(
-            ref_hbm.at[pl.ds(start, br + 2 * hh), :], scratch.at[:, :], sem)
-        dma.start()
-        dma.wait()
+        run(pltpu.make_async_copy(ref_hbm.at[pl.ds(start, br + 2 * hh), :],
+                                  scratch.at[:, :], sem), None)
 
     @pl.when(jnp.logical_and(i == n_blocks - 1, i > 0))
     def _last():
-        dma = pltpu.make_async_copy(ref_hbm.at[pl.ds(h_pad - br - hh, br + hh), :],
-                                    scratch.at[pl.ds(0, br + hh), :], sem)
-        dma.start()
-        scratch[br + hh:br + 2 * hh, :] = jnp.zeros((hh, n_cols), scratch.dtype)
-        dma.wait()
+        run(pltpu.make_async_copy(
+            ref_hbm.at[pl.ds(h_pad - br - hh, br + hh), :],
+            scratch.at[pl.ds(0, br + hh), :], sem),
+            slice(br + hh, br + 2 * hh))
+
+
+def _halo_dma(ref_hbm, scratch, sem, i, n_blocks, br, n_cols):
+    _halo_dma_cases(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
+                    do_start=True, do_wait=True)
 
 
 def _kernel(up_ref, u_hbm, out_ref, scratch, sem, *, stencil, coef,
@@ -113,13 +128,18 @@ def _kernel(up_ref, u_hbm, out_ref, scratch, sem, *, stencil, coef,
 def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
                       sem_u, sem_up, *, stencil, coef, n_steps: int,
                       block_rows: int, n_rows: int, n_cols: int,
-                      true_cols: int):
+                      true_cols: int, double_buffer: bool = False):
     """Temporal blocking: advance ``n_steps`` leapfrog steps in one pass.
 
     Both u and u_prev are DMA'd with an 8-row halo; each inner step loses
     one halo row of validity (8 >= n_steps), and every inner step re-applies
     the Dirichlet/pad mask so lane-roll wraparound never propagates inward.
     HBM traffic: read 2 + write 2 arrays per n_steps steps.
+
+    With ``double_buffer`` the scratch/semaphores carry a leading slot
+    dimension of 2 and block i prefetches block i+1's slabs while
+    computing (TPU grid steps run sequentially on the core, so scratch
+    persists between them).
     """
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
@@ -128,8 +148,36 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
     row0 = i * br
     h_tot = br + 2 * hh
 
-    _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
-    _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols)
+    if double_buffer:
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _prime():
+            _halo_dma_cases(u_hbm, scr_u.at[0], sem_u.at[0], 0, n_blocks,
+                            br, n_cols, do_start=True, do_wait=False)
+            _halo_dma_cases(uprev_hbm, scr_up.at[0], sem_up.at[0], 0,
+                            n_blocks, br, n_cols, do_start=True,
+                            do_wait=False)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            _halo_dma_cases(u_hbm, scr_u.at[nxt], sem_u.at[nxt], i + 1,
+                            n_blocks, br, n_cols, do_start=True,
+                            do_wait=False)
+            _halo_dma_cases(uprev_hbm, scr_up.at[nxt], sem_up.at[nxt], i + 1,
+                            n_blocks, br, n_cols, do_start=True,
+                            do_wait=False)
+
+        _halo_dma_cases(u_hbm, scr_u.at[slot], sem_u.at[slot], i, n_blocks,
+                        br, n_cols, do_start=False, do_wait=True)
+        _halo_dma_cases(uprev_hbm, scr_up.at[slot], sem_up.at[slot], i,
+                        n_blocks, br, n_cols, do_start=False, do_wait=True)
+        scr_u = scr_u.at[slot]
+        scr_up = scr_up.at[slot]
+    else:
+        _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
+        _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols)
 
     s = stencil
     gr = (row0 - hh) + jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 0)
@@ -162,11 +210,13 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
 
 @functools.partial(jax.jit, static_argnames=("stencil", "coef", "n_steps",
                                              "block_rows", "true_rows",
-                                             "true_cols", "interpret"))
+                                             "true_cols", "interpret",
+                                             "double_buffer"))
 def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
                               n_steps: int = 4, block_rows: int = 128,
                               true_rows: int = None, true_cols: int = None,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              double_buffer: bool = False):
     """Advance n_steps (<= 8) fused leapfrog steps in ONE kernel pass.
 
     Returns (u_new, u_prev_new). Same padding contract as
@@ -191,7 +241,17 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
     kernel = functools.partial(
         _multistep_kernel, stencil=stencil, coef=float(coef),
         n_steps=n_steps, block_rows=block_rows, n_rows=n_rows, n_cols=w,
-        true_cols=n_cols_true)
+        true_cols=n_cols_true, double_buffer=double_buffer)
+
+    slab = (block_rows + 2 * _HALO, w)
+    if double_buffer:
+        scratch = [pltpu.VMEM((2,) + slab, u.dtype),
+                   pltpu.VMEM((2,) + slab, u.dtype),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        scratch = [pltpu.VMEM(slab, u.dtype), pltpu.VMEM(slab, u.dtype),
+                   pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
 
     out_u, out_up = pl.pallas_call(
         kernel,
@@ -208,12 +268,7 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
         ),
         out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
                    jax.ShapeDtypeStruct(u.shape, u.dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((block_rows + 2 * _HALO, w), u.dtype),
-            pltpu.VMEM((block_rows + 2 * _HALO, w), u.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
