@@ -42,6 +42,10 @@ def run_main(family: str, make_solver, argv=None) -> int:
                         help="capture a jax.profiler trace into this directory")
     parser.add_argument("--phase-timing", action="store_true",
                         help="print per-phase wall-clock breakdown")
+    parser.add_argument("--precond", choices=["jacobi", "chebyshev"],
+                        default="jacobi",
+                        help="CG preconditioner (chebyshev = AMG stand-in "
+                             "for stiffness-dominated theta systems)")
     args = parser.parse_args(argv)
 
     config.use_x64(not args.f32)
@@ -81,7 +85,7 @@ def run_main(family: str, make_solver, argv=None) -> int:
 
     try:
         disc = Discretization(params)
-        solver = make_solver(disc)
+        solver = make_solver(disc, precond=args.precond)
         cfg = RunConfig(results_root=args.results_root,
                         mesh_root=args.mesh_root, quiet=args.quiet,
                         checkpoint_every=args.checkpoint_every,

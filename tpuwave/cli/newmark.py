@@ -9,7 +9,8 @@ from tpuwave.models.newmark import NewmarkSolver
 
 
 def main(argv=None) -> int:
-    return run_main("newmark", NewmarkSolver, argv)
+    return run_main("newmark",
+                    lambda disc, **kw: NewmarkSolver(disc, **kw), argv)
 
 
 if __name__ == "__main__":

@@ -9,7 +9,8 @@ from tpuwave.models.theta import ThetaSolver
 
 
 def main(argv=None) -> int:
-    return run_main("theta", ThetaSolver, argv)
+    return run_main("theta",
+                    lambda disc, **kw: ThetaSolver(disc, **kw), argv)
 
 
 if __name__ == "__main__":

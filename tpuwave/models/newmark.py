@@ -43,7 +43,8 @@ class NewmarkState(NamedTuple):
 class NewmarkSolver:
     method_name = "newmark"
 
-    def __init__(self, disc: Discretization, *, lumped_explicit: bool = False):
+    def __init__(self, disc: Discretization, *, lumped_explicit: bool = False,
+                 precond: str = "jacobi", cheby_degree: int = 3):
         self.disc = disc
         p = disc.params
         self.beta = p.beta
@@ -57,6 +58,15 @@ class NewmarkSolver:
         self.matrix_a = disc.mass.axpy(p.beta * p.dt * p.dt, disc.stiffness)
         self.diag_a = self.matrix_a.diagonal()
         self.prec_a = 1.0 / self.diag_a
+        if precond == "chebyshev":
+            from tpuwave.solve.chebyshev import (ChebyshevPreconditioner,
+                                                 estimate_lambda_max)
+            lmax = estimate_lambda_max(self.matrix_a, self.prec_a, disc.n_dofs)
+            self.prec_a = ChebyshevPreconditioner(
+                self.matrix_a, self.diag_a, lambda_max=lmax,
+                degree=cheby_degree)
+        elif precond != "jacobi":
+            raise ValueError(f"Unknown preconditioner {precond!r}")
 
         self._step = jax.jit(self._step_impl)
 
