@@ -73,6 +73,11 @@ def main():
         except Exception as e:  # pallas may be unavailable on some backends
             print(f"# {path} path failed: {type(e).__name__}", file=sys.stderr)
 
+    if not results:
+        print(json.dumps({"metric": "bench failed: no path ran",
+                          "value": 0.0, "unit": "DoF*steps/s",
+                          "vs_baseline": 0.0}))
+        return 1
     path, value = max(results.items(), key=lambda kv: kv[1])
     print(json.dumps({
         "metric": (f"explicit Newmark (leapfrog, lumped) DoF*steps/s, "

@@ -134,6 +134,10 @@ PRESETS = dict([
         u0=("A*0.25*(tanh((x - xL)/eps) - tanh((x - xR)/eps))*"
             "(tanh((y - yB)/eps) - tanh((y - yT)/eps))"),
         u0_const="xL=0.15, xR=0.25, yB=0.4, yT=0.6, A=1.0, eps=0.01",
+        v0=("-A*0.25*((2/(exp((x - xL)/eps)+exp(-(x - xL)/eps))^2 - "
+            "(2/(exp((x - xR)/eps)+exp(-(x - xR)/eps))^2))/eps *"
+            "(tanh((y - yB)/eps) - tanh((y - yT)/eps)))"),
+        v0_const="xL=0.15, xR=0.25, yB=0.4, yT=0.6, A=1.0, eps=0.01",
     ),
     preset(
         "traveling-square-bump",

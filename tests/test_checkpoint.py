@@ -83,3 +83,26 @@ def test_trace_noop():
     from tpuwave.utils.profiling import trace
     with trace(None):
         pass
+
+
+def test_resume_truncates_post_checkpoint_log_rows(tmp_path):
+    """Rows logged after the restored checkpoint must not be duplicated
+    (crash-between-checkpoint-and-last-log scenario)."""
+    over = {"Nel": "10", "T": "0.06", "Dt": "0.01",
+            "Save Solution": "false", "Log Every": "1"}
+    p = load_params(standing_mode(**over))
+
+    cfg = RunConfig(results_root=str(tmp_path / "results"), quiet=True,
+                    write_mesh=False, checkpoint_every=4)
+    full = run_solver(ThetaSolver(Discretization(p)), "theta-trunc", cfg)
+    energy = (full.output_folder / "energy.csv").read_text().splitlines()
+    assert len(energy) == 1 + 6  # header + steps 1..6
+
+    # resume: checkpoint is at step 4 but logs run to step 6 — the resumed
+    # run must end with exactly one row per step, no duplicates
+    cfg2 = RunConfig(results_root=str(tmp_path / "results"), quiet=True,
+                     write_mesh=False, resume=True)
+    run_solver(ThetaSolver(Discretization(p)), "theta-trunc", cfg2)
+    energy = (full.output_folder / "energy.csv").read_text().splitlines()
+    steps = [int(line.split(",")[0]) for line in energy[1:]]
+    assert steps == [1, 2, 3, 4, 5, 6]

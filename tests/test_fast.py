@@ -180,3 +180,15 @@ def test_fast_sharded_implicit_cg():
     got = sharded.run_scan(sharded.initial_state(standing_u0), 5)
     np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_fast_energy_uses_wave_speed():
+    """Energy must use the solver's c^2 — with c=2 the conserved quantity is
+    1/2 (v M v + u K_c u); a mismatched K would show large E oscillation."""
+    fast = FastWaveSolver((24, 24), ((0.0, 0.0), (1.0, 1.0)), 0.004,
+                          c=2.0, dtype=jnp.float64)
+    st = fast.initial_state(standing_u0)
+    e0 = float(fast.energy(st))
+    st = fast.run_scan(st, 100)
+    eT = float(fast.energy(st))
+    assert eT == pytest.approx(e0, rel=0.02)

@@ -1,8 +1,8 @@
 """One-call convenience API.
 
     import tpuwave
-    result = tpuwave.solve("parameters/standing-mode-wsol.json",
-                           family="newmark", results_root="results")
+    result = tpuwave.solve_problem("parameters/standing-mode-wsol.json",
+                                   family="newmark")
 
 wraps params -> discretisation -> solver -> run driver, the same pipeline
 as the CLI entry points.

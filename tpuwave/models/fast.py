@@ -77,6 +77,7 @@ class FastWaveSolver:
         self.space = FeSpace(self.mesh, 1)
         self.shape = (self.mesh.ny + 1, self.mesh.nx + 1)
         self.dt = float(dt)
+        self.c = float(c)
         self.scheme = scheme
         self.beta = float(beta)
         self.gamma = float(gamma)
@@ -351,7 +352,8 @@ class FastWaveSolver:
                                       dtype=jnp.float64)
             stiff = MatrixFreeOperator(
                 self.space.cell_dofs, self.space.n_dofs,
-                a_class=element_stiffness_class(self.space, quad, 1.0),
+                a_class=element_stiffness_class(self.space, quad,
+                                                self.c * self.c),
                 dtype=jnp.float64)
             ops = self._energy_ops = (mass, stiff)
         mass, stiff = ops

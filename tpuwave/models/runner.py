@@ -116,11 +116,14 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     # checkpoint/resume (capability beyond the reference; utils/checkpoint.py)
     restored = None
     if cfg.resume:
-        from tpuwave.utils.checkpoint import load_latest
+        from tpuwave.utils.checkpoint import load_latest, truncate_logs_after
         restored = load_latest(folder)
         if restored is not None:
             pcout(f"Resuming from checkpoint at step {restored[0]}, "
                   f"t = {restored[1]}")
+            # drop rows logged after the checkpoint so the resumed run
+            # doesn't duplicate timesteps
+            truncate_logs_after(folder, restored[0])
 
     convergence_path = None
     if p.has_exact_solution:

@@ -228,6 +228,9 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
     h, w = u.shape
     if not 1 <= n_steps <= _HALO:
         raise ValueError(f"n_steps must be in [1, {_HALO}]")
+    if block_rows % _HALO != 0:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"{_HALO} (sublane DMA alignment)")
     if h % block_rows != 0:
         raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
     if w % 128 != 0 and not interpret:
@@ -290,6 +293,9 @@ def leapfrog_step_pallas(u, u_prev, *, stencil: Tuple, coef: float,
     of floats; ``coef`` = dt^2 / lumped_interior.
     """
     h, w = u.shape
+    if block_rows % _HALO != 0:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"{_HALO} (sublane DMA alignment)")
     if h % block_rows != 0:
         raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
     if w % 128 != 0 and not interpret:

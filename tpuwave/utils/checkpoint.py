@@ -45,6 +45,32 @@ def save_checkpoint(folder, timestep: int, time: float, state, *,
     return path
 
 
+def truncate_logs_after(folder, timestep: int) -> None:
+    """Drop CSV rows recorded after ``timestep`` from the per-run logs.
+
+    A crash between the last checkpoint and the last logged row would
+    otherwise leave rows that a resumed run re-appends (duplicate
+    timesteps). Called by the runner before reopening logs in append mode.
+    """
+    folder = Path(folder)
+    for name in ("energy.csv", "error.csv", "probe.csv", "iterations.csv"):
+        path = folder / name
+        if not path.exists():
+            continue
+        lines = path.read_text().splitlines()
+        if not lines:
+            continue
+        kept = [lines[0]]
+        for line in lines[1:]:
+            try:
+                step = int(line.split(",", 1)[0])
+            except ValueError:
+                continue
+            if step <= timestep:
+                kept.append(line)
+        path.write_text("\n".join(kept) + "\n")
+
+
 def load_latest(folder) -> Optional[Tuple[int, float, dict]]:
     """Return (timestep, time, {field: array}) of the newest checkpoint."""
     folder = Path(folder)
