@@ -169,3 +169,54 @@ def test_all_preset_expressions_golden(parameters_dir):
                 np.testing.assert_allclose(
                     got, want, rtol=1e-12, atol=1e-13,
                     err_msg=f"{pfile.name}:{key} at t={t}")
+
+
+def test_random_expression_trees_match_numpy():
+    """Property test: random ASTs printed to muparser syntax and re-parsed
+    must match direct numpy evaluation of the same tree."""
+    rng = np.random.default_rng(42)
+    x = rng.uniform(0.1, 2.0, size=16)
+    y = rng.uniform(0.1, 2.0, size=16)
+
+    def gen(depth):
+        r = rng.random()
+        if depth <= 0 or r < 0.25:
+            choice = rng.integers(0, 3)
+            if choice == 0:
+                v = float(f"{rng.uniform(0.1, 3.0):.4f}")
+                return (f"{v}", lambda e, v=v: v)
+            return ("x", lambda e: x) if choice == 1 else ("y", lambda e: y)
+        if r < 0.55:
+            op = ["+", "-", "*"][rng.integers(0, 3)]
+            (sa, fa), (sb, fb) = gen(depth - 1), gen(depth - 1)
+            fn = {"+": np.add, "-": np.subtract, "*": np.multiply}[op]
+            return (f"({sa} {op} {sb})",
+                    lambda e, fa=fa, fb=fb, fn=fn: fn(fa(e), fb(e)))
+        if r < 0.7:
+            (sa, fa) = gen(depth - 1)
+            return (f"-{sa}" if sa[0] != "-" else f"-({sa})",
+                    lambda e, fa=fa: -fa(e))
+        if r < 0.85:
+            name = ["sin", "cos", "tanh", "exp", "sqrt", "abs"][rng.integers(0, 6)]
+            fn = {"sin": np.sin, "cos": np.cos, "tanh": np.tanh,
+                  "exp": np.exp, "sqrt": np.sqrt, "abs": np.abs}[name]
+            (sa, fa) = gen(depth - 1)
+            if name in ("exp",):  # keep magnitudes sane
+                return (f"{name}(tanh({sa}))",
+                        lambda e, fa=fa: np.exp(np.tanh(fa(e))))
+            if name == "sqrt":
+                return (f"sqrt(abs({sa}))",
+                        lambda e, fa=fa: np.sqrt(np.abs(fa(e))))
+            return (f"{name}({sa})", lambda e, fa=fa: fn(fa(e)))
+        (sa, fa), (sb, fb), (sc, fc) = gen(depth - 1), gen(depth - 1), gen(depth - 1)
+        return (f"if({sa} < {sb}, {sc}, {sb})",
+                lambda e, fa=fa, fb=fb, fc=fc: np.where(
+                    fa(e) < fb(e), fc(e) + 0 * x, fb(e) + 0 * x))
+
+    for _ in range(40):
+        expr_str, ref_fn = gen(4)
+        e = Expression(expr_str, None, ["x", "y"])
+        got = np.asarray(e.evaluate(x, y))
+        want = np.broadcast_to(np.asarray(ref_fn(None), dtype=float), x.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12,
+                                   err_msg=expr_str)
