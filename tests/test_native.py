@@ -117,3 +117,33 @@ def test_write_vtu_record_uses_native(tmp_path):
     assert piece.exists()
     # native writer output is raw-appended binary
     assert b'format="appended"' in piece.read_bytes()
+
+
+def test_python_fallback_vtu(tmp_path):
+    """The pure-Python (base64) VTU writer works when native is disabled."""
+    import base64
+    import struct as _struct
+    import tpuwave.native as nat
+    from tpuwave.utils.vtu import write_vtu_record
+
+    m = StructuredTriMesh((3, 3), ((0.0, 0.0), (1.0, 1.0)))
+    u = np.arange(m.n_vertices, dtype=float)
+    saved = nat._lib, nat._tried
+    nat._lib, nat._tried = None, True  # force fallback
+    try:
+        record = write_vtu_record(tmp_path, "solution", 0, m.vertex_coords,
+                                  m.cells, {"u": u}, {})
+    finally:
+        nat._lib, nat._tried = saved
+    piece = (tmp_path / "solution_0000.0.vtu").read_text()
+    assert 'format="binary"' in piece
+    # decode the u DataArray payload (base64 with u32 length prefix)
+    import re
+    blocks = re.findall(r'Name="u"[^>]*>\s*([A-Za-z0-9+/=]+)', piece)
+    assert blocks
+    raw = base64.b64decode(blocks[0])
+    (nbytes,) = _struct.unpack_from("<I", raw, 0)
+    vals = np.frombuffer(raw, dtype=np.float64, offset=4,
+                         count=nbytes // 8)
+    np.testing.assert_allclose(vals, u)
+    assert record.name == "solution_0000.pvtu"
