@@ -1,0 +1,156 @@
+"""P2 production solver on the plane-stencil operators.
+
+Companion of models/fast.py for quadratic elements: state is the flat P2
+DoF vector (vertices + h/v/d edge planes, pure reshapes), operators are
+constant block-stencils (ops/stencil_p2.py), steps are implicit
+consistent-mass CG (P2 row-sum lumping is singular — vertex rows integrate
+to zero — so there is no meaningful explicit-lumped P2 path). Everything
+(masks, coordinates) is built from iota on device: no O(n_dofs) host
+arrays, which is what lets 4096^2 P2 (67M DoF) fit on one chip where the
+gather/segment_sum path needs 19 GB at 3072^2.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuwave.core.mesh import FeSpace, StructuredTriMesh
+from tpuwave.core.quadrature import gauss_simplex
+from tpuwave.ops.assembly import element_mass_class, element_stiffness_class
+from tpuwave.ops.stencil_p2 import (P2PlaneStencil, p2_plane_shapes,
+                                    planes_to_flat)
+from tpuwave.solve.cg import pcg
+
+__all__ = ["P2FastSolver", "P2State"]
+
+
+class P2State(NamedTuple):
+    u: jax.Array  # flat (n_dofs,)
+    v: jax.Array
+    a: jax.Array
+
+
+class P2FastSolver:
+    """Implicit Newmark / theta stepping with P2 plane-stencil operators."""
+
+    def __init__(self, nel: Tuple[int, int], geometry, dt: float, *,
+                 c: float = 1.0, scheme: str = "newmark", beta: float = 0.25,
+                 gamma: float = 0.5, theta: float = 0.5, dtype=jnp.float32):
+        self.mesh = StructuredTriMesh(tuple(nel), geometry)
+        self.space = FeSpace(self.mesh, 2)
+        self.nx, self.ny = self.mesh.nx, self.mesh.ny
+        self.dt = float(dt)
+        self.c = float(c)
+        self.scheme = scheme
+        self.beta, self.gamma, self.theta = float(beta), float(gamma), float(theta)
+        self.dtype = dtype
+        self.n_dofs = self.space.n_dofs
+
+        quad = gauss_simplex(3)
+        m_class = element_mass_class(self.space, quad)
+        k_class = element_stiffness_class(self.space, quad, c * c)
+        self.mass = P2PlaneStencil(self.space, m_class, dtype)
+        self.stiff = P2PlaneStencil(self.space, k_class, dtype)
+        if scheme == "newmark":
+            self.system = self.mass.axpy(self.beta * self.dt * self.dt,
+                                         self.stiff)
+        else:
+            self.system = self.mass.axpy((self.theta * self.dt) ** 2,
+                                         self.stiff)
+
+    # ------------------------------------------------------------------
+    # device-built geometry (no host O(n) arrays)
+    # ------------------------------------------------------------------
+    def _plane_coords(self):
+        """Per-plane (x, y) coordinate arrays from iota."""
+        (x0, y0) = self.mesh.origin
+        hx, hy = self.mesh.hx, self.mesh.hy
+        out = {}
+        offs = {"V": (0.0, 0.0), "H": (0.5, 0.0), "W": (0.0, 0.5),
+                "D": (0.5, 0.5)}
+        for p, (r, ccols) in p2_plane_shapes(self.nx, self.ny).items():
+            ox, oy = offs[p]
+            xs = x0 + hx * (jax.lax.broadcasted_iota(self.dtype, (r, ccols), 1) + ox)
+            ys = y0 + hy * (jax.lax.broadcasted_iota(self.dtype, (r, ccols), 0) + oy)
+            out[p] = (xs, ys)
+        return out
+
+    def interior_mask(self):
+        """Flat interior (non-Dirichlet) mask built from iota."""
+        parts = []
+        for p, (r, ccols) in p2_plane_shapes(self.nx, self.ny).items():
+            ri = jax.lax.broadcasted_iota(jnp.int32, (r, ccols), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (r, ccols), 1)
+            if p == "V":
+                bnd = (ri == 0) | (ri == r - 1) | (ci == 0) | (ci == ccols - 1)
+            elif p == "H":
+                bnd = (ri == 0) | (ri == r - 1)
+            elif p == "W":
+                bnd = (ci == 0) | (ci == ccols - 1)
+            else:
+                bnd = jnp.zeros((r, ccols), bool)
+            parts.append(jnp.logical_not(bnd).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def initial_state(self, u0_fn, v0_fn=None) -> P2State:
+        coords = self._plane_coords()
+        u_planes = {p: jnp.asarray(u0_fn(xs, ys), self.dtype)
+                    for p, (xs, ys) in coords.items()}
+        u0 = planes_to_flat(u_planes)
+        if v0_fn is None:
+            v0 = jnp.zeros_like(u0)
+        else:
+            v0 = planes_to_flat({p: jnp.asarray(v0_fn(xs, ys), self.dtype)
+                                 for p, (xs, ys) in coords.items()})
+        # consistent a0: M a0 = -K u0 (homogeneous data), interior-masked CG
+        interior = self.interior_mask()
+        rhs = jnp.where(interior, -self.stiff(u0), 0.0)
+        res = pcg(self._constrained(self.mass, interior), rhs,
+                  jnp.zeros_like(u0),
+                  precond_inv_diag=1.0 / self.mass.diagonal(),
+                  abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
+                  max_iter=2000)
+        return P2State(u=u0, v=v0, a=res.x.astype(self.dtype))
+
+    # ------------------------------------------------------------------
+    def _constrained(self, op, interior):
+        diag = op.diagonal()
+
+        def apply_c(w):
+            return jnp.where(interior, op(jnp.where(interior, w, 0.0)),
+                             diag * w)
+        return apply_c
+
+    def step(self, state: P2State) -> P2State:
+        """Implicit Newmark-beta step (homogeneous BCs, zero forcing)."""
+        dt, beta, gamma = self.dt, self.beta, self.gamma
+        interior = self.interior_mask()
+        u, v, a = state
+        z = u + dt * v + (dt * dt * (0.5 - beta)) * a
+        rhs = jnp.where(interior, -self.stiff(z), 0.0)
+        res = pcg(self._constrained(self.system, interior), rhs,
+                  jnp.where(interior, a, 0.0),
+                  precond_inv_diag=1.0 / self.system.diagonal(),
+                  abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
+                  max_iter=2000)
+        a_new = res.x.astype(self.dtype)
+        u_new = z + (beta * dt * dt) * a_new
+        v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
+        return P2State(u=u_new, v=v_new, a=a_new)
+
+    def run_scan(self, state: P2State, n_steps: int) -> P2State:
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        if n_steps not in cache:
+            def run(st):
+                def body(s, _):
+                    return self.step(s), None
+                out, _ = jax.lax.scan(body, st, None, length=n_steps)
+                return out
+            cache[n_steps] = jax.jit(run)
+        return cache[n_steps](state)

@@ -1,0 +1,155 @@
+"""P2 plane-stencil operators: the structured fast path for quadratics.
+
+On the structured triangulated rectangle the P2 DoFs split into FOUR
+translation-invariant sub-grids ("planes"):
+
+    V: vertices        (ny+1, nx+1)
+    H: horizontal-edge midpoints (ny+1, nx)
+    W: vertical-edge midpoints   (ny,   nx+1)
+    D: diagonal-edge midpoints   (ny,   nx)
+
+and (for constant wave speed) both M and K become CONSTANT block-stencils
+between planes: y_p[n] = sum_{q, off} C[p,q,off] * x_q[n + off] with
+offsets in {-1,0,1}^2. Application is pure shifted adds over four 2D
+canvases — the P2 analogue of ops/stencil.py, replacing the
+gather/segment_sum flat path whose sort-based scatter lowering OOMs the
+chip beyond ~10M DoF (measured: 3072^2 P2 needs 19 GB via the flat path;
+this representation streams at HBM bandwidth with ~2x state footprint).
+
+Plane embedding into a common (ny+3, nx+3) zero-padded canvas makes the
+cross-plane shifts uniform; roll wraparound lands only in the canvas halo
+ring, outside every crop window. Boundary rows are handled by the caller's
+constrained wrapper exactly as in the P1 path (interior-masked apply +
+diagonal pinning).
+
+The flat DoF ordering (tpuwave.core.mesh: vertices, then h/v/d edge
+blocks, each row-major) makes flat <-> planes a pure reshape/concat.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuwave.core.mesh import FeSpace
+
+__all__ = ["P2PlaneStencil", "p2_plane_shapes", "flat_to_planes",
+           "planes_to_flat"]
+
+# local-DoF -> (plane, (di, dj)) cell-relative positions, per element class
+# (ordering matches core.mesh.FeSpace.cell_dofs: v0 v1 v2 e01 e12 e20)
+_P2_POSITIONS = (
+    # lower triangle (v00, v10, v11, h(i,j), v(i+1,j), d(i,j))
+    (("V", (0, 0)), ("V", (1, 0)), ("V", (1, 1)),
+     ("H", (0, 0)), ("W", (1, 0)), ("D", (0, 0))),
+    # upper triangle (v00, v11, v01, d(i,j), h(i,j+1), v(i,j))
+    (("V", (0, 0)), ("V", (1, 1)), ("V", (0, 1)),
+     ("D", (0, 0)), ("H", (0, 1)), ("W", (0, 0))),
+)
+
+_PLANES = ("V", "H", "W", "D")
+
+
+def p2_plane_shapes(nx: int, ny: int) -> Dict[str, Tuple[int, int]]:
+    """(rows, cols) of each plane (rows = y index, cols = x index)."""
+    return {"V": (ny + 1, nx + 1), "H": (ny + 1, nx),
+            "W": (ny, nx + 1), "D": (ny, nx)}
+
+
+def flat_to_planes(x, nx: int, ny: int) -> Dict[str, jax.Array]:
+    shapes = p2_plane_shapes(nx, ny)
+    out = {}
+    off = 0
+    for p in _PLANES:
+        r, c = shapes[p]
+        out[p] = x[off:off + r * c].reshape(r, c)
+        off += r * c
+    return out
+
+def planes_to_flat(planes: Dict[str, jax.Array]) -> jax.Array:
+    return jnp.concatenate([planes[p].reshape(-1) for p in _PLANES])
+
+
+def _build_coefficients(a_class: np.ndarray) -> Dict[Tuple, float]:
+    """(2, 6, 6) per-class element matrices -> {(pa, pb, ox, oy): coeff}.
+
+    coeff is the interior coupling of plane pa's node to plane pb's node
+    at cell offset (ox, oy), summed over the incident triangles.
+    """
+    coeffs: Dict[Tuple, float] = {}
+    for k in range(2):
+        pos = _P2_POSITIONS[k]
+        for i in range(6):
+            pa, (xa, ya) = pos[i]
+            for j in range(6):
+                pb, (xb, yb) = pos[j]
+                key = (pa, pb, xb - xa, yb - ya)
+                coeffs[key] = coeffs.get(key, 0.0) + float(a_class[k, i, j])
+    return {k: v for k, v in coeffs.items() if v != 0.0}
+
+
+class P2PlaneStencil:
+    """Constant block-stencil P2 operator acting on flat DoF vectors."""
+
+    def __init__(self, space: FeSpace, a_class: np.ndarray, dtype):
+        if space.degree != 2:
+            raise ValueError("P2PlaneStencil requires a P2 space")
+        self.nx, self.ny = space.mesh.nx, space.mesh.ny
+        self.shapes = p2_plane_shapes(self.nx, self.ny)
+        self.dtype = dtype
+        self.coeffs = _build_coefficients(np.asarray(a_class))
+        self.n_dofs = space.n_dofs
+        #: interior diagonal per plane (V/H/W/D), for Jacobi/BC pinning
+        self.plane_diag = {p: self.coeffs.get((p, p, 0, 0), 1.0)
+                          for p in _PLANES}
+
+    # -- canvas plumbing ----------------------------------------------------
+    def _canvas_shape(self):
+        return (self.ny + 3, self.nx + 3)
+
+    def _to_canvas(self, plane, name):
+        r, c = self.shapes[name]
+        canvas = jnp.zeros(self._canvas_shape(), self.dtype)
+        return canvas.at[1:1 + r, 1:1 + c].set(plane)
+
+    def __call__(self, x):
+        planes = flat_to_planes(x, self.nx, self.ny)
+        canv = {p: self._to_canvas(planes[p], p) for p in _PLANES}
+        out: Dict[str, jax.Array] = {}
+        for (pa, pb, ox, oy), coeff in self.coeffs.items():
+            term = canv[pb]
+            if (ox, oy) != (0, 0):
+                term = jnp.roll(term, shift=(-oy, -ox), axis=(0, 1))
+            acc = out.get(pa)
+            out[pa] = coeff * term if acc is None else acc + coeff * term
+        result = {}
+        for p in _PLANES:
+            r, c = self.shapes[p]
+            result[p] = out[p][1:1 + r, 1:1 + c]
+        return planes_to_flat(result)
+
+    def diagonal(self):
+        """Flat diagonal using the constant interior values per plane
+        (boundary rows differ but are only used for BC pinning, where any
+        nonzero diagonal is exact — same convention as the P1 stencil)."""
+        parts = []
+        for p in _PLANES:
+            r, c = self.shapes[p]
+            parts.append(jnp.full(r * c, self.plane_diag[p], self.dtype))
+        return jnp.concatenate(parts)
+
+    def axpy(self, coef: float, other: "P2PlaneStencil") -> "P2PlaneStencil":
+        merged = object.__new__(P2PlaneStencil)
+        merged.nx, merged.ny = self.nx, self.ny
+        merged.shapes = self.shapes
+        merged.dtype = self.dtype
+        merged.n_dofs = self.n_dofs
+        keys = set(self.coeffs) | set(other.coeffs)
+        merged.coeffs = {k: self.coeffs.get(k, 0.0)
+                         + coef * other.coeffs.get(k, 0.0) for k in keys}
+        merged.plane_diag = {p: merged.coeffs.get((p, p, 0, 0), 1.0)
+                             for p in _PLANES}
+        return merged
