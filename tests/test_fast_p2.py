@@ -60,3 +60,46 @@ def test_p2_fast_tracks_exact_solution():
              * np.outer(np.sin(np.pi * xs), np.sin(np.pi * xs)).T)
     err = np.linalg.norm(np.asarray(planes["V"]) - exact) / np.linalg.norm(exact)
     assert err < 1e-3
+
+
+def test_p2_canvas_solver_matches_plane_solver():
+    nel, dt, steps = 10, 0.005, 6
+    a = P2FastSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), dt,
+                     dtype=jnp.float64)
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+    b = P2CanvasSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), dt,
+                       dtype=jnp.float64)
+    sa = a.initial_state(u0)
+    sb = b.initial_state(u0)
+    np.testing.assert_allclose(np.asarray(b.to_flat(sb.u)),
+                               np.asarray(sa.u), rtol=1e-12, atol=1e-12)
+    for _ in range(steps):
+        sa = a.step(sa)
+        sb = b.step(sb)
+    nrm = np.linalg.norm(np.asarray(sa.u))
+    diff = np.linalg.norm(np.asarray(b.to_flat(sb.u)) - np.asarray(sa.u))
+    assert diff < 1e-8 * nrm
+
+
+def test_p2_canvas_solver_sharded_matches_single():
+    """Row-sharded canvas stack over the 8-device mesh == single device —
+    the multi-chip P2 path (SURVEY hard part 5)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+    from tpuwave.parallel.sharding import device_mesh
+
+    mesh = device_mesh(8)
+    sh = NamedSharding(mesh, P(None, "y", None))
+    kw = dict(dtype=jnp.float64)
+    single = P2CanvasSolver((12, 12), ((0.0, 0.0), (1.0, 1.0)), 0.005, **kw)
+    want = single.run_scan(single.initial_state(u0), 4)
+
+    sharded = P2CanvasSolver((12, 12), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                             sharding=sh, row_multiple=8, **kw)
+    st = sharded.initial_state(u0)
+    assert len(st.u.sharding.device_set) == 8
+    got = sharded.run_scan(st, 4)
+    np.testing.assert_allclose(np.asarray(sharded.to_flat(got.u)),
+                               np.asarray(single.to_flat(want.u)),
+                               rtol=1e-10, atol=1e-12)

@@ -21,11 +21,12 @@ import numpy as np
 from tpuwave.core.mesh import FeSpace, StructuredTriMesh
 from tpuwave.core.quadrature import gauss_simplex
 from tpuwave.ops.assembly import element_mass_class, element_stiffness_class
-from tpuwave.ops.stencil_p2 import (P2PlaneStencil, p2_plane_shapes,
-                                    planes_to_flat)
+from tpuwave.ops.stencil_p2 import (P2PlaneStencil, canvas_shape,
+                                    canvases_to_planes, p2_plane_shapes,
+                                    planes_to_canvases, planes_to_flat)
 from tpuwave.solve.cg import pcg
 
-__all__ = ["P2FastSolver", "P2State"]
+__all__ = ["P2FastSolver", "P2State", "P2CanvasSolver", "P2CanvasState"]
 
 
 class P2State(NamedTuple):
@@ -154,3 +155,149 @@ class P2FastSolver:
                 return out
             cache[n_steps] = jax.jit(run)
         return cache[n_steps](state)
+
+
+class P2CanvasState(NamedTuple):
+    u: jax.Array  # (4, Hc, Wc) canvas stacks, plane order V,H,W,D
+    v: jax.Array
+    a: jax.Array
+
+
+class P2CanvasSolver:
+    """Shardable P2 solver: state lives as four equal zero-padded canvases.
+
+    The canvas layout makes every plane the same shape, so the whole state
+    stack (4, Hc, Wc) row-shards over a jax.sharding mesh and the
+    block-stencil rolls lower to nearest-neighbour collective-permutes —
+    the multi-chip P2 path (SURVEY.md hard part 5, 'halo exchange for P2
+    DoFs'). Semantics match P2FastSolver (implicit Newmark, homogeneous
+    BCs, zero forcing).
+    """
+
+    def __init__(self, nel: Tuple[int, int], geometry, dt: float, *,
+                 c: float = 1.0, beta: float = 0.25, gamma: float = 0.5,
+                 dtype=jnp.float32, sharding=None, row_multiple: int = 1):
+        self.mesh = StructuredTriMesh(tuple(nel), geometry)
+        self.space = FeSpace(self.mesh, 2)
+        self.nx, self.ny = self.mesh.nx, self.mesh.ny
+        self.dt = float(dt)
+        self.beta, self.gamma = float(beta), float(gamma)
+        self.dtype = dtype
+        self.sharding = sharding
+        self.cshape = canvas_shape(self.nx, self.ny, row_multiple)
+        self.n_dofs = self.space.n_dofs
+
+        quad = gauss_simplex(3)
+        self.mass = P2PlaneStencil(self.space,
+                                   element_mass_class(self.space, quad), dtype)
+        self.stiff = P2PlaneStencil(
+            self.space, element_stiffness_class(self.space, quad, c * c), dtype)
+        self.system = self.mass.axpy(self.beta * self.dt * self.dt, self.stiff)
+
+        self.interior = self._interior_canvas_mask()
+        from tpuwave.ops.stencil_p2 import _PLANES
+        diag = jnp.asarray([self.system.plane_diag[p] for p in _PLANES],
+                           dtype=dtype).reshape(4, 1, 1)
+        self._diag = diag
+        self._mass_diag = jnp.asarray(
+            [self.mass.plane_diag[p] for p in _PLANES],
+            dtype=dtype).reshape(4, 1, 1)
+        if sharding is not None:
+            self.interior = jax.device_put(self.interior, sharding)
+
+    def _interior_canvas_mask(self):
+        """(4, Hc, Wc) True at interior (free) DoFs, False at Dirichlet +
+        padding (both pinned to zero)."""
+        shapes = p2_plane_shapes(self.nx, self.ny)
+        hc, wc = self.cshape
+        ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+        masks = []
+        from tpuwave.ops.stencil_p2 import _PLANES
+        for p in _PLANES:
+            r, ccols = shapes[p]
+            lj = ri - 1  # plane-local row
+            li = ci - 1  # plane-local col
+            support = (lj >= 0) & (lj < r) & (li >= 0) & (li < ccols)
+            if p == "V":
+                bnd = (lj == 0) | (lj == r - 1) | (li == 0) | (li == ccols - 1)
+            elif p == "H":
+                bnd = (lj == 0) | (lj == r - 1)
+            elif p == "W":
+                bnd = (li == 0) | (li == ccols - 1)
+            else:
+                bnd = jnp.zeros((hc, wc), bool)
+            masks.append(support & ~bnd)
+        return jnp.stack(masks)
+
+    def _plane_coords_canvas(self):
+        (x0, y0) = self.mesh.origin
+        hx, hy = self.mesh.hx, self.mesh.hy
+        hc, wc = self.cshape
+        ri = jax.lax.broadcasted_iota(self.dtype, (hc, wc), 0) - 1.0
+        ci = jax.lax.broadcasted_iota(self.dtype, (hc, wc), 1) - 1.0
+        offs = {"V": (0.0, 0.0), "H": (0.5, 0.0), "W": (0.0, 0.5),
+                "D": (0.5, 0.5)}
+        from tpuwave.ops.stencil_p2 import _PLANES
+        return [(x0 + hx * (ci + offs[p][0]), y0 + hy * (ri + offs[p][1]))
+                for p in _PLANES]
+
+    def initial_state(self, u0_fn, v0_fn=None) -> P2CanvasState:
+        coords = self._plane_coords_canvas()
+        u0 = jnp.stack([jnp.asarray(u0_fn(xs, ys), self.dtype)
+                        for xs, ys in coords])
+        u0 = jnp.where(self.interior, u0, 0.0)
+        if v0_fn is None:
+            v0 = jnp.zeros_like(u0)
+        else:
+            v0 = jnp.stack([jnp.asarray(v0_fn(xs, ys), self.dtype)
+                            for xs, ys in coords])
+            v0 = jnp.where(self.interior, v0, 0.0)
+        if self.sharding is not None:
+            u0 = jax.device_put(u0, self.sharding)
+            v0 = jax.device_put(v0, self.sharding)
+        rhs = jnp.where(self.interior, -self.stiff.apply_canvases(u0), 0.0)
+        res = pcg(self._constrained(self.mass), rhs, jnp.zeros_like(u0),
+                  precond_inv_diag=1.0 / self._mass_diag,
+                  abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
+                  max_iter=2000)
+        return P2CanvasState(u=u0, v=v0, a=res.x.astype(self.dtype))
+
+    def _constrained(self, op):
+        def apply_c(w):
+            return jnp.where(
+                self.interior,
+                op.apply_canvases(jnp.where(self.interior, w, 0.0)),
+                self._diag * w)
+        return apply_c
+
+    def step(self, state: P2CanvasState) -> P2CanvasState:
+        dt, beta, gamma = self.dt, self.beta, self.gamma
+        u, v, a = state
+        z = u + dt * v + (dt * dt * (0.5 - beta)) * a
+        rhs = jnp.where(self.interior, -self.stiff.apply_canvases(z), 0.0)
+        res = pcg(self._constrained(self.system), rhs,
+                  jnp.where(self.interior, a, 0.0),
+                  precond_inv_diag=1.0 / self._diag,
+                  abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
+                  max_iter=2000)
+        a_new = res.x.astype(self.dtype)
+        u_new = z + (beta * dt * dt) * a_new
+        v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
+        return P2CanvasState(u=u_new, v=v_new, a=a_new)
+
+    def run_scan(self, state: P2CanvasState, n_steps: int) -> P2CanvasState:
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        if n_steps not in cache:
+            def run(st):
+                def body(s, _):
+                    return self.step(s), None
+                out, _ = jax.lax.scan(body, st, None, length=n_steps)
+                return out
+            cache[n_steps] = jax.jit(run)
+        return cache[n_steps](state)
+
+    def to_flat(self, xc) -> jax.Array:
+        return planes_to_flat(canvases_to_planes(xc, self.nx, self.ny))

@@ -37,7 +37,8 @@ import numpy as np
 from tpuwave.core.mesh import FeSpace
 
 __all__ = ["P2PlaneStencil", "p2_plane_shapes", "flat_to_planes",
-           "planes_to_flat"]
+           "planes_to_flat", "canvas_shape", "planes_to_canvases",
+           "canvases_to_planes"]
 
 # local-DoF -> (plane, (di, dj)) cell-relative positions, per element class
 # (ordering matches core.mesh.FeSpace.cell_dofs: v0 v1 v2 e01 e12 e20)
@@ -71,6 +72,30 @@ def flat_to_planes(x, nx: int, ny: int) -> Dict[str, jax.Array]:
 
 def planes_to_flat(planes: Dict[str, jax.Array]) -> jax.Array:
     return jnp.concatenate([planes[p].reshape(-1) for p in _PLANES])
+
+
+def canvas_shape(nx: int, ny: int, row_multiple: int = 1) -> Tuple[int, int]:
+    """Common zero-padded canvas shape holding any plane at offset (1, 1),
+    rows padded up to a multiple (for even sharding)."""
+    rows = ny + 3
+    rows = -(-rows // row_multiple) * row_multiple
+    return (rows, nx + 3)
+
+
+def planes_to_canvases(planes: Dict[str, jax.Array], cshape) -> jax.Array:
+    """(4, Hc, Wc) stack, plane order V,H,W,D, each embedded at (1, 1)."""
+    out = []
+    for p in _PLANES:
+        r, c = planes[p].shape
+        canvas = jnp.zeros(cshape, planes[p].dtype)
+        out.append(canvas.at[1:1 + r, 1:1 + c].set(planes[p]))
+    return jnp.stack(out)
+
+
+def canvases_to_planes(xc: jax.Array, nx: int, ny: int) -> Dict[str, jax.Array]:
+    shapes = p2_plane_shapes(nx, ny)
+    return {p: xc[i][1:1 + shapes[p][0], 1:1 + shapes[p][1]]
+            for i, p in enumerate(_PLANES)}
 
 
 def _build_coefficients(a_class: np.ndarray) -> Dict[Tuple, float]:
@@ -140,6 +165,26 @@ class P2PlaneStencil:
             r, c = self.shapes[p]
             parts.append(jnp.full(r * c, self.plane_diag[p], self.dtype))
         return jnp.concatenate(parts)
+
+    # -- canvas-native application (shardable state layout) -----------------
+    def apply_canvases(self, xc):
+        """Apply on stacked canvases (4, Hc, Wc), plane order V,H,W,D.
+
+        Caller guarantees xc is zero outside each plane's support (use
+        support masks after every update); wrapped roll values then only
+        reach non-support cells, which the caller masks again. All shifts
+        are jnp.roll, so a row-sharded canvas stack lowers to
+        collective-permute halo exchanges under GSPMD.
+        """
+        idx = {p: i for i, p in enumerate(_PLANES)}
+        outs = [None] * len(_PLANES)
+        for (pa, pb, ox, oy), coeff in self.coeffs.items():
+            term = xc[idx[pb]]
+            if (ox, oy) != (0, 0):
+                term = jnp.roll(term, shift=(-oy, -ox), axis=(0, 1))
+            a = idx[pa]
+            outs[a] = coeff * term if outs[a] is None else outs[a] + coeff * term
+        return jnp.stack(outs)
 
     def axpy(self, coef: float, other: "P2PlaneStencil") -> "P2PlaneStencil":
         merged = object.__new__(P2PlaneStencil)
