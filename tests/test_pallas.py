@@ -77,3 +77,18 @@ def test_leapfrog_equals_newmark_explicit():
     v = solver.leapfrog_velocity(lf_next, lf)
     np.testing.assert_allclose(np.asarray(v), np.asarray(st3.v),
                                rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("scheme,kw", [
+    ("newmark", dict(scheme="newmark", beta=0.25, gamma=0.5, lumped=False)),
+    ("theta", dict(scheme="theta", theta=0.5, lumped=False)),
+])
+def test_implicit_pallas_matches_roll_path(scheme, kw):
+    solver = FastWaveSolver((40, 40), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                            dtype=jnp.float32, **kw)
+    st = solver.initial_state(u0)
+    want = solver.run_scan(st, 4)
+    got = solver.run_implicit_pallas(st, 4, block_rows=16, interpret=True)
+    # same scheme, same CG tolerances; differences are f32 solver noise
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-3, atol=1e-5)

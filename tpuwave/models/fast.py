@@ -337,6 +337,100 @@ class FastWaveSolver:
         return cache[n_steps](state)
 
     # ------------------------------------------------------------------
+
+    # ------------------------------------------------------------------
+    # implicit stepping with the fused pallas constrained-apply kernel
+    # (the hot op of every CG iteration; TPU only, f32 production mode)
+    # ------------------------------------------------------------------
+    def run_implicit_pallas(self, state: FastState, n_steps: int,
+                            block_rows: int = 128,
+                            interpret: bool = False) -> FastState:
+        """Newmark (beta>0) or theta stepping where every CG matvec is the
+        fused halo-DMA pallas kernel (ops/pallas_kernels.py). State is
+        padded to Mosaic-aligned shapes; pad rows behave like pinned
+        Dirichlet rows (zero)."""
+        from tpuwave.ops.pallas_kernels import constrained_stencil_apply_pallas
+
+        h, w = self.shape
+        hp = -(-h // block_rows) * block_rows
+        wp = -(-w // 128) * 128
+        abs_tol = 1e-12 if self.dtype == jnp.float64 else 1e-6
+        max_iter = 10000 if self.dtype == jnp.float64 else 2000
+
+        ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        interior = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
+
+        def fused_apply(op):
+            st_coeffs = op.stencil
+            diag = op.stencil[1][1]
+
+            def apply_c(x):
+                return constrained_stencil_apply_pallas(
+                    x, stencil=st_coeffs, diag=diag, block_rows=block_rows,
+                    true_rows=h, true_cols=w, interpret=interpret)
+            return apply_c, 1.0 / diag
+
+        def pad(x):
+            return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
+
+        dt, beta, gamma, th = self.dt, self.beta, self.gamma, self.theta
+
+        if self.scheme == "newmark":
+            apply_a, prec_a = fused_apply(self.system)
+
+            def step(st):
+                u, v, a = st
+                z = u + dt * v + (dt * dt * (0.5 - beta)) * a
+                rhs = jnp.where(interior, -self.stiff(z), 0.0)
+                res = pcg(apply_a, rhs, jnp.where(interior, a, 0.0),
+                          precond_inv_diag=prec_a, abs_tol=abs_tol,
+                          max_iter=max_iter)
+                a_new = res.x.astype(self.dtype)
+                u_new = z + (beta * dt * dt) * a_new
+                v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
+                return FastState(u=u_new, v=v_new, a=a_new)
+        elif self.scheme == "theta":
+            apply_u, prec_u = fused_apply(self.system)
+            apply_m, prec_m = fused_apply(self.mass)
+
+            def step(st):
+                u, v, a = st
+                mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
+                rhs_u = jnp.where(
+                    interior, mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
+                    0.0)
+                res_u = pcg(apply_u, rhs_u, jnp.where(interior, u, 0.0),
+                            precond_inv_diag=prec_u, abs_tol=abs_tol,
+                            max_iter=max_iter)
+                u_new = res_u.x.astype(self.dtype)
+                rhs_v = jnp.where(
+                    interior,
+                    mv - (dt * (1.0 - th)) * ku - (dt * th) * self.stiff(u_new),
+                    0.0)
+                res_v = pcg(apply_m, rhs_v, jnp.where(interior, v, 0.0),
+                            precond_inv_diag=prec_m, abs_tol=abs_tol,
+                            max_iter=max_iter)
+                return FastState(u=u_new, v=res_v.x.astype(self.dtype), a=a)
+        else:
+            raise ValueError("run_implicit_pallas needs scheme newmark/theta")
+
+        cache = getattr(self, "_imp_cache", None)
+        if cache is None:
+            cache = self._imp_cache = {}
+        key = (n_steps, block_rows, interpret, self.scheme)
+        if key not in cache:
+            def run(u, v, a):
+                def body(s, _):
+                    return step(s), None
+                out, _ = jax.lax.scan(body, FastState(u, v, a), None,
+                                      length=n_steps)
+                return out
+            cache[key] = jax.jit(run)
+
+        out = cache[key](pad(state.u), pad(state.v), pad(state.a))
+        return FastState(u=out.u[:h, :w], v=out.v[:h, :w], a=out.a[:h, :w])
+
     def energy(self, state: FastState):
         """E = 1/2 (v M v + u K u), f64 reductions, interior-exact.
 

@@ -208,6 +208,97 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
     out_up_ref[:, :] = prev[hh:hh + br, :].astype(out_up_ref.dtype)
 
 
+def _constrained_apply_kernel(x_hbm, out_ref, scratch, sem, *, stencil,
+                              diag: float, block_rows: int, n_rows: int,
+                              n_cols: int, true_cols: int):
+    """out = interior ? Stencil(x * interior) : diag * x — the constrained
+    operator of the implicit CG path, fused into one halo-DMA pass."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = _HALO
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    _halo_dma(x_hbm, scratch, sem, i, n_blocks, br, n_cols)
+
+    a_raw = scratch[:, :]
+    gr = (row0 - hh) + jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 1)
+    pinned = (gr <= 0) | (gr >= n_rows - 1) | (gc == 0) | (gc >= true_cols - 1)
+    a = jnp.where(pinned, 0.0, a_raw)
+
+    s = stencil
+
+    def row_contrib(rows, sj):
+        acc = sj[1] * rows
+        if sj[0] != 0.0:
+            acc += sj[0] * pltpu.roll(rows, shift=1, axis=1)
+        if sj[2] != 0.0:
+            acc += sj[2] * pltpu.roll(rows, shift=n_cols - 1, axis=1)
+        return acc
+
+    up_rows = pltpu.roll(a, shift=1, axis=0)
+    dn_rows = pltpu.roll(a, shift=h_tot - 1, axis=0)
+    ku_full = row_contrib(a, s[1]) + row_contrib(up_rows, s[0]) \
+        + row_contrib(dn_rows, s[2])
+
+    out = jnp.where(pinned[hh:hh + br, :], diag * a_raw[hh:hh + br, :],
+                    ku_full[hh:hh + br, :])
+    out_ref[:, :] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("stencil", "diag", "block_rows",
+                                             "true_rows", "true_cols",
+                                             "interpret"))
+def constrained_stencil_apply_pallas(x, *, stencil: Tuple, diag: float,
+                                     block_rows: int = 128,
+                                     true_rows: int = None,
+                                     true_cols: int = None,
+                                     interpret: bool = False):
+    """Fused constrained stencil apply on a padded (H, W) grid.
+
+    Equivalent to the masked operator used by the implicit fast path:
+    interior rows get Stencil(interior-masked x), Dirichlet/pad rows get
+    diag * x. One halo-DMA pass per apply — the hot op of every CG
+    iteration in the implicit schemes.
+    """
+    h, w = x.shape
+    if block_rows % _HALO != 0:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"{_HALO}")
+    if h % block_rows != 0:
+        raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
+    if w % 128 != 0 and not interpret:
+        raise ValueError(f"cols {w} not a multiple of 128 (pad + mask)")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+    if grid < 2:
+        raise ValueError("need at least 2 row blocks; use the roll path")
+
+    kernel = functools.partial(
+        _constrained_apply_kernel, stencil=stencil, diag=float(diag),
+        block_rows=block_rows, n_rows=n_rows, n_cols=w,
+        true_cols=n_cols_true)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows + 2 * _HALO, w), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x)
+
+
 @functools.partial(jax.jit, static_argnames=("stencil", "coef", "n_steps",
                                              "block_rows", "true_rows",
                                              "true_cols", "interpret",
