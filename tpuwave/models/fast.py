@@ -33,6 +33,27 @@ from tpuwave.solve.cg import pcg
 __all__ = ["FastWaveSolver", "FastState"]
 
 
+
+def cached_scan(holder, key, step_fn, n_steps: int):
+    """Memoised jitted scan-over-steps runner (shared by all fast solvers).
+
+    ``holder`` caches compiled runners per (key, n_steps); ``step_fn`` maps
+    a state pytree to the next state.
+    """
+    cache = getattr(holder, "_scan_cache", None)
+    if cache is None:
+        cache = holder._scan_cache = {}
+    full_key = (key, n_steps)
+    if full_key not in cache:
+        def run(state):
+            def body(s, _):
+                return step_fn(s), None
+            out, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return out
+        cache[full_key] = jax.jit(run)
+    return cache[full_key]
+
+
 class FastState(NamedTuple):
     u: jax.Array  # (ny+1, nx+1)
     v: jax.Array
@@ -224,17 +245,7 @@ class FastWaveSolver:
         return (state_next.u - state.u_prev) / (2.0 * self.dt)
 
     def run_leapfrog_scan(self, state: LeapfrogState, n_steps: int) -> LeapfrogState:
-        cache = getattr(self, "_lf_cache", None)
-        if cache is None:
-            cache = self._lf_cache = {}
-        if n_steps not in cache:
-            def run(st):
-                def body(s, _):
-                    return self.leapfrog_step(s), None
-                out, _ = jax.lax.scan(body, st, None, length=n_steps)
-                return out
-            cache[n_steps] = jax.jit(run)
-        return cache[n_steps](state)
+        return cached_scan(self, "leapfrog", self.leapfrog_step, n_steps)(state)
 
     # ------------------------------------------------------------------
     # fused Pallas leapfrog (ops/pallas_kernels.py): minimum-HBM-traffic
@@ -251,27 +262,18 @@ class FastWaveSolver:
         coef = self.dt * self.dt / self.mesh.det_j
         stencil = self.stiff.stencil
 
-        cache = getattr(self, "_lfp_cache", None)
-        if cache is None:
-            cache = self._lfp_cache = {}
-        key = (n_steps, block_rows, interpret)
-        if key not in cache:
-            def run(u, up):
-                def body(c, _):
-                    cu, cup = c
-                    un = leapfrog_step_pallas(
-                        cu, cup, stencil=stencil, coef=coef,
-                        block_rows=block_rows, true_rows=h, true_cols=w,
-                        interpret=interpret)
-                    return (un, cu), None
-                (u_fin, up_fin), _ = jax.lax.scan(body, (u, up), None,
-                                                  length=n_steps)
-                return u_fin, up_fin
-            cache[key] = jax.jit(run)
+        def step(c):
+            cu, cup = c
+            un = leapfrog_step_pallas(
+                cu, cup, stencil=stencil, coef=coef, block_rows=block_rows,
+                true_rows=h, true_cols=w, interpret=interpret)
+            return (un, cu)
 
+        runner = cached_scan(self, ("lfp", block_rows, interpret), step,
+                             n_steps)
         u_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(state.u)
         up_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(state.u_prev)
-        u_fin, up_fin = cache[key](u_pad, up_pad)
+        u_fin, up_fin = runner((u_pad, up_pad))
         return LeapfrogState(u=u_fin[:h, :w], u_prev=up_fin[:h, :w])
 
     def run_leapfrog_multistep(self, state: LeapfrogState, n_steps: int,
@@ -292,49 +294,28 @@ class FastWaveSolver:
         coef = self.dt * self.dt / self.mesh.det_j
         stencil = self.stiff.stencil
 
-        cache = getattr(self, "_lfm_cache", None)
-        if cache is None:
-            cache = self._lfm_cache = {}
-        key = (n_steps, steps_per_call, block_rows, interpret, double_buffer)
-        if key not in cache:
-            def run(u, up):
-                def body(c, _):
-                    cu, cup = c
-                    nu, nup = leapfrog_multistep_pallas(
-                        cu, cup, stencil=stencil, coef=coef,
-                        n_steps=steps_per_call, block_rows=block_rows,
-                        true_rows=h, true_cols=w, interpret=interpret,
-                        double_buffer=double_buffer)
-                    return (nu, nup), None
-                (uf, upf), _ = jax.lax.scan(body, (u, up), None,
-                                            length=n_steps // steps_per_call)
-                return uf, upf
-            cache[key] = jax.jit(run)
+        def step(c):
+            cu, cup = c
+            return leapfrog_multistep_pallas(
+                cu, cup, stencil=stencil, coef=coef,
+                n_steps=steps_per_call, block_rows=block_rows,
+                true_rows=h, true_cols=w, interpret=interpret,
+                double_buffer=double_buffer)
 
+        runner = cached_scan(
+            self, ("lfm", steps_per_call, block_rows, interpret,
+                   double_buffer), step, n_steps // steps_per_call)
         u_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(state.u)
         up_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(state.u_prev)
-        u_fin, up_fin = cache[key](u_pad, up_pad)
+        u_fin, up_fin = runner((u_pad, up_pad))
         return LeapfrogState(u=u_fin[:h, :w], u_prev=up_fin[:h, :w])
 
     # ------------------------------------------------------------------
-    def _build_run(self, n_steps: int):
-        def run(state):
-            def body(st, _):
-                return self.step(st), None
-            out, _ = jax.lax.scan(body, state, None, length=n_steps)
-            return out
-        return jax.jit(run)
-
     def run_scan(self, state: FastState, n_steps: int) -> FastState:
         """The whole time loop as one compiled scan — no host round-trips
         (the fast-mode analogue of the reference while-loop,
         WaveTheta.cpp:372-411, with IO off)."""
-        cache = getattr(self, "_run_cache", None)
-        if cache is None:
-            cache = self._run_cache = {}
-        if n_steps not in cache:
-            cache[n_steps] = self._build_run(n_steps)
-        return cache[n_steps](state)
+        return cached_scan(self, "state3", self.step, n_steps)(state)
 
     # ------------------------------------------------------------------
 
@@ -351,6 +332,10 @@ class FastWaveSolver:
         Dirichlet rows (zero)."""
         from tpuwave.ops.pallas_kernels import constrained_stencil_apply_pallas
 
+        if self.scheme == "newmark" and self.beta <= 1e-12:
+            raise ValueError(
+                "run_implicit_pallas needs beta > 0 (explicit beta=0 is the "
+                "leapfrog/lumped path: run_leapfrog_* / run_scan)")
         h, w = self.shape
         hp = -(-h // block_rows) * block_rows
         wp = -(-w // 128) * 128
@@ -415,20 +400,9 @@ class FastWaveSolver:
         else:
             raise ValueError("run_implicit_pallas needs scheme newmark/theta")
 
-        cache = getattr(self, "_imp_cache", None)
-        if cache is None:
-            cache = self._imp_cache = {}
-        key = (n_steps, block_rows, interpret, self.scheme)
-        if key not in cache:
-            def run(u, v, a):
-                def body(s, _):
-                    return step(s), None
-                out, _ = jax.lax.scan(body, FastState(u, v, a), None,
-                                      length=n_steps)
-                return out
-            cache[key] = jax.jit(run)
-
-        out = cache[key](pad(state.u), pad(state.v), pad(state.a))
+        runner = cached_scan(self, ("imp", block_rows, interpret,
+                                     self.scheme), step, n_steps)
+        out = runner(FastState(pad(state.u), pad(state.v), pad(state.a)))
         return FastState(u=out.u[:h, :w], v=out.v[:h, :w], a=out.a[:h, :w])
 
     def energy(self, state: FastState):

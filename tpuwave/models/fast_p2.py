@@ -44,6 +44,10 @@ class P2FastSolver:
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 2)
         self.nx, self.ny = self.mesh.nx, self.mesh.ny
+        if scheme != "newmark":
+            raise ValueError(
+                "P2FastSolver implements Newmark stepping only; use the "
+                "parity ThetaSolver (or FastWaveSolver for P1) for theta")
         self.dt = float(dt)
         self.c = float(c)
         self.scheme = scheme
@@ -56,12 +60,11 @@ class P2FastSolver:
         k_class = element_stiffness_class(self.space, quad, c * c)
         self.mass = P2PlaneStencil(self.space, m_class, dtype)
         self.stiff = P2PlaneStencil(self.space, k_class, dtype)
-        if scheme == "newmark":
-            self.system = self.mass.axpy(self.beta * self.dt * self.dt,
-                                         self.stiff)
-        else:
-            self.system = self.mass.axpy((self.theta * self.dt) ** 2,
-                                         self.stiff)
+        self.system = self.mass.axpy(self.beta * self.dt * self.dt,
+                                     self.stiff)
+        self._interior = self.interior_mask()
+        self._sys_prec = 1.0 / self.system.diagonal()
+        self._mass_prec = 1.0 / self.mass.diagonal()
 
     # ------------------------------------------------------------------
     # device-built geometry (no host O(n) arrays)
@@ -108,11 +111,11 @@ class P2FastSolver:
             v0 = planes_to_flat({p: jnp.asarray(v0_fn(xs, ys), self.dtype)
                                  for p, (xs, ys) in coords.items()})
         # consistent a0: M a0 = -K u0 (homogeneous data), interior-masked CG
-        interior = self.interior_mask()
+        interior = self._interior
         rhs = jnp.where(interior, -self.stiff(u0), 0.0)
         res = pcg(self._constrained(self.mass, interior), rhs,
                   jnp.zeros_like(u0),
-                  precond_inv_diag=1.0 / self.mass.diagonal(),
+                  precond_inv_diag=self._mass_prec,
                   abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
                   max_iter=2000)
         return P2State(u=u0, v=v0, a=res.x.astype(self.dtype))
@@ -129,13 +132,13 @@ class P2FastSolver:
     def step(self, state: P2State) -> P2State:
         """Implicit Newmark-beta step (homogeneous BCs, zero forcing)."""
         dt, beta, gamma = self.dt, self.beta, self.gamma
-        interior = self.interior_mask()
+        interior = self._interior
         u, v, a = state
         z = u + dt * v + (dt * dt * (0.5 - beta)) * a
         rhs = jnp.where(interior, -self.stiff(z), 0.0)
         res = pcg(self._constrained(self.system, interior), rhs,
                   jnp.where(interior, a, 0.0),
-                  precond_inv_diag=1.0 / self.system.diagonal(),
+                  precond_inv_diag=self._sys_prec,
                   abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
                   max_iter=2000)
         a_new = res.x.astype(self.dtype)
@@ -144,17 +147,8 @@ class P2FastSolver:
         return P2State(u=u_new, v=v_new, a=a_new)
 
     def run_scan(self, state: P2State, n_steps: int) -> P2State:
-        cache = getattr(self, "_run_cache", None)
-        if cache is None:
-            cache = self._run_cache = {}
-        if n_steps not in cache:
-            def run(st):
-                def body(s, _):
-                    return self.step(s), None
-                out, _ = jax.lax.scan(body, st, None, length=n_steps)
-                return out
-            cache[n_steps] = jax.jit(run)
-        return cache[n_steps](state)
+        from tpuwave.models.fast import cached_scan
+        return cached_scan(self, "p2flat", self.step, n_steps)(state)
 
 
 class P2CanvasState(NamedTuple):
@@ -264,11 +258,15 @@ class P2CanvasSolver:
         return P2CanvasState(u=u0, v=v0, a=res.x.astype(self.dtype))
 
     def _constrained(self, op):
+        from tpuwave.ops.stencil_p2 import _PLANES
+        diag = jnp.asarray([op.plane_diag[p] for p in _PLANES],
+                           dtype=self.dtype).reshape(4, 1, 1)
+
         def apply_c(w):
             return jnp.where(
                 self.interior,
                 op.apply_canvases(jnp.where(self.interior, w, 0.0)),
-                self._diag * w)
+                diag * w)
         return apply_c
 
     def step(self, state: P2CanvasState) -> P2CanvasState:
@@ -287,17 +285,8 @@ class P2CanvasSolver:
         return P2CanvasState(u=u_new, v=v_new, a=a_new)
 
     def run_scan(self, state: P2CanvasState, n_steps: int) -> P2CanvasState:
-        cache = getattr(self, "_run_cache", None)
-        if cache is None:
-            cache = self._run_cache = {}
-        if n_steps not in cache:
-            def run(st):
-                def body(s, _):
-                    return self.step(s), None
-                out, _ = jax.lax.scan(body, st, None, length=n_steps)
-                return out
-            cache[n_steps] = jax.jit(run)
-        return cache[n_steps](state)
+        from tpuwave.models.fast import cached_scan
+        return cached_scan(self, "p2canvas", self.step, n_steps)(state)
 
     def to_flat(self, xc) -> jax.Array:
         return planes_to_flat(canvases_to_planes(xc, self.nx, self.ny))

@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["leapfrog_step_pallas"]
+__all__ = ["leapfrog_step_pallas", "leapfrog_multistep_pallas",
+           "constrained_stencil_apply_pallas"]
 
 
 _HALO = 8  # Mosaic sublane tiling: all dim-0 DMA slices must be 8-aligned
@@ -84,6 +85,33 @@ def _halo_dma(ref_hbm, scratch, sem, i, n_blocks, br, n_cols):
     _halo_dma_cases(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
                     do_start=True, do_wait=True)
 
+def _rolled_stencil(a, s, n_cols):
+    """Full-array 9-point stencil via lane/sublane rolls (wrap garbage is
+    confined to halo/boundary rows and columns, which every caller masks).
+    Shared by all kernels in this module."""
+    h_tot = a.shape[0]
+
+    def row_contrib(rows, sj):
+        acc = sj[1] * rows
+        if sj[0] != 0.0:
+            acc += sj[0] * pltpu.roll(rows, shift=1, axis=1)
+        if sj[2] != 0.0:
+            acc += sj[2] * pltpu.roll(rows, shift=n_cols - 1, axis=1)
+        return acc
+
+    up_rows = pltpu.roll(a, shift=1, axis=0)
+    dn_rows = pltpu.roll(a, shift=h_tot - 1, axis=0)
+    return row_contrib(a, s[1]) + row_contrib(up_rows, s[0]) \
+        + row_contrib(dn_rows, s[2])
+
+
+def _pinned_mask(row_start, shape, n_rows, true_cols):
+    """Dirichlet + padding mask in global grid coordinates."""
+    gr = row_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (gr <= 0) | (gr >= n_rows - 1) | (gc == 0) | (gc >= true_cols - 1)
+
+
 
 def _kernel(up_ref, u_hbm, out_ref, scratch, sem, *, stencil, coef,
             block_rows: int, n_rows: int, n_cols: int, true_cols: int):
@@ -95,33 +123,13 @@ def _kernel(up_ref, u_hbm, out_ref, scratch, sem, *, stencil, coef,
 
     _halo_dma(u_hbm, scratch, sem, i, n_blocks, br, n_cols)
 
-    s = stencil  # (3, 3) python floats: s[1+dj][1+di]
     a = scratch[:, :]                       # (br + 2*hh, W), aligned read
-    h_tot = br + 2 * hh
-
-    def row_contrib(rows, sj):
-        # sj = (s[.][0], s[.][1], s[.][2]) for di = -1, 0, +1
-        # pltpu.roll requires shift >= 0; shift by w-1 == shift by -1.
-        acc = sj[1] * rows
-        if sj[0] != 0.0:
-            acc += sj[0] * pltpu.roll(rows, shift=1, axis=1)          # u[x-1]
-        if sj[2] != 0.0:
-            acc += sj[2] * pltpu.roll(rows, shift=n_cols - 1, axis=1)  # u[x+1]
-        return acc
-
-    up_rows = pltpu.roll(a, shift=1, axis=0)          # row r -> a[r-1]
-    dn_rows = pltpu.roll(a, shift=h_tot - 1, axis=0)  # row r -> a[r+1]
-    ku_full = row_contrib(a, s[1]) + row_contrib(up_rows, s[0]) \
-        + row_contrib(dn_rows, s[2])
+    ku_full = _rolled_stencil(a, stencil, n_cols)
     ku = ku_full[hh:hh + br, :]
     cen = a[hh:hh + br, :]
 
     un = 2.0 * cen - up_ref[:, :] - coef * ku
-
-    # Dirichlet mask: global first/last row+col and the padding rows/cols
-    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (br, n_cols), 0)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (br, n_cols), 1)
-    mask = (gr == 0) | (gr >= n_rows - 1) | (gc == 0) | (gc >= true_cols - 1)
+    mask = _pinned_mask(row0, (br, n_cols), n_rows, true_cols)
     out_ref[:, :] = jnp.where(mask, 0.0, un).astype(out_ref.dtype)
 
 
@@ -179,26 +187,12 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
         _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
         _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols)
 
-    s = stencil
-    gr = (row0 - hh) + jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 0)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 1)
-    mask = (gr <= 0) | (gr >= n_rows - 1) | (gc == 0) | (gc >= true_cols - 1)
-
-    def row_contrib(rows, sj):
-        acc = sj[1] * rows
-        if sj[0] != 0.0:
-            acc += sj[0] * pltpu.roll(rows, shift=1, axis=1)
-        if sj[2] != 0.0:
-            acc += sj[2] * pltpu.roll(rows, shift=n_cols - 1, axis=1)
-        return acc
+    mask = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
 
     cur = scr_u[:, :]
     prev = scr_up[:, :]
     for _ in range(n_steps):
-        up_rows = pltpu.roll(cur, shift=1, axis=0)
-        dn_rows = pltpu.roll(cur, shift=h_tot - 1, axis=0)
-        ku = row_contrib(cur, s[1]) + row_contrib(up_rows, s[0]) \
-            + row_contrib(dn_rows, s[2])
+        ku = _rolled_stencil(cur, stencil, n_cols)
         nxt = 2.0 * cur - prev - coef * ku
         nxt = jnp.where(mask, 0.0, nxt)
         prev = cur
@@ -223,26 +217,9 @@ def _constrained_apply_kernel(x_hbm, out_ref, scratch, sem, *, stencil,
     _halo_dma(x_hbm, scratch, sem, i, n_blocks, br, n_cols)
 
     a_raw = scratch[:, :]
-    gr = (row0 - hh) + jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 0)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 1)
-    pinned = (gr <= 0) | (gr >= n_rows - 1) | (gc == 0) | (gc >= true_cols - 1)
+    pinned = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
     a = jnp.where(pinned, 0.0, a_raw)
-
-    s = stencil
-
-    def row_contrib(rows, sj):
-        acc = sj[1] * rows
-        if sj[0] != 0.0:
-            acc += sj[0] * pltpu.roll(rows, shift=1, axis=1)
-        if sj[2] != 0.0:
-            acc += sj[2] * pltpu.roll(rows, shift=n_cols - 1, axis=1)
-        return acc
-
-    up_rows = pltpu.roll(a, shift=1, axis=0)
-    dn_rows = pltpu.roll(a, shift=h_tot - 1, axis=0)
-    ku_full = row_contrib(a, s[1]) + row_contrib(up_rows, s[0]) \
-        + row_contrib(dn_rows, s[2])
-
+    ku_full = _rolled_stencil(a, stencil, n_cols)
     out = jnp.where(pinned[hh:hh + br, :], diag * a_raw[hh:hh + br, :],
                     ku_full[hh:hh + br, :])
     out_ref[:, :] = out.astype(out_ref.dtype)
