@@ -88,7 +88,14 @@ def _halo_dma(ref_hbm, scratch, sem, i, n_blocks, br, n_cols):
 def _rolled_stencil(a, s, n_cols):
     """Full-array 9-point stencil via lane/sublane rolls (wrap garbage is
     confined to halo/boundary rows and columns, which every caller masks).
-    Shared by all kernels in this module."""
+    Shared by all kernels in this module.
+
+    NB: a 'roll-minimised' variant (shared x-shifted copies, pre-combined
+    row contributions: 2 lane + 2 sublane rolls) was measured SLOWER on
+    v5e (0.81 -> 0.88 ms/step at br=128; 0.84 -> 1.26 at br=64) — the
+    full-slab temporaries cost more than the extra rolls save. Keep the
+    naive per-row-group form.
+    """
     h_tot = a.shape[0]
 
     def row_contrib(rows, sj):
