@@ -192,3 +192,49 @@ def test_fast_energy_uses_wave_speed():
     st = fast.run_scan(st, 100)
     eT = float(fast.energy(st))
     assert eT == pytest.approx(e0, rel=0.02)
+
+
+def test_driven_boundary_leapfrog():
+    """Time-dependent Dirichlet g on the fast path: grid implementation ==
+    a direct flat-operator replica of the same algorithm (lumped CD with
+    pinned boundary), and the boundary tracks g exactly."""
+    import math
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.runner import time_steps
+    from tpuwave.models.fast import LeapfrogState
+    from tests.test_schemes import osc_boundary
+    from tpuwave.utils.params import load_params
+
+    nel, dt, t_final = 16, 0.005, 0.1
+    case = osc_boundary(Nel=str(nel), Dt=str(dt), T=str(t_final))
+    p = load_params(case)
+    d = Discretization(p)
+    times = time_steps(t_final, dt)
+
+    def g_fn(xs, ys, t):
+        cond = (xs < 0.1) & (ys >= 0) & (ys <= 1)
+        return jnp.where(cond, jnp.sin(6 * math.pi * t), 0.0)
+
+    fast = FastWaveSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), dt,
+                          beta=0.0, dtype=jnp.float64)
+    zeros = jnp.zeros(fast.shape, jnp.float64)
+    st = fast.run_leapfrog_driven(LeapfrogState(u=zeros, u_prev=zeros),
+                                  times, g_fn)
+
+    # direct flat-operator replica of the identical recurrence
+    bnd = jnp.asarray(d.space.boundary_mask)
+    u = jnp.zeros(d.n_dofs)
+    up = jnp.zeros(d.n_dofs)
+    inv_l = 1.0 / d.lumped_mass
+    for t in times:
+        un = 2.0 * u - up - dt * dt * (d.stiffness(u) * inv_l)
+        un = jnp.where(bnd, d.boundary_values(p.g, t), un)
+        up, u = u, un
+
+    np.testing.assert_allclose(np.asarray(st.u).ravel(), np.asarray(u),
+                               rtol=1e-12, atol=1e-13)
+    # boundary pinned exactly; interior excited
+    g_want = np.asarray(d.boundary_values(p.g, times[-1]))
+    np.testing.assert_allclose(np.asarray(st.u).ravel()[np.asarray(bnd)],
+                               g_want[np.asarray(bnd)], atol=1e-12)
+    assert np.linalg.norm(np.asarray(st.u).ravel()[~np.asarray(bnd)]) > 1e-3

@@ -239,6 +239,43 @@ class FastWaveSolver:
         u_next = jnp.where(self.boundary, 0.0, u_next).astype(self.dtype)
         return LeapfrogState(u=u_next, u_prev=u)
 
+
+    # ------------------------------------------------------------------
+    # driven (time-dependent Dirichlet) leapfrog: u|boundary = g(x, y, t)
+    # pinned directly each step — enables production runs of driven
+    # problems like the sine-membrane preset on the fast path
+    # ------------------------------------------------------------------
+    def leapfrog_step_driven(self, state: LeapfrogState, t, g_fn) -> LeapfrogState:
+        """One leapfrog step with u|dOmega = g_fn(x, y, t) at the NEW time.
+
+        Interior recurrence identical to leapfrog_step; boundary nodes are
+        pinned to g (the theta-family convention, exact boundary tracking).
+        ``t`` is the time being stepped TO (t^{n+1}).
+        """
+        dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
+        u, u_prev = state
+        u_next = 2.0 * u - u_prev - dt2 * (self.stiff(u) * self.inv_lumped)
+        xs, ys = self.grid_coords()
+        g_vals = jnp.asarray(g_fn(xs, ys, t), self.dtype)
+        u_next = jnp.where(self.boundary, g_vals, u_next).astype(self.dtype)
+        return LeapfrogState(u=u_next, u_prev=u)
+
+    def run_leapfrog_driven(self, state: LeapfrogState, times,
+                            g_fn) -> LeapfrogState:
+        """Scan over explicit time stamps (accumulated like the reference
+        loop) with the driven boundary."""
+        times = jnp.asarray(times, self.dtype)
+
+        def step(carry_t):
+            st, idx = carry_t
+            st = self.leapfrog_step_driven(st, times[idx], g_fn)
+            return (st, idx + 1)
+
+        runner = cached_scan(self, ("lf_driven", id(g_fn), len(times)),
+                             step, len(times))
+        out, _ = runner((state, jnp.asarray(0, jnp.int32)))
+        return out
+
     def leapfrog_velocity(self, state_next: LeapfrogState,
                           state: LeapfrogState):
         """v^n = (u^{n+1} - u^{n-1}) / (2 dt)."""
