@@ -103,3 +103,22 @@ def test_p2_canvas_solver_sharded_matches_single():
     np.testing.assert_allclose(np.asarray(sharded.to_flat(got.u)),
                                np.asarray(single.to_flat(want.u)),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_p2_canvas_pallas_matches_xla():
+    """Fused P2 constrained-apply kernel == XLA canvas path (whole steps)."""
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+    kw = dict(dtype=jnp.float32, row_multiple=8)
+    a = P2CanvasSolver((12, 28), ((0.0, 0.0), (1.0, 1.0)), 0.005, **kw)
+    b = P2CanvasSolver((12, 28), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                       use_pallas=True, pallas_block_rows=8,
+                       pallas_interpret=True, **kw)
+    sa = a.initial_state(u0)
+    sb = b.initial_state(u0)
+    np.testing.assert_allclose(np.asarray(sb.a), np.asarray(sa.a),
+                               rtol=1e-4, atol=1e-6)
+    for _ in range(3):
+        sa = a.step(sa)
+        sb = b.step(sb)
+    np.testing.assert_allclose(np.asarray(sb.u), np.asarray(sa.u),
+                               rtol=1e-4, atol=1e-6)

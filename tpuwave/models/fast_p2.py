@@ -170,7 +170,9 @@ class P2CanvasSolver:
 
     def __init__(self, nel: Tuple[int, int], geometry, dt: float, *,
                  c: float = 1.0, beta: float = 0.25, gamma: float = 0.5,
-                 dtype=jnp.float32, sharding=None, row_multiple: int = 1):
+                 dtype=jnp.float32, sharding=None, row_multiple: int = 1,
+                 use_pallas: bool = False, pallas_block_rows: int = 64,
+                 pallas_interpret: bool = False):
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 2)
         self.nx, self.ny = self.mesh.nx, self.mesh.ny
@@ -188,6 +190,9 @@ class P2CanvasSolver:
             self.space, element_stiffness_class(self.space, quad, c * c), dtype)
         self.system = self.mass.axpy(self.beta * self.dt * self.dt, self.stiff)
 
+        self.use_pallas = bool(use_pallas)
+        self.pallas_block_rows = int(pallas_block_rows)
+        self.pallas_interpret = bool(pallas_interpret)
         self.interior = self._interior_canvas_mask()
         from tpuwave.ops.stencil_p2 import _PLANES
         diag = jnp.asarray([self.system.plane_diag[p] for p in _PLANES],
@@ -259,6 +264,20 @@ class P2CanvasSolver:
 
     def _constrained(self, op):
         from tpuwave.ops.stencil_p2 import _PLANES
+        if self.use_pallas:
+            # fused kernel: input masking + stencil + pinning in one pass
+            from tpuwave.ops.pallas_p2 import (coeffs_to_static,
+                                               p2_constrained_apply_pallas)
+            coeffs = coeffs_to_static(op.coeffs)
+            diags = tuple(float(op.plane_diag[p]) for p in _PLANES)
+
+            def apply_c(w):
+                return p2_constrained_apply_pallas(
+                    w, coeffs=coeffs, diags=diags, nx=self.nx, ny=self.ny,
+                    block_rows=self.pallas_block_rows,
+                    interpret=self.pallas_interpret)
+            return apply_c
+
         diag = jnp.asarray([op.plane_diag[p] for p in _PLANES],
                            dtype=self.dtype).reshape(4, 1, 1)
 
