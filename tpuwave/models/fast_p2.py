@@ -193,6 +193,12 @@ class P2CanvasSolver:
         self.use_pallas = bool(use_pallas)
         self.pallas_block_rows = int(pallas_block_rows)
         self.pallas_interpret = bool(pallas_interpret)
+        if use_pallas and not pallas_interpret:
+            # re-pad for Mosaic: rows to block multiple, cols to 128 lanes
+            self.cshape = canvas_shape(
+                self.nx, self.ny,
+                row_multiple=max(row_multiple, self.pallas_block_rows),
+                col_multiple=128)
         self.interior = self._interior_canvas_mask()
         from tpuwave.ops.stencil_p2 import _PLANES
         diag = jnp.asarray([self.system.plane_diag[p] for p in _PLANES],

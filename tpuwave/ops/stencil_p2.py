@@ -74,12 +74,14 @@ def planes_to_flat(planes: Dict[str, jax.Array]) -> jax.Array:
     return jnp.concatenate([planes[p].reshape(-1) for p in _PLANES])
 
 
-def canvas_shape(nx: int, ny: int, row_multiple: int = 1) -> Tuple[int, int]:
+def canvas_shape(nx: int, ny: int, row_multiple: int = 1,
+                 col_multiple: int = 1) -> Tuple[int, int]:
     """Common zero-padded canvas shape holding any plane at offset (1, 1),
-    rows padded up to a multiple (for even sharding)."""
-    rows = ny + 3
-    rows = -(-rows // row_multiple) * row_multiple
-    return (rows, nx + 3)
+    rows/cols padded up to multiples (for even sharding / Mosaic lane
+    alignment)."""
+    rows = -(-(ny + 3) // row_multiple) * row_multiple
+    cols = -(-(nx + 3) // col_multiple) * col_multiple
+    return (rows, cols)
 
 
 def planes_to_canvases(planes: Dict[str, jax.Array], cshape) -> jax.Array:
