@@ -106,9 +106,10 @@ def test_p2_canvas_solver_sharded_matches_single():
 
 
 def test_p2_canvas_pallas_matches_xla():
-    """Fused P2 constrained-apply kernel == XLA canvas path (whole steps)."""
+    """Fused P2 constrained-apply kernel == XLA canvas path (whole steps;
+    f64 so only implementation differences — not CG rounding — would show)."""
     from tpuwave.models.fast_p2 import P2CanvasSolver
-    kw = dict(dtype=jnp.float32, row_multiple=8)
+    kw = dict(dtype=jnp.float64, row_multiple=8)
     a = P2CanvasSolver((12, 28), ((0.0, 0.0), (1.0, 1.0)), 0.005, **kw)
     b = P2CanvasSolver((12, 28), ((0.0, 0.0), (1.0, 1.0)), 0.005,
                        use_pallas=True, pallas_block_rows=8,
@@ -116,9 +117,9 @@ def test_p2_canvas_pallas_matches_xla():
     sa = a.initial_state(u0)
     sb = b.initial_state(u0)
     np.testing.assert_allclose(np.asarray(sb.a), np.asarray(sa.a),
-                               rtol=1e-4, atol=1e-6)
+                               rtol=1e-10, atol=1e-12)
     for _ in range(3):
         sa = a.step(sa)
         sb = b.step(sb)
     np.testing.assert_allclose(np.asarray(sb.u), np.asarray(sa.u),
-                               rtol=1e-4, atol=1e-6)
+                               rtol=1e-10, atol=1e-13)

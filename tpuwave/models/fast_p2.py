@@ -261,12 +261,26 @@ class P2CanvasSolver:
         if self.sharding is not None:
             u0 = jax.device_put(u0, self.sharding)
             v0 = jax.device_put(v0, self.sharding)
-        rhs = jnp.where(self.interior, -self.stiff.apply_canvases(u0), 0.0)
+        rhs = self._rhs_stiff(u0)
         res = pcg(self._constrained(self.mass), rhs, jnp.zeros_like(u0),
                   precond_inv_diag=1.0 / self._mass_diag,
                   abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
                   max_iter=2000)
         return P2CanvasState(u=u0, v=v0, a=res.x.astype(self.dtype))
+
+    def _rhs_stiff(self, z):
+        """interior-masked -K z (homogeneous data), via the fused kernel
+        when enabled."""
+        if self.use_pallas:
+            from tpuwave.ops.pallas_p2 import (coeffs_to_static,
+                                               p2_constrained_apply_pallas)
+            coeffs = coeffs_to_static(self.stiff.coeffs)
+            return -p2_constrained_apply_pallas(
+                z, coeffs=coeffs, diags=(0.0, 0.0, 0.0, 0.0),
+                nx=self.nx, ny=self.ny,
+                block_rows=self.pallas_block_rows,
+                interpret=self.pallas_interpret)
+        return jnp.where(self.interior, -self.stiff.apply_canvases(z), 0.0)
 
     def _constrained(self, op):
         from tpuwave.ops.stencil_p2 import _PLANES
@@ -298,7 +312,7 @@ class P2CanvasSolver:
         dt, beta, gamma = self.dt, self.beta, self.gamma
         u, v, a = state
         z = u + dt * v + (dt * dt * (0.5 - beta)) * a
-        rhs = jnp.where(self.interior, -self.stiff.apply_canvases(z), 0.0)
+        rhs = self._rhs_stiff(z)
         res = pcg(self._constrained(self.system), rhs,
                   jnp.where(self.interior, a, 0.0),
                   precond_inv_diag=1.0 / self._diag,
