@@ -35,7 +35,6 @@ def main():
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
     nel = 4096 if on_accel else 512
-    chunk = 48 if on_accel else 8
     repeats = 5 if on_accel else 3
 
     solver = FastWaveSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), 8e-5,
@@ -48,9 +47,10 @@ def main():
         # before remote execution finishes under the axon tunnel)
         return float(jnp.sum(st.u))
 
-    def run(st, path):
-        if path == "pallas-k8":
-            return solver.run_leapfrog_multistep(st, chunk, steps_per_call=8,
+    def run(st, path, chunk):
+        if path.startswith("pallas-k"):
+            k = int(path[len("pallas-k"):])
+            return solver.run_leapfrog_multistep(st, chunk, steps_per_call=k,
                                                  block_rows=128,
                                                  double_buffer=True)
         if path == "pallas":
@@ -58,15 +58,17 @@ def main():
         return solver.run_leapfrog_scan(st, chunk)
 
     results = {}
-    paths = ["pallas-k8", "pallas", "roll"] if on_accel else ["roll"]
-    for path in paths:
+    # (path, steps per timed call); chunk is a multiple of the kernel's k
+    paths = [("pallas-k32", 96), ("pallas-k8", 48), ("pallas", 48),
+             ("roll", 48)] if on_accel else [("roll", 8)]
+    for path, chunk in paths:
         try:
-            st = run(state, path)
+            st = run(state, path, chunk)
             sync(st)
             best = float("inf")
             for _ in range(repeats):
                 t0 = time.perf_counter()
-                st = run(st, path)
+                st = run(st, path, chunk)
                 sync(st)
                 best = min(best, time.perf_counter() - t0)
             results[path] = solver.n_dofs * chunk / best

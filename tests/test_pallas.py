@@ -48,6 +48,20 @@ def test_multistep_pallas_matches_roll_path():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_multistep_wide_halo_matches_roll_path():
+    # n_steps > 8 engages the 16-row halo path
+    solver = FastWaveSolver((63, 63), ((0.0, 0.0), (1.0, 1.0)), 1e-3,
+                            beta=0.0, dtype=jnp.float32)
+    lf = solver.initial_leapfrog_state(u0)
+    want = solver.run_leapfrog_scan(lf, 16)
+    got = solver.run_leapfrog_multistep(lf, 16, steps_per_call=16,
+                                        block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.u_prev), np.asarray(want.u_prev),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_multistep_rejects_bad_counts():
     solver = FastWaveSolver((31, 31), ((0.0, 0.0), (1.0, 1.0)), 1e-3,
                             beta=0.0, dtype=jnp.float32)
@@ -57,7 +71,12 @@ def test_multistep_rejects_bad_counts():
     from tpuwave.ops.pallas_kernels import leapfrog_multistep_pallas
     with pytest.raises(ValueError, match="n_steps"):
         leapfrog_multistep_pallas(lf.u, lf.u_prev, stencil=((0,)*3,)*3,
-                                  coef=1.0, n_steps=9, interpret=True)
+                                  coef=1.0, n_steps=0, interpret=True)
+    with pytest.raises(ValueError, match="halo"):
+        # 12 steps need a 16-row halo; block_rows=8 is too small
+        leapfrog_multistep_pallas(lf.u, lf.u_prev, stencil=((0,)*3,)*3,
+                                  coef=1.0, n_steps=12, block_rows=8,
+                                  interpret=True)
 
 
 def test_leapfrog_equals_newmark_explicit():

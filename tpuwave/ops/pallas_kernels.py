@@ -40,15 +40,14 @@ _HALO = 8  # Mosaic sublane tiling: all dim-0 DMA slices must be 8-aligned
 
 
 def _halo_dma_cases(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
-                    do_start: bool, do_wait: bool):
+                    do_start: bool, do_wait: bool, hh: int = _HALO):
     """Start and/or wait the halo slab DMA for block ``i`` into ``scratch``.
 
-    Fill rule: scratch[_HALO + r] = ref[i*br + r], with _HALO rows of halo
-    above/below (zeros outside the array). Split start/wait enables
-    double-buffered prefetch (scratch persists across sequential TPU grid
-    steps).
+    Fill rule: scratch[hh + r] = ref[i*br + r], with ``hh`` rows of halo
+    above/below (zeros outside the array); ``hh`` must be a multiple of
+    the 8-sublane tile. Split start/wait enables double-buffered prefetch
+    (scratch persists across sequential TPU grid steps).
     """
-    hh = _HALO
     row0 = i * br
     h_pad = n_blocks * br
 
@@ -69,7 +68,7 @@ def _halo_dma_cases(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
 
     @pl.when(jnp.logical_and(i > 0, i < n_blocks - 1))
     def _middle():
-        start = pl.multiple_of(row0 - hh, hh)
+        start = pl.multiple_of(row0 - hh, _HALO)
         run(pltpu.make_async_copy(ref_hbm.at[pl.ds(start, br + 2 * hh), :],
                                   scratch.at[:, :], sem), None)
 
@@ -81,9 +80,10 @@ def _halo_dma_cases(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
             slice(br + hh, br + 2 * hh))
 
 
-def _halo_dma(ref_hbm, scratch, sem, i, n_blocks, br, n_cols):
+def _halo_dma(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
+              hh: int = _HALO):
     _halo_dma_cases(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
-                    do_start=True, do_wait=True)
+                    do_start=True, do_wait=True, hh=hh)
 
 def _rolled_stencil(a, s, n_cols):
     """Full-array 9-point stencil via lane/sublane rolls (wrap garbage is
@@ -143,13 +143,15 @@ def _kernel(up_ref, u_hbm, out_ref, scratch, sem, *, stencil, coef,
 def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
                       sem_u, sem_up, *, stencil, coef, n_steps: int,
                       block_rows: int, n_rows: int, n_cols: int,
-                      true_cols: int, double_buffer: bool = False):
+                      true_cols: int, halo: int = _HALO,
+                      double_buffer: bool = False):
     """Temporal blocking: advance ``n_steps`` leapfrog steps in one pass.
 
-    Both u and u_prev are DMA'd with an 8-row halo; each inner step loses
-    one halo row of validity (8 >= n_steps), and every inner step re-applies
-    the Dirichlet/pad mask so lane-roll wraparound never propagates inward.
-    HBM traffic: read 2 + write 2 arrays per n_steps steps.
+    Both u and u_prev are DMA'd with a ``halo``-row halo (a multiple of the
+    8-sublane tile, >= n_steps); each inner step loses one halo row of
+    validity, and every inner step re-applies the Dirichlet/pad mask so
+    lane-roll wraparound never propagates inward. HBM traffic: read 2 +
+    write 2 arrays per n_steps steps.
 
     With ``double_buffer`` the scratch/semaphores carry a leading slot
     dimension of 2 and block i prefetches block i+1's slabs while
@@ -159,7 +161,7 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     br = block_rows
-    hh = _HALO
+    hh = halo
     row0 = i * br
     h_tot = br + 2 * hh
 
@@ -170,29 +172,30 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
         @pl.when(i == 0)
         def _prime():
             _halo_dma_cases(u_hbm, scr_u.at[0], sem_u.at[0], 0, n_blocks,
-                            br, n_cols, do_start=True, do_wait=False)
+                            br, n_cols, do_start=True, do_wait=False, hh=hh)
             _halo_dma_cases(uprev_hbm, scr_up.at[0], sem_up.at[0], 0,
                             n_blocks, br, n_cols, do_start=True,
-                            do_wait=False)
+                            do_wait=False, hh=hh)
 
         @pl.when(i + 1 < n_blocks)
         def _prefetch():
             _halo_dma_cases(u_hbm, scr_u.at[nxt], sem_u.at[nxt], i + 1,
                             n_blocks, br, n_cols, do_start=True,
-                            do_wait=False)
+                            do_wait=False, hh=hh)
             _halo_dma_cases(uprev_hbm, scr_up.at[nxt], sem_up.at[nxt], i + 1,
                             n_blocks, br, n_cols, do_start=True,
-                            do_wait=False)
+                            do_wait=False, hh=hh)
 
         _halo_dma_cases(u_hbm, scr_u.at[slot], sem_u.at[slot], i, n_blocks,
-                        br, n_cols, do_start=False, do_wait=True)
+                        br, n_cols, do_start=False, do_wait=True, hh=hh)
         _halo_dma_cases(uprev_hbm, scr_up.at[slot], sem_up.at[slot], i,
-                        n_blocks, br, n_cols, do_start=False, do_wait=True)
+                        n_blocks, br, n_cols, do_start=False, do_wait=True,
+                        hh=hh)
         scr_u = scr_u.at[slot]
         scr_up = scr_up.at[slot]
     else:
-        _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
-        _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols)
+        _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols, hh=hh)
+        _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols, hh=hh)
 
     mask = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
 
@@ -292,20 +295,23 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
                               true_rows: int = None, true_cols: int = None,
                               interpret: bool = False,
                               double_buffer: bool = False):
-    """Advance n_steps (<= 8) fused leapfrog steps in ONE kernel pass.
+    """Advance n_steps fused leapfrog steps in ONE kernel pass.
 
     Returns (u_new, u_prev_new). Same padding contract as
-    leapfrog_step_pallas. Note the top/bottom _HALO rows adjacent to halos
-    must remain valid through all inner steps, which the 8-row halo
-    guarantees for n_steps <= 8; the Dirichlet mask is re-applied each
-    inner step.
+    leapfrog_step_pallas. The halo height is 8*ceil(n_steps/8) rows (the
+    validity shrinks one halo row per inner step); the Dirichlet mask is
+    re-applied every inner step so roll wraparound never propagates inward.
     """
     h, w = u.shape
-    if not 1 <= n_steps <= _HALO:
-        raise ValueError(f"n_steps must be in [1, {_HALO}]")
+    halo = -(-n_steps // _HALO) * _HALO
+    if n_steps < 1:
+        raise ValueError("n_steps must be >= 1")
     if block_rows % _HALO != 0:
         raise ValueError(f"block_rows {block_rows} must be a multiple of "
                          f"{_HALO} (sublane DMA alignment)")
+    if block_rows < halo:
+        raise ValueError(f"block_rows {block_rows} must be >= the "
+                         f"{halo}-row halo for n_steps={n_steps}")
     if h % block_rows != 0:
         raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
     if w % 128 != 0 and not interpret:
@@ -319,9 +325,9 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
     kernel = functools.partial(
         _multistep_kernel, stencil=stencil, coef=float(coef),
         n_steps=n_steps, block_rows=block_rows, n_rows=n_rows, n_cols=w,
-        true_cols=n_cols_true, double_buffer=double_buffer)
+        true_cols=n_cols_true, halo=halo, double_buffer=double_buffer)
 
-    slab = (block_rows + 2 * _HALO, w)
+    slab = (block_rows + 2 * halo, w)
     if double_buffer:
         scratch = [pltpu.VMEM((2,) + slab, u.dtype),
                    pltpu.VMEM((2,) + slab, u.dtype),
