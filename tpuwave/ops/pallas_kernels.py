@@ -301,6 +301,11 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
     leapfrog_step_pallas. The halo height is 8*ceil(n_steps/8) rows (the
     validity shrinks one halo row per inner step); the Dirichlet mask is
     re-applied every inner step so roll wraparound never propagates inward.
+
+    Practical TPU envelope (v5e, measured): n_steps=32 with
+    block_rows=128 is the sweet spot — the kernel is VPU compute-bound
+    there, so larger k only adds redundant halo compute. block_rows=256
+    and n_steps>=48 are rejected by the Mosaic compiler at wide halos.
     """
     h, w = u.shape
     halo = -(-n_steps // _HALO) * _HALO
