@@ -147,3 +147,42 @@ def test_python_fallback_vtu(tmp_path):
                          count=nbytes // 8)
     np.testing.assert_allclose(vals, u)
     assert record.name == "solution_0000.pvtu"
+
+
+def test_multipiece_vtu_record(tmp_path):
+    """cell_shard -> one piece per shard; union of pieces reconstructs the
+    full mesh/fields and ``partitioning`` carries the real shard id."""
+    from tpuwave.utils.vtu import write_vtu_record
+
+    m = StructuredTriMesh((4, 8), ((0.0, 0.0), (1.0, 1.0)))
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=m.n_vertices)
+    # row blocks by centroid y over 4 shards (what the runner computes)
+    cy = m.vertex_coords[m.cells, 1].mean(axis=1)
+    shard = np.minimum((cy * 4).astype(np.int64), 3)
+
+    record = write_vtu_record(tmp_path, "solution", 7, m.vertex_coords,
+                              m.cells, {"u": u}, cell_shard=shard)
+    pvtu = record.read_text()
+    for pid in range(4):
+        assert f'<Piece Source="solution_0007.{pid}.vtu"/>' in pvtu
+    assert 'Name="partitioning"' in pvtu
+
+    # reassemble: every global cell appears exactly once, with matching u
+    # values at its (coordinate-identified) vertices and its shard id
+    coord_to_gid = {tuple(np.round(xy, 12)): i
+                    for i, xy in enumerate(m.vertex_coords)}
+    seen = np.zeros(m.n_cells, dtype=int)
+    want_key = {frozenset(c): i for i, c in enumerate(map(tuple, m.cells))}
+    for pid in range(4):
+        arrays = _parse_appended_vtu(tmp_path / f"solution_0007.{pid}.vtu")
+        pts = arrays["Points"].reshape(-1, 3)[:, :2]
+        gids = np.array([coord_to_gid[tuple(np.round(xy, 12))] for xy in pts])
+        np.testing.assert_allclose(arrays["u"], u[gids])
+        assert (arrays["partitioning"] == pid).all()
+        for lc in arrays["connectivity"].reshape(-1, 3):
+            gcell = frozenset(gids[lc])
+            gi = want_key[gcell]
+            assert shard[gi] == pid
+            seen[gi] += 1
+    assert (seen == 1).all()

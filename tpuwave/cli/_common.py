@@ -46,6 +46,9 @@ def run_main(family: str, make_solver, argv=None) -> int:
                         default="jacobi",
                         help="CG preconditioner (chebyshev = AMG stand-in "
                              "for stiffness-dominated theta systems)")
+    parser.add_argument("--vtu-pieces", type=int, default=1,
+                        help="VTU pieces per output record, one per shard "
+                             "(0 = one per local device)")
     args = parser.parse_args(argv)
 
     config.use_x64(not args.f32)
@@ -89,7 +92,8 @@ def run_main(family: str, make_solver, argv=None) -> int:
         cfg = RunConfig(results_root=args.results_root,
                         mesh_root=args.mesh_root, quiet=args.quiet,
                         checkpoint_every=args.checkpoint_every,
-                        resume=args.resume, phase_timing=args.phase_timing)
+                        resume=args.resume, phase_timing=args.phase_timing,
+                        vtu_pieces=args.vtu_pieces)
         from tpuwave.utils.profiling import trace
         with trace(args.profile_dir):
             result = run_solver(solver, problem_name, cfg)

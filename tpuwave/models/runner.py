@@ -54,6 +54,10 @@ class RunConfig:
     #: working version of the reference's commented-out StackedTimer,
     #: WaveNewmark.cpp:404-423)
     phase_timing: bool = False
+    #: number of VTU pieces per output record (one per shard, mirroring the
+    #: reference's one-VTU-per-MPI-rank output with the ``partitioning``
+    #: cell field = rank id); 0 = one piece per local device
+    vtu_pieces: int = 1
 
 
 class RunResult(NamedTuple):
@@ -153,6 +157,21 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     pcout(f"||v0|| = {norm_v0}")
     pcout("-----------------------------------------------")
 
+    n_pieces = cfg.vtu_pieces
+    if n_pieces == 0:
+        import jax
+        n_pieces = len(jax.local_devices())
+    # shard id per cell: contiguous row blocks of the structured mesh by
+    # centroid y — the same domain decomposition the sharded grid solvers
+    # use (rows over the device mesh), so the ``partitioning`` field shows
+    # the real shard layout (reference: MPI rank per cell)
+    coords = np.asarray(d.mesh.vertex_coords)
+    cy = coords[np.asarray(d.mesh.cells), 1].mean(axis=1)
+    y0, y1 = coords[:, 1].min(), coords[:, 1].max()
+    cell_shard = np.minimum(
+        (np.maximum(cy - y0, 0.0) / max(y1 - y0, 1e-300)
+         * n_pieces).astype(np.int64), n_pieces - 1)
+
     def output(timestep: int, t: float):
         if not save_solution:
             return
@@ -161,9 +180,8 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
         if p.has_exact_solution:
             ex = d.interpolate(p.solution, t)
             point_data["u_exact"] = np.asarray(ex)[:nv]
-        cell_data = {"partitioning": np.zeros(d.mesh.n_cells)}
         write_vtu_record(folder, "solution", timestep, d.mesh.vertex_coords,
-                         d.mesh.cells, point_data, cell_data)
+                         d.mesh.cells, point_data, cell_shard=cell_shard)
 
     timestep_number = 0
     current_time = 0.0

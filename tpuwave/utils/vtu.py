@@ -41,17 +41,53 @@ def write_vtu_record(folder, basename: str, counter: int,
                      points: np.ndarray, cells: np.ndarray,
                      point_data: Dict[str, np.ndarray],
                      cell_data: Optional[Dict[str, np.ndarray]] = None,
-                     n_digits: int = 4) -> Path:
-    """Write ``<basename>_<counter>.0.vtu`` + ``.pvtu`` into ``folder``.
+                     n_digits: int = 4,
+                     cell_shard: Optional[np.ndarray] = None) -> Path:
+    """Write ``<basename>_<counter>.<p>.vtu`` piece(s) + ``.pvtu`` record.
 
     points: (N, 2) or (N, 3); cells: (E, 3) triangle connectivity.
-    Returns the path of the .pvtu record.
+    ``cell_shard``: optional (E,) int array of shard ids — when given, one
+    piece is written per shard (parallel multi-piece output, mirroring the
+    reference's one-VTU-per-MPI-rank ``write_vtu_with_pvtu_record``,
+    WaveEquationBase.cpp:330-365) and the ``partitioning`` cell field
+    carries the real shard id. Returns the path of the .pvtu record.
     """
     folder = Path(folder)
     folder.mkdir(parents=True, exist_ok=True)
     stem = f"{basename}_{counter:0{n_digits}d}"
-    piece_name = f"{stem}.0.vtu"
 
+    cells = np.asarray(cells, dtype=np.int32)
+    if cell_shard is not None:
+        shard = np.asarray(cell_shard, dtype=np.int64)
+        n_pieces = int(shard.max()) + 1 if shard.size else 1
+        if n_pieces > 1:
+            pts2 = np.asarray(points, dtype=np.float64)
+            piece_names = []
+            for pid in range(n_pieces):
+                mask = shard == pid
+                pc = cells[mask]
+                uniq, local = np.unique(pc, return_inverse=True)
+                lpd = {k: np.asarray(v, dtype=np.float64)[uniq]
+                       for k, v in point_data.items()}
+                lcd = {k: np.asarray(v, dtype=np.float64)[mask]
+                       for k, v in (cell_data or {}).items()}
+                lcd["partitioning"] = np.full(pc.shape[0], float(pid))
+                piece_names.append(_write_piece(
+                    folder, f"{stem}.{pid}.vtu", pts2[uniq],
+                    local.reshape(pc.shape).astype(np.int32), lpd, lcd))
+            return _write_pvtu(folder, stem, piece_names, point_data,
+                               dict(cell_data or {}, partitioning=None))
+        cell_data = dict(cell_data or {},
+                         partitioning=np.zeros(cells.shape[0]))
+
+    piece = _write_piece(folder, f"{stem}.0.vtu", points, cells,
+                         point_data, cell_data)
+    return _write_pvtu(folder, stem, [piece], point_data, cell_data)
+
+
+def _write_piece(folder: Path, piece_name: str,
+                 points: np.ndarray, cells: np.ndarray,
+                 point_data, cell_data) -> str:
     pts = np.asarray(points, dtype=np.float64)
     if pts.shape[1] == 2:
         pts = np.concatenate([pts, np.zeros((pts.shape[0], 1))], axis=1)
@@ -65,7 +101,7 @@ def write_vtu_record(folder, basename: str, counter: int,
                                 for k, v in point_data.items()},
                                {k: np.asarray(v, dtype=np.float64)
                                 for k, v in (cell_data or {}).items()}):
-        return _write_pvtu(folder, stem, piece_name, point_data, cell_data)
+        return piece_name
 
     parts = []
     parts.append('<?xml version="1.0"?>\n')
@@ -94,12 +130,12 @@ def write_vtu_record(folder, basename: str, counter: int,
 
     parts.append("</Piece>\n</UnstructuredGrid>\n</VTKFile>\n")
     (folder / piece_name).write_text("".join(parts))
-    return _write_pvtu(folder, stem, piece_name, point_data, cell_data)
+    return piece_name
 
 
-def _write_pvtu(folder: Path, stem: str, piece_name: str,
+def _write_pvtu(folder: Path, stem: str, piece_names,
                 point_data, cell_data) -> Path:
-    # parallel record referencing the single piece
+    # parallel record referencing all pieces
     pvtu = ['<?xml version="1.0"?>\n',
             '<VTKFile type="PUnstructuredGrid" version="0.1" '
             'byte_order="LittleEndian">\n<PUnstructuredGrid GhostLevel="0">\n',
@@ -113,7 +149,8 @@ def _write_pvtu(folder: Path, stem: str, piece_name: str,
     for name in (cell_data or {}):
         pvtu.append(f'<PDataArray type="Float64" Name="{name}"/>\n')
     pvtu.append("</PCellData>\n")
-    pvtu.append(f'<Piece Source="{piece_name}"/>\n')
+    for piece_name in piece_names:
+        pvtu.append(f'<Piece Source="{piece_name}"/>\n')
     pvtu.append("</PUnstructuredGrid>\n</VTKFile>\n")
     record = folder / f"{stem}.pvtu"
     record.write_text("".join(pvtu))
