@@ -111,3 +111,64 @@ def test_implicit_pallas_matches_roll_path(scheme, kw):
     # same scheme, same CG tolerances; differences are f32 solver noise
     np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_cheby_block_pallas_matches_xla_block():
+    """One fused Chebyshev block == the XLA reference block, bitwise-ish."""
+    from tpuwave.ops.pallas_kernels import cheby_block_pallas
+    from tpuwave.solve.cheby_iter import (chebyshev_block,
+                                          chebyshev_coefficients,
+                                          stencil_symbol_bounds)
+
+    solver = FastWaveSolver((30, 38), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                            scheme="newmark", beta=0.25, lumped=False,
+                            dtype=jnp.float64)
+    lo, hi = stencil_symbol_bounds(solver.system.stencil)
+    theta_c, coeffs = chebyshev_coefficients(lo, hi, 6)
+
+    h, w = solver.shape
+    hp, wp = 48, 64   # padded, 3 blocks of 16 rows
+    rng = np.random.default_rng(3)
+    interior = np.zeros((hp, wp), bool)
+    interior[1:h - 1, 1:w - 1] = True
+    r = jnp.asarray(np.where(interior, rng.normal(size=(hp, wp)), 0.0))
+    x = jnp.asarray(np.where(interior, rng.normal(size=(hp, wp)), 0.0))
+
+    interior_j = jnp.asarray(interior)
+
+    def apply_c(wv):
+        out = solver.system(jnp.where(interior_j, wv, 0.0))
+        return jnp.where(interior_j, out, solver.system.stencil[1][1] * wv)
+
+    want_x, want_r = chebyshev_block(apply_c, x, r, theta_c, coeffs)
+    got_x, got_r, rn2 = cheby_block_pallas(
+        x, r, stencil=solver.system.stencil, theta=theta_c,
+        coeffs=tuple(coeffs), block_rows=16, true_rows=h, true_cols=w,
+        interpret=True)
+
+    # the roll path wraps across the FULL padded array while the kernel
+    # wraps per-slab; both are exact on interior rows only
+    np.testing.assert_allclose(np.asarray(got_x)[:h, :w],
+                               np.asarray(want_x)[:h, :w],
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got_r)[:h, :w],
+                               np.asarray(want_r)[:h, :w],
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(float(rn2[0, 0]),
+                               float(jnp.vdot(want_r, want_r)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("scheme,kw", [
+    ("newmark", dict(scheme="newmark", beta=0.25, gamma=0.5, lumped=False)),
+    ("theta", dict(scheme="theta", theta=0.5, lumped=False)),
+])
+def test_implicit_cheby_matches_roll_path(scheme, kw):
+    solver = FastWaveSolver((40, 40), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                            dtype=jnp.float32, **kw)
+    st = solver.initial_state(u0)
+    want = solver.run_scan(st, 4)
+    got = solver.run_implicit_cheby(st, 4, degree=6, block_rows=16,
+                                    interpret=True)
+    # same schemes, both solved to the 1e-6 relative tolerance contract
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-3, atol=1e-5)

@@ -165,16 +165,37 @@ class FastWaveSolver:
         v_new = v + (0.5 * dt) * (a + a_new)
         return FastState(u=z, v=v_new, a=a_new)
 
+    def _solve_abs_tol(self, rhs, x0, op):
+        """Absolute residual floor for the fast-path solves.
+
+        The reference's fixed 1e-12 floor is kept in f64 parity mode. In
+        f32 production mode a fixed floor is WRONG: the mass-scaled
+        systems have entries ~h^2, so at fine meshes/small dt the true
+        per-step residual sits below any fixed absolute number and the
+        solver would stop at zero iterations, silently freezing the state
+        (measured: CN u-error 2.5e-2 instead of 1.4e-5 at 640^2,
+        dt=8e-5). Use the backward-error floor
+        eta * (lam_max ||x0|| + ||b||), eta = 8 eps — the accuracy a
+        correctly-rounded solve can actually attain, scale-free in h, dt.
+        lam_max is analytic (stencil symbol).
+        """
+        if self.dtype == jnp.float64:
+            return 1e-12
+        from tpuwave.solve.cheby_iter import stencil_symbol_bounds
+        lam_max = stencil_symbol_bounds(op.stencil)[1]
+        eta = 8 * float(jnp.finfo(self.dtype).eps)
+        return eta * (lam_max * jnp.linalg.norm(x0) + jnp.linalg.norm(rhs))
+
     def _implicit_newmark_step(self, state: FastState) -> FastState:
         dt, beta, gamma = self.dt, self.beta, self.gamma
         u, v, a = state
         z = u + dt * v + (dt * dt * (0.5 - beta)) * a
         rhs = jnp.where(self.interior, -self.stiff(z), 0.0)
 
-        res = pcg(self._constrained(self.system), rhs,
-                  jnp.where(self.interior, a, 0.0),
+        x0 = jnp.where(self.interior, a, 0.0)
+        res = pcg(self._constrained(self.system), rhs, x0,
                   precond_inv_diag=self._inv_diag,
-                  abs_tol=1e-12 if self.dtype == jnp.float64 else 1e-6,
+                  abs_tol=self._solve_abs_tol(rhs, x0, self.system),
                   max_iter=10000 if self.dtype == jnp.float64 else 2000)
         a_new = res.x.astype(self.dtype)
         u_new = z + (beta * dt * dt) * a_new
@@ -193,24 +214,25 @@ class FastWaveSolver:
         dt, th = self.dt, self.theta
         u, v, a = state
         mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
-        abs_tol = 1e-12 if self.dtype == jnp.float64 else 1e-6
         max_iter = 10000 if self.dtype == jnp.float64 else 2000
 
         rhs_u = jnp.where(self.interior,
                           mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv, 0.0)
-        res_u = pcg(self._constrained(self.system), rhs_u,
-                    jnp.where(self.interior, u, 0.0),
-                    precond_inv_diag=self._inv_diag, abs_tol=abs_tol,
+        x0_u = jnp.where(self.interior, u, 0.0)
+        res_u = pcg(self._constrained(self.system), rhs_u, x0_u,
+                    precond_inv_diag=self._inv_diag,
+                    abs_tol=self._solve_abs_tol(rhs_u, x0_u, self.system),
                     max_iter=max_iter)
         u_new = res_u.x.astype(self.dtype)
 
         rhs_v = jnp.where(self.interior,
                           mv - (dt * (1.0 - th)) * ku - (dt * th) * self.stiff(u_new),
                           0.0)
-        res_v = pcg(self._constrained(self.mass), rhs_v,
-                    jnp.where(self.interior, v, 0.0),
+        x0_v = jnp.where(self.interior, v, 0.0)
+        res_v = pcg(self._constrained(self.mass), rhs_v, x0_v,
                     precond_inv_diag=1.0 / self.mass.stencil[1][1],
-                    abs_tol=abs_tol, max_iter=max_iter)
+                    abs_tol=self._solve_abs_tol(rhs_v, x0_v, self.mass),
+                    max_iter=max_iter)
         v_new = res_v.x.astype(self.dtype)
         return FastState(u=u_new, v=v_new, a=a)
 
@@ -376,7 +398,6 @@ class FastWaveSolver:
         h, w = self.shape
         hp = -(-h // block_rows) * block_rows
         wp = -(-w // 128) * 128
-        abs_tol = 1e-12 if self.dtype == jnp.float64 else 1e-6
         max_iter = 10000 if self.dtype == jnp.float64 else 2000
 
         ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
@@ -405,8 +426,9 @@ class FastWaveSolver:
                 u, v, a = st
                 z = u + dt * v + (dt * dt * (0.5 - beta)) * a
                 rhs = jnp.where(interior, -self.stiff(z), 0.0)
-                res = pcg(apply_a, rhs, jnp.where(interior, a, 0.0),
-                          precond_inv_diag=prec_a, abs_tol=abs_tol,
+                x0 = jnp.where(interior, a, 0.0)
+                res = pcg(apply_a, rhs, x0, precond_inv_diag=prec_a,
+                          abs_tol=self._solve_abs_tol(rhs, x0, self.system),
                           max_iter=max_iter)
                 a_new = res.x.astype(self.dtype)
                 u_new = z + (beta * dt * dt) * a_new
@@ -422,16 +444,20 @@ class FastWaveSolver:
                 rhs_u = jnp.where(
                     interior, mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
                     0.0)
-                res_u = pcg(apply_u, rhs_u, jnp.where(interior, u, 0.0),
-                            precond_inv_diag=prec_u, abs_tol=abs_tol,
+                x0_u = jnp.where(interior, u, 0.0)
+                res_u = pcg(apply_u, rhs_u, x0_u, precond_inv_diag=prec_u,
+                            abs_tol=self._solve_abs_tol(rhs_u, x0_u,
+                                                        self.system),
                             max_iter=max_iter)
                 u_new = res_u.x.astype(self.dtype)
                 rhs_v = jnp.where(
                     interior,
                     mv - (dt * (1.0 - th)) * ku - (dt * th) * self.stiff(u_new),
                     0.0)
-                res_v = pcg(apply_m, rhs_v, jnp.where(interior, v, 0.0),
-                            precond_inv_diag=prec_m, abs_tol=abs_tol,
+                x0_v = jnp.where(interior, v, 0.0)
+                res_v = pcg(apply_m, rhs_v, x0_v, precond_inv_diag=prec_m,
+                            abs_tol=self._solve_abs_tol(rhs_v, x0_v,
+                                                        self.mass),
                             max_iter=max_iter)
                 return FastState(u=u_new, v=res_v.x.astype(self.dtype), a=a)
         else:
@@ -439,6 +465,145 @@ class FastWaveSolver:
 
         runner = cached_scan(self, ("imp", block_rows, interpret,
                                      self.scheme), step, n_steps)
+        out = runner(FastState(pad(state.u), pad(state.v), pad(state.a)))
+        return FastState(u=out.u[:h, :w], v=out.v[:h, :w], a=out.a[:h, :w])
+
+    # ------------------------------------------------------------------
+    # implicit stepping with the fused Chebyshev-block solver: the whole
+    # linear solve runs as a handful of temporally-blocked Pallas passes
+    # (no dot products -> no per-iteration HBM round-trips); see
+    # solve/cheby_iter.py for the design
+    # ------------------------------------------------------------------
+    def run_implicit_cheby(self, state: FastState, n_steps: int,
+                           degree: int = 8, block_rows: int = 128,
+                           interpret: bool = False) -> FastState:
+        """Newmark (beta>0) or theta stepping where each linear system is
+        solved by restarted Chebyshev iteration with analytic stencil-symbol
+        eigenvalue bounds, ``degree`` iterations fused per kernel pass.
+        Same stopping contract as the CG paths (max(abs_tol, 1e-6*||r0||))."""
+        from tpuwave.ops.pallas_kernels import (cheby_block_pallas,
+                                                constrained_stencil_apply_pallas,
+                                                newmark_rhs_r0_pallas,
+                                                newmark_update_pallas)
+        from tpuwave.solve.cheby_iter import (chebyshev_coefficients,
+                                              stencil_symbol_bounds)
+
+        if self.scheme == "newmark" and self.beta <= 1e-12:
+            raise ValueError(
+                "run_implicit_cheby needs beta > 0 (explicit beta=0 is the "
+                "leapfrog/lumped path: run_leapfrog_* / run_scan)")
+        h, w = self.shape
+        hp = -(-h // block_rows) * block_rows
+        wp = -(-w // 128) * 128
+        max_iter = 10000 if self.dtype == jnp.float64 else 2000
+        eta = (1e-12 if self.dtype == jnp.float64
+               else 8 * float(jnp.finfo(self.dtype).eps))
+
+        ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        interior = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
+
+        def make_blocks(op):
+            """while_loop of fused Chebyshev blocks on (x, r) until the
+            stopping rule; shared by both entry forms below."""
+            st_coeffs = op.stencil
+            lo, hi = stencil_symbol_bounds(st_coeffs)
+            theta_c, coeffs = chebyshev_coefficients(lo, hi, degree)
+            coeffs = tuple(coeffs)
+
+            def tol2_of(rn2_0, bn2, xn2):
+                # backward-error floor (see _solve_abs_tol) + the
+                # reference's relative reduction
+                floor = eta * (hi * jnp.sqrt(xn2) + jnp.sqrt(bn2))
+                return jnp.maximum(floor * floor,
+                                   jnp.float32(1e-12) * rn2_0)
+
+            def run_blocks(x0, r0, rn2_0, tol2):
+                def cond(c):
+                    x, r, rn2, k = c
+                    return jnp.logical_and(rn2 > tol2, k < max_iter)
+
+                def body(c):
+                    x, r, _, k = c
+                    x, r, rn2 = cheby_block_pallas(
+                        x, r, stencil=st_coeffs, theta=theta_c,
+                        coeffs=coeffs, block_rows=block_rows, true_rows=h,
+                        true_cols=w, interpret=interpret)
+                    return (x, r, rn2[0, 0], k + degree)
+
+                x, r, rn2, k = jax.lax.while_loop(
+                    cond, body, (x0, r0, rn2_0, jnp.asarray(0, jnp.int32)))
+                return x
+
+            return run_blocks, tol2_of
+
+        def make_solve(op):
+            st_coeffs = op.stencil
+            diag = op.stencil[1][1]
+            run_blocks, tol2_of = make_blocks(op)
+
+            def solve(rhs, x0):
+                ax0 = constrained_stencil_apply_pallas(
+                    x0, stencil=st_coeffs, diag=diag, block_rows=block_rows,
+                    true_rows=h, true_cols=w, interpret=interpret)
+                r0 = rhs - ax0
+                rn2_0 = jnp.sum(r0.astype(jnp.float32) ** 2)
+                bn2 = jnp.sum(rhs.astype(jnp.float32) ** 2)
+                xn2 = jnp.sum(x0.astype(jnp.float32) ** 2)
+                return run_blocks(x0, r0, rn2_0, tol2_of(rn2_0, bn2, xn2))
+
+            return solve
+
+        def pad(x):
+            return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
+
+        dt, beta, gamma, th = self.dt, self.beta, self.gamma, self.theta
+
+        if self.scheme == "newmark":
+            run_blocks_a, tol2_a = make_blocks(self.system)
+            k_st = self.stiff.stencil
+            a_st = self.system.stencil
+
+            def step(st):
+                u, v, a = st
+                # fused setup: z, r0 = rhs - A(masked a) + norms, one pass
+                r0, z, rn2, bn2, xn2 = newmark_rhs_r0_pallas(
+                    u, v, a, k_stencil=k_st, a_stencil=a_st, c_zv=dt,
+                    c_za=dt * dt * (0.5 - beta), block_rows=block_rows,
+                    true_rows=h, true_cols=w, interpret=interpret)
+                # solve A e = r0 from e=0; a_new = masked(a) + e (warm start)
+                e = run_blocks_a(jnp.zeros_like(r0), r0, rn2[0, 0],
+                                 tol2_a(rn2[0, 0], bn2[0, 0], xn2[0, 0]))
+                u_new, v_new, a_new = newmark_update_pallas(
+                    z, v, a, e, c_ua=beta * dt * dt,
+                    c_va=dt * (1.0 - gamma), c_van=dt * gamma,
+                    block_rows=block_rows, true_rows=h, true_cols=w,
+                    interpret=interpret)
+                return FastState(u=u_new, v=v_new, a=a_new)
+        elif self.scheme == "theta":
+            solve_u = make_solve(self.system)
+            solve_m = make_solve(self.mass)
+
+            def step(st):
+                u, v, a = st
+                mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
+                rhs_u = jnp.where(
+                    interior, mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
+                    0.0)
+                u_new = solve_u(rhs_u, jnp.where(interior, u, 0.0)).astype(
+                    self.dtype)
+                rhs_v = jnp.where(
+                    interior,
+                    mv - (dt * (1.0 - th)) * ku - (dt * th) * self.stiff(u_new),
+                    0.0)
+                v_new = solve_m(rhs_v, jnp.where(interior, v, 0.0)).astype(
+                    self.dtype)
+                return FastState(u=u_new, v=v_new, a=a)
+        else:
+            raise ValueError("run_implicit_cheby needs scheme newmark/theta")
+
+        runner = cached_scan(self, ("cheby", degree, block_rows, interpret,
+                                    self.scheme), step, n_steps)
         out = runner(FastState(pad(state.u), pad(state.v), pad(state.a)))
         return FastState(u=out.u[:h, :w], v=out.v[:h, :w], a=out.a[:h, :w])
 

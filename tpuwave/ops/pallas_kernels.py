@@ -33,7 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["leapfrog_step_pallas", "leapfrog_multistep_pallas",
-           "constrained_stencil_apply_pallas"]
+           "constrained_stencil_apply_pallas", "cheby_block_pallas",
+           "newmark_rhs_r0_pallas", "newmark_update_pallas"]
 
 
 _HALO = 8  # Mosaic sublane tiling: all dim-0 DMA slices must be 8-aligned
@@ -212,6 +213,173 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
     out_up_ref[:, :] = prev[hh:hh + br, :].astype(out_up_ref.dtype)
 
 
+def _newmark_rhs_r0_kernel(u_hbm, v_hbm, a_hbm, out_r0_ref, out_z_ref,
+                           out_rn_ref, out_bn_ref, out_xn_ref, scr_u, scr_v,
+                           scr_a, sem_u, sem_v, sem_a, *, k_stencil,
+                           a_stencil, c_zv: float, c_za: float,
+                           block_rows: int, n_rows: int, n_cols: int,
+                           true_cols: int):
+    """Fused Newmark solve-setup: z = u + dt v + (1/2-beta) dt^2 a,
+    rhs = interior-masked -K z, r0 = rhs - A_sys(interior-masked a), plus
+    the partials ||r0||^2, ||rhs||^2, ||x0||^2 for the solver's stopping
+    rule — one pass over u, v, a instead of the XLA roll path's many (the
+    warm start moves to a zero-initialised correction: the caller solves
+    A e = r0, then a_new = masked(a) + e)."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = _HALO
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
+    _halo_dma(v_hbm, scr_v, sem_v, i, n_blocks, br, n_cols)
+    _halo_dma(a_hbm, scr_a, sem_a, i, n_blocks, br, n_cols)
+
+    pinned = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
+    a = scr_a[:, :]
+    z = scr_u[:, :] + c_zv * scr_v[:, :] + c_za * a
+    z = jnp.where(pinned, 0.0, z)      # homogeneous-Dirichlet fast path
+    kz = _rolled_stencil(z, k_stencil, n_cols)
+    x0 = jnp.where(pinned, 0.0, a)
+    ax0 = _rolled_stencil(x0, a_stencil, n_cols)
+    cen = slice(hh, hh + br)
+    rhs = jnp.where(pinned, 0.0, -kz)[cen, :]
+    r0c = rhs - jnp.where(pinned, 0.0, ax0)[cen, :]
+    out_r0_ref[:, :] = r0c.astype(out_r0_ref.dtype)
+    out_z_ref[:, :] = z[cen, :].astype(out_z_ref.dtype)
+
+    @pl.when(i == 0)
+    def _zero():
+        out_rn_ref[0, 0] = jnp.zeros((), jnp.float32)
+        out_bn_ref[0, 0] = jnp.zeros((), jnp.float32)
+        out_xn_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    r32 = r0c.astype(jnp.float32)
+    b32 = rhs.astype(jnp.float32)
+    x32 = x0[cen, :].astype(jnp.float32)
+    out_rn_ref[0, 0] += jnp.sum(r32 * r32)
+    out_bn_ref[0, 0] += jnp.sum(b32 * b32)
+    out_xn_ref[0, 0] += jnp.sum(x32 * x32)
+
+
+@functools.partial(jax.jit, static_argnames=("k_stencil", "a_stencil",
+                                             "c_zv", "c_za", "block_rows",
+                                             "true_rows", "true_cols",
+                                             "interpret"))
+def newmark_rhs_r0_pallas(u, v, a, *, k_stencil: Tuple, a_stencil: Tuple,
+                          c_zv: float, c_za: float, block_rows: int = 128,
+                          true_rows: int = None, true_cols: int = None,
+                          interpret: bool = False):
+    """Returns (r0, z, ||r0||^2, ||rhs||^2, ||x0||^2) for the implicit
+    Newmark a-solve in one fused pass. Same padding contract as the
+    other kernels."""
+    h, w = u.shape
+    if block_rows % _HALO != 0:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"{_HALO}")
+    if h % block_rows != 0:
+        raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
+    if w % 128 != 0 and not interpret:
+        raise ValueError(f"cols {w} not a multiple of 128 (pad + mask)")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+    if grid < 2:
+        raise ValueError("need at least 2 row blocks; use the XLA path")
+
+    kernel = functools.partial(
+        _newmark_rhs_r0_kernel, k_stencil=k_stencil, a_stencil=a_stencil,
+        c_zv=float(c_zv), c_za=float(c_za), block_rows=block_rows,
+        n_rows=n_rows, n_cols=w, true_cols=n_cols_true)
+
+    slab = (block_rows + 2 * _HALO, w)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=(
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM(slab, u.dtype), pltpu.VMEM(slab, u.dtype),
+            pltpu.VMEM(slab, u.dtype),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u, v, a)
+
+
+def _newmark_update_kernel(z_ref, v_ref, a_ref, e_ref, out_u_ref, out_v_ref,
+                           out_a_ref, *, c_ua: float, c_va: float,
+                           c_van: float, block_rows: int, n_rows: int,
+                           n_cols: int, true_cols: int):
+    """Fused Newmark state update (pure streaming, no halo):
+    a_new = masked(a) + e;  u_new = z + c_ua a_new;
+    v_new = v + c_va a + c_van a_new."""
+    i = pl.program_id(0)
+    row0 = i * block_rows
+    pinned = _pinned_mask(row0, (block_rows, n_cols), n_rows, true_cols)
+    a = a_ref[:, :]
+    a_new = jnp.where(pinned, 0.0, a) + e_ref[:, :]
+    out_a_ref[:, :] = a_new.astype(out_a_ref.dtype)
+    out_u_ref[:, :] = (z_ref[:, :] + c_ua * a_new).astype(out_u_ref.dtype)
+    out_v_ref[:, :] = (v_ref[:, :] + c_va * a
+                       + c_van * a_new).astype(out_v_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("c_ua", "c_va", "c_van",
+                                             "block_rows", "true_rows",
+                                             "true_cols", "interpret"))
+def newmark_update_pallas(z, v, a, e, *, c_ua: float, c_va: float,
+                          c_van: float, block_rows: int = 128,
+                          true_rows: int = None, true_cols: int = None,
+                          interpret: bool = False):
+    """Returns (u_new, v_new, a_new) — one streaming pass over 4 in +
+    3 out arrays (the XLA version runs ~3x off bandwidth here)."""
+    h, w = z.shape
+    if h % block_rows != 0:
+        raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+
+    kernel = functools.partial(
+        _newmark_update_kernel, c_ua=float(c_ua), c_va=float(c_va),
+        c_van=float(c_van), block_rows=block_rows, n_rows=n_rows, n_cols=w,
+        true_cols=n_cols_true)
+
+    bs = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[bs, bs, bs, bs],
+        out_specs=(bs, bs, bs),
+        out_shape=(jax.ShapeDtypeStruct(z.shape, z.dtype),) * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(z, v, a, e)
+
+
 def _constrained_apply_kernel(x_hbm, out_ref, scratch, sem, *, stencil,
                               diag: float, block_rows: int, n_rows: int,
                               n_cols: int, true_cols: int):
@@ -233,6 +401,118 @@ def _constrained_apply_kernel(x_hbm, out_ref, scratch, sem, *, stencil,
     out = jnp.where(pinned[hh:hh + br, :], diag * a_raw[hh:hh + br, :],
                     ku_full[hh:hh + br, :])
     out_ref[:, :] = out.astype(out_ref.dtype)
+
+
+def _cheby_block_kernel(x_ref, r_hbm, out_x_ref, out_r_ref, out_rn_ref,
+                        scr_r, sem, *, stencil, theta: float, coeffs,
+                        block_rows: int, n_rows: int, n_cols: int,
+                        true_cols: int, halo: int):
+    """One restarted Chebyshev block (degree = 1 + len(coeffs)) fused into
+    a single halo-DMA pass: the solver analogue of the temporal-blocking
+    leapfrog kernel. Only r needs a halo (it feeds the stencil); x is
+    touched elementwise, so its block streams in/out without halo. The
+    Dirichlet/pad mask is re-applied to r after every stencil so lane-roll
+    wraparound never propagates inward; slab-edge wrap garbage advances one
+    row per stencil and dies in the >= degree-row halo. The residual
+    norm^2 accumulates across the (sequential) grid into a (1,1) output —
+    the stopping check costs no extra HBM pass."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = halo
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    _halo_dma(r_hbm, scr_r, sem, i, n_blocks, br, n_cols, hh=hh)
+
+    pinned = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
+    r = jnp.where(pinned, 0.0, scr_r[:, :])
+    d = (1.0 / theta) * r
+    xc = x_ref[:, :] + d[hh:hh + br, :]
+    r = jnp.where(pinned, 0.0, r - _rolled_stencil(d, stencil, n_cols))
+    for c1, c2 in coeffs:
+        d = c1 * d + c2 * r
+        xc = xc + d[hh:hh + br, :]
+        r = jnp.where(pinned, 0.0, r - _rolled_stencil(d, stencil, n_cols))
+
+    out_x_ref[:, :] = xc.astype(out_x_ref.dtype)
+    rc = r[hh:hh + br, :]
+    out_r_ref[:, :] = rc.astype(out_r_ref.dtype)
+
+    @pl.when(i == 0)
+    def _zero():
+        out_rn_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    rc32 = rc.astype(jnp.float32)
+    out_rn_ref[0, 0] += jnp.sum(rc32 * rc32)
+
+
+@functools.partial(jax.jit, static_argnames=("stencil", "theta", "coeffs",
+                                             "block_rows", "true_rows",
+                                             "true_cols", "interpret"))
+def cheby_block_pallas(x, r, *, stencil: Tuple, theta: float, coeffs: Tuple,
+                       block_rows: int = 128, true_rows: int = None,
+                       true_cols: int = None, interpret: bool = False):
+    """Advance one restarted Chebyshev block on the constrained stencil
+    system: returns (x_new, r_new, ||r_new||^2 as f32 scalar).
+
+    ``theta``/``coeffs`` come from solve/cheby_iter.py::
+    chebyshev_coefficients — data-independent scalars baked in as kernel
+    constants (the property that makes the solver fusable at all). Same
+    padding contract as the other kernels; ``r`` must be zero on pinned
+    rows (every fast-path solve constructs it that way).
+    """
+    h, w = x.shape
+    degree = 1 + len(coeffs)
+    halo = -(-degree // _HALO) * _HALO
+    if block_rows % _HALO != 0:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"{_HALO}")
+    if block_rows < halo:
+        raise ValueError(f"block_rows {block_rows} must be >= the "
+                         f"{halo}-row halo for degree {degree}")
+    if h % block_rows != 0:
+        raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
+    if w % 128 != 0 and not interpret:
+        raise ValueError(f"cols {w} not a multiple of 128 (pad + mask)")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+    if grid < 2:
+        raise ValueError("need at least 2 row blocks; use the XLA path")
+
+    kernel = functools.partial(
+        _cheby_block_kernel, stencil=stencil, theta=float(theta),
+        coeffs=tuple(coeffs), block_rows=block_rows, n_rows=n_rows,
+        n_cols=w, true_cols=n_cols_true, halo=halo)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # x block
+            pl.BlockSpec(memory_space=pltpu.ANY),    # r in HBM (halo DMA)
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(r.shape, r.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows + 2 * halo, w), r.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, r)
 
 
 @functools.partial(jax.jit, static_argnames=("stencil", "diag", "block_rows",
