@@ -172,3 +172,61 @@ def test_implicit_cheby_matches_roll_path(scheme, kw):
     # same schemes, both solved to the 1e-6 relative tolerance contract
     np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_theta_r0_kernels_match_xla():
+    """theta_r0u/theta_r0v == the XLA roll-path residual algebra on
+    interior nodes (f64, interpret mode)."""
+    from tpuwave.ops.pallas_kernels import theta_r0u_pallas, theta_r0v_pallas
+
+    th, dt = 0.5, 0.01
+    solver = FastWaveSolver((30, 38), ((0.0, 0.0), (1.0, 1.0)), dt,
+                            scheme="theta", theta=th, lumped=False,
+                            dtype=jnp.float64)
+    h, w = solver.shape
+    hp, wp = 48, 64
+    rng = np.random.default_rng(7)
+    interior = np.zeros((hp, wp), bool)
+    interior[1:h - 1, 1:w - 1] = True
+    u = jnp.asarray(np.where(interior, rng.normal(size=(hp, wp)), 0.0))
+    v = jnp.asarray(np.where(interior, rng.normal(size=(hp, wp)), 0.0))
+    e = jnp.asarray(np.where(interior, rng.normal(size=(hp, wp)), 0.0))
+    ii = jnp.asarray(interior)
+
+    mu, ku, mv = solver.mass(u), solver.stiff(u), solver.mass(v)
+    rhs_u = jnp.where(ii, mu - (dt * dt * th * (1 - th)) * ku + dt * mv, 0.0)
+    au = jnp.where(ii, solver.system(jnp.where(ii, u, 0.0)), 0.0)
+    want_r0u = rhs_u - au
+
+    r0u, rn2, bn2, xn2 = theta_r0u_pallas(
+        u, v, m_stencil=solver.mass.stencil, k_stencil=solver.stiff.stencil,
+        c_comb=-dt * dt * th * (1 - th), c_r0k=-dt * dt * th, c_mv=dt,
+        block_rows=16, true_rows=h, true_cols=w, interpret=True)
+    np.testing.assert_allclose(np.asarray(r0u)[:h, :w],
+                               np.asarray(want_r0u)[:h, :w],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(rn2[0, 0]), float(jnp.vdot(r0u, r0u)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(bn2[0, 0]), float(jnp.vdot(rhs_u, rhs_u)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(xn2[0, 0]), float(jnp.vdot(u, u)),
+                               rtol=1e-5)
+
+    u_new_want = jnp.where(ii, u, 0.0) + e
+    rhs_v = jnp.where(ii, mv - dt * (1 - th) * ku
+                      - dt * th * solver.stiff(u_new_want), 0.0)
+    mvv = jnp.where(ii, solver.mass(jnp.where(ii, v, 0.0)), 0.0)
+    want_r0v = rhs_v - mvv
+
+    u_new, r0v, rn2v, bn2v, xn2v = theta_r0v_pallas(
+        u, e, v, m_stencil=solver.mass.stencil,
+        k_stencil=solver.stiff.stencil, c_ku=-dt * (1 - th), c_kun=-dt * th,
+        block_rows=16, true_rows=h, true_cols=w, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_new)[:h, :w],
+                               np.asarray(u_new_want)[:h, :w],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r0v)[:h, :w],
+                               np.asarray(want_r0v)[:h, :w],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(bn2v[0, 0]),
+                               float(jnp.vdot(rhs_v, rhs_v)), rtol=1e-5)

@@ -482,9 +482,10 @@ class FastWaveSolver:
         eigenvalue bounds, ``degree`` iterations fused per kernel pass.
         Same stopping contract as the CG paths (max(abs_tol, 1e-6*||r0||))."""
         from tpuwave.ops.pallas_kernels import (cheby_block_pallas,
-                                                constrained_stencil_apply_pallas,
                                                 newmark_rhs_r0_pallas,
-                                                newmark_update_pallas)
+                                                newmark_update_pallas,
+                                                theta_r0u_pallas,
+                                                theta_r0v_pallas)
         from tpuwave.solve.cheby_iter import (chebyshev_coefficients,
                                               stencil_symbol_bounds)
 
@@ -537,23 +538,6 @@ class FastWaveSolver:
 
             return run_blocks, tol2_of
 
-        def make_solve(op):
-            st_coeffs = op.stencil
-            diag = op.stencil[1][1]
-            run_blocks, tol2_of = make_blocks(op)
-
-            def solve(rhs, x0):
-                ax0 = constrained_stencil_apply_pallas(
-                    x0, stencil=st_coeffs, diag=diag, block_rows=block_rows,
-                    true_rows=h, true_cols=w, interpret=interpret)
-                r0 = rhs - ax0
-                rn2_0 = jnp.sum(r0.astype(jnp.float32) ** 2)
-                bn2 = jnp.sum(rhs.astype(jnp.float32) ** 2)
-                xn2 = jnp.sum(x0.astype(jnp.float32) ** 2)
-                return run_blocks(x0, r0, rn2_0, tol2_of(rn2_0, bn2, xn2))
-
-            return solve
-
         def pad(x):
             return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
 
@@ -581,24 +565,34 @@ class FastWaveSolver:
                     interpret=interpret)
                 return FastState(u=u_new, v=v_new, a=a_new)
         elif self.scheme == "theta":
-            solve_u = make_solve(self.system)
-            solve_m = make_solve(self.mass)
+            run_blocks_u, tol2_u = make_blocks(self.system)
+            run_blocks_m, tol2_m = make_blocks(self.mass)
+            m_st = self.mass.stencil
+            k_st = self.stiff.stencil
 
             def step(st):
                 u, v, a = st
-                mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
-                rhs_u = jnp.where(
-                    interior, mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
-                    0.0)
-                u_new = solve_u(rhs_u, jnp.where(interior, u, 0.0)).astype(
-                    self.dtype)
-                rhs_v = jnp.where(
-                    interior,
-                    mv - (dt * (1.0 - th)) * ku - (dt * th) * self.stiff(u_new),
-                    0.0)
-                v_new = solve_m(rhs_v, jnp.where(interior, v, 0.0)).astype(
-                    self.dtype)
-                return FastState(u=u_new, v=v_new, a=a)
+                # fused setup: r0_u = rhs_u - A_u(masked u) + norms, one
+                # pass (the M u terms cancel analytically — see kernel)
+                r0u, rn2, bn2, xn2 = theta_r0u_pallas(
+                    u, v, m_stencil=m_st, k_stencil=k_st,
+                    c_comb=-dt * dt * th * (1.0 - th), c_r0k=-dt * dt * th,
+                    c_mv=dt, block_rows=block_rows, true_rows=h,
+                    true_cols=w, interpret=interpret)
+                e_u = run_blocks_u(jnp.zeros_like(r0u), r0u, rn2[0, 0],
+                                   tol2_u(rn2[0, 0], bn2[0, 0], xn2[0, 0]))
+                # fused u update + v-solve setup in the same halo pass
+                u_new, r0v, rn2v, bn2v, xn2v = theta_r0v_pallas(
+                    u, e_u, v, m_stencil=m_st, k_stencil=k_st,
+                    c_ku=-dt * (1.0 - th), c_kun=-dt * th,
+                    block_rows=block_rows, true_rows=h, true_cols=w,
+                    interpret=interpret)
+                e_v = run_blocks_m(
+                    jnp.zeros_like(r0v), r0v, rn2v[0, 0],
+                    tol2_m(rn2v[0, 0], bn2v[0, 0], xn2v[0, 0]))
+                v_new = jnp.where(interior, v, 0.0) + e_v
+                return FastState(u=u_new.astype(self.dtype),
+                                 v=v_new.astype(self.dtype), a=a)
         else:
             raise ValueError("run_implicit_cheby needs scheme newmark/theta")
 

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["leapfrog_step_pallas", "leapfrog_multistep_pallas",
            "constrained_stencil_apply_pallas", "cheby_block_pallas",
-           "newmark_rhs_r0_pallas", "newmark_update_pallas"]
+           "newmark_rhs_r0_pallas", "newmark_update_pallas",
+           "theta_r0u_pallas", "theta_r0v_pallas"]
 
 
 _HALO = 8  # Mosaic sublane tiling: all dim-0 DMA slices must be 8-aligned
@@ -325,6 +326,229 @@ def newmark_rhs_r0_pallas(u, v, a, *, k_stencil: Tuple, a_stencil: Tuple,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(u, v, a)
+
+
+def _theta_r0u_kernel(u_hbm, v_hbm, out_r0_ref, out_rn_ref, out_bn_ref,
+                      out_xn_ref, scr_u, scr_v, sem_u, sem_v, *, m_stencil,
+                      k_stencil, c_comb: float, c_r0k: float, c_mv: float,
+                      block_rows: int, n_rows: int, n_cols: int,
+                      true_cols: int):
+    """Fused theta u-solve setup (homogeneous-Dirichlet fast path).
+
+    The theta u-system (reference WaveTheta.cpp:119-186, 251-294) is
+    A_u u^{n+1} = rhs_u with A_u = M + (theta dt)^2 K and
+    rhs_u = M u - dt^2 th(1-th) K u + dt M v. With warm start x0 = u the
+    M u terms cancel exactly, so the initial residual is
+
+        r0 = interior( c_r0k * K u + c_mv * M v ),  c_r0k = -dt^2 theta.
+
+    rhs itself is only needed for the stopping rule's ||rhs||, so it is
+    reduced in-kernel (c_comb = -dt^2 th(1-th)) and never written. One
+    halo pass over u, v replaces the XLA path's 4+ stencil passes."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = _HALO
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
+    _halo_dma(v_hbm, scr_v, sem_v, i, n_blocks, br, n_cols)
+
+    pinned = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
+    u = jnp.where(pinned, 0.0, scr_u[:, :])
+    v = jnp.where(pinned, 0.0, scr_v[:, :])
+    ku = _rolled_stencil(u, k_stencil, n_cols)
+    mu = _rolled_stencil(u, m_stencil, n_cols)
+    mv = _rolled_stencil(v, m_stencil, n_cols)
+
+    cen = slice(hh, hh + br)
+    pin_c = pinned[cen, :]
+    r0c = jnp.where(pin_c, 0.0, (c_r0k * ku + c_mv * mv)[cen, :])
+    rhsc = jnp.where(pin_c, 0.0, (mu + c_comb * ku + c_mv * mv)[cen, :])
+    out_r0_ref[:, :] = r0c.astype(out_r0_ref.dtype)
+
+    @pl.when(i == 0)
+    def _zero():
+        out_rn_ref[0, 0] = jnp.zeros((), jnp.float32)
+        out_bn_ref[0, 0] = jnp.zeros((), jnp.float32)
+        out_xn_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    r32 = r0c.astype(jnp.float32)
+    b32 = rhsc.astype(jnp.float32)
+    x32 = u[cen, :].astype(jnp.float32)
+    out_rn_ref[0, 0] += jnp.sum(r32 * r32)
+    out_bn_ref[0, 0] += jnp.sum(b32 * b32)
+    out_xn_ref[0, 0] += jnp.sum(x32 * x32)
+
+
+@functools.partial(jax.jit, static_argnames=("m_stencil", "k_stencil",
+                                             "c_comb", "c_r0k", "c_mv",
+                                             "block_rows", "true_rows",
+                                             "true_cols", "interpret"))
+def theta_r0u_pallas(u, v, *, m_stencil: Tuple, k_stencil: Tuple,
+                     c_comb: float, c_r0k: float, c_mv: float,
+                     block_rows: int = 128, true_rows: int = None,
+                     true_cols: int = None, interpret: bool = False):
+    """Returns (r0, ||r0||^2, ||rhs||^2, ||x0||^2) for the theta u-solve in
+    one fused pass; the caller solves A_u e = r0 from e=0 and sets
+    u_new = interior(u) + e. Same padding contract as the other kernels."""
+    h, w = u.shape
+    if block_rows % _HALO != 0:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"{_HALO}")
+    if h % block_rows != 0:
+        raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
+    if w % 128 != 0 and not interpret:
+        raise ValueError(f"cols {w} not a multiple of 128 (pad + mask)")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+    if grid < 2:
+        raise ValueError("need at least 2 row blocks; use the XLA path")
+
+    kernel = functools.partial(
+        _theta_r0u_kernel, m_stencil=m_stencil, k_stencil=k_stencil,
+        c_comb=float(c_comb), c_r0k=float(c_r0k), c_mv=float(c_mv),
+        block_rows=block_rows, n_rows=n_rows, n_cols=w,
+        true_cols=n_cols_true)
+
+    slab = (block_rows + 2 * _HALO, w)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=(
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            smem, smem, smem,
+        ),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM(slab, u.dtype), pltpu.VMEM(slab, u.dtype),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u, v)
+
+
+def _theta_r0v_kernel(u_hbm, e_hbm, v_hbm, out_un_ref, out_r0_ref,
+                      out_rn_ref, out_bn_ref, out_xn_ref, scr_u, scr_e,
+                      scr_v, sem_u, sem_e, sem_v, *, m_stencil, k_stencil,
+                      c_ku: float, c_kun: float, block_rows: int,
+                      n_rows: int, n_cols: int, true_cols: int):
+    """Fused theta v-solve setup + u update.
+
+    u_new = interior(u) + e (the u-solve's correction); the v-system is
+    M v^{n+1} = rhs_v with rhs_v = M v - dt(1-th) K u - dt th K u_new
+    (reference WaveTheta.cpp:188-249). With warm start x0 = v the M v
+    terms cancel, so
+
+        r0 = interior( c_ku * K u + c_kun * K u_new ),
+        c_ku = -dt(1-th),  c_kun = -dt th.
+
+    One halo pass over u, e, v emits u_new, r0 and the stopping-rule
+    norms."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = _HALO
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
+    _halo_dma(e_hbm, scr_e, sem_e, i, n_blocks, br, n_cols)
+    _halo_dma(v_hbm, scr_v, sem_v, i, n_blocks, br, n_cols)
+
+    pinned = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
+    u = jnp.where(pinned, 0.0, scr_u[:, :])
+    un = u + jnp.where(pinned, 0.0, scr_e[:, :])
+    v = jnp.where(pinned, 0.0, scr_v[:, :])
+    ku = _rolled_stencil(u, k_stencil, n_cols)
+    kun = _rolled_stencil(un, k_stencil, n_cols)
+    mv = _rolled_stencil(v, m_stencil, n_cols)
+
+    cen = slice(hh, hh + br)
+    pin_c = pinned[cen, :]
+    r0c = jnp.where(pin_c, 0.0, (c_ku * ku + c_kun * kun)[cen, :])
+    rhsc = jnp.where(pin_c, 0.0, (mv + c_ku * ku + c_kun * kun)[cen, :])
+    out_un_ref[:, :] = un[cen, :].astype(out_un_ref.dtype)
+    out_r0_ref[:, :] = r0c.astype(out_r0_ref.dtype)
+
+    @pl.when(i == 0)
+    def _zero():
+        out_rn_ref[0, 0] = jnp.zeros((), jnp.float32)
+        out_bn_ref[0, 0] = jnp.zeros((), jnp.float32)
+        out_xn_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    r32 = r0c.astype(jnp.float32)
+    b32 = rhsc.astype(jnp.float32)
+    x32 = v[cen, :].astype(jnp.float32)
+    out_rn_ref[0, 0] += jnp.sum(r32 * r32)
+    out_bn_ref[0, 0] += jnp.sum(b32 * b32)
+    out_xn_ref[0, 0] += jnp.sum(x32 * x32)
+
+
+@functools.partial(jax.jit, static_argnames=("m_stencil", "k_stencil",
+                                             "c_ku", "c_kun", "block_rows",
+                                             "true_rows", "true_cols",
+                                             "interpret"))
+def theta_r0v_pallas(u, e, v, *, m_stencil: Tuple, k_stencil: Tuple,
+                     c_ku: float, c_kun: float, block_rows: int = 128,
+                     true_rows: int = None, true_cols: int = None,
+                     interpret: bool = False):
+    """Returns (u_new, r0, ||r0||^2, ||rhs||^2, ||x0||^2) for the theta
+    v-solve in one fused pass; the caller solves M e_v = r0 from e_v=0 and
+    sets v_new = interior(v) + e_v."""
+    h, w = u.shape
+    if block_rows % _HALO != 0:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"{_HALO}")
+    if h % block_rows != 0:
+        raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
+    if w % 128 != 0 and not interpret:
+        raise ValueError(f"cols {w} not a multiple of 128 (pad + mask)")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+    if grid < 2:
+        raise ValueError("need at least 2 row blocks; use the XLA path")
+
+    kernel = functools.partial(
+        _theta_r0v_kernel, m_stencil=m_stencil, k_stencil=k_stencil,
+        c_ku=float(c_ku), c_kun=float(c_kun), block_rows=block_rows,
+        n_rows=n_rows, n_cols=w, true_cols=n_cols_true)
+
+    slab = (block_rows + 2 * _HALO, w)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=(blk, blk, smem, smem, smem),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM(slab, u.dtype), pltpu.VMEM(slab, u.dtype),
+            pltpu.VMEM(slab, u.dtype),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u, e, v)
 
 
 def _newmark_update_kernel(z_ref, v_ref, a_ref, e_ref, out_u_ref, out_v_ref,
