@@ -40,6 +40,9 @@ def parse_args():
                             "newmark-0.00", "newmark-0.25"])
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     p.add_argument("--job-id", default=os.environ.get("PBS_JOBID", ""))
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: jax.distributed.initialize + a "
+                        "DCN-aware (hosts x local-chips) 2D mesh")
     return p.parse_args()
 
 
@@ -58,7 +61,11 @@ def main():
     from tpuwave.harness import SCHEME_DEFS
     from tpuwave.models.fast import FastWaveSolver
     from tpuwave.models.runner import time_steps
-    from tpuwave.parallel.sharding import device_mesh, grid_sharding
+    from tpuwave.parallel.sharding import (dcn_device_mesh, device_mesh,
+                                           grid_sharding, init_distributed)
+
+    if args.distributed:
+        init_distributed()
 
     dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
     n_steps = len(time_steps(args.T, args.dt))
@@ -78,7 +85,13 @@ def main():
             if n_dev > n_avail:
                 print(f"[SKIP] {n_dev} devices requested, {n_avail} available")
                 continue
-            sharding = grid_sharding(device_mesh(n_dev)) if n_dev > 1 else None
+            if args.distributed and n_dev == n_avail:
+                # hosts x local-chips: row halos over DCN only at host
+                # boundaries, column halos over ICI
+                sharding = grid_sharding(dcn_device_mesh())
+            else:
+                sharding = grid_sharding(device_mesh(n_dev)) if n_dev > 1 \
+                    else None
             for scheme_name in args.schemes:
                 sdef = SCHEME_DEFS[scheme_name]
                 ov = sdef["overrides"]

@@ -80,3 +80,19 @@ def test_init_distributed_noop_without_env(monkeypatch):
     from tpuwave.parallel.sharding import init_distributed
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert init_distributed() is False
+
+
+def test_dcn_device_mesh_single_process():
+    """Single-process fallback: (1, n_local) hosts x chips mesh, usable by
+    grid_sharding for a column split over the 'x' axis."""
+    import jax
+    from tpuwave.parallel.sharding import dcn_device_mesh, grid_sharding
+
+    mesh = dcn_device_mesh()
+    assert mesh.axis_names == ("y", "x")
+    assert mesh.devices.shape == (1, len(jax.devices()))
+    sh = grid_sharding(mesh)
+
+    import jax.numpy as jnp
+    x = jax.device_put(jnp.arange(64.0).reshape(8, 8), sh)
+    assert float(jnp.sum(x)) == float(64 * 63 / 2)

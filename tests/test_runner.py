@@ -160,3 +160,16 @@ def test_probe_value_matches_fe_interpolation(tmp_path):
     got = float(d.probe(st.u))
     # P1 interpolation error at h=1/9 is ~3e-2
     assert got == pytest.approx(np.sin(np.pi * 0.5) ** 2, abs=0.05)
+
+
+def test_runlogs_disabled_writes_nothing(tmp_path):
+    """enabled=False (non-primary host, rank-0 file semantics): no files."""
+    from tpuwave.utils.csvlog import RunLogs
+
+    logs = RunLogs(tmp_path / "run", tmp_path / "conv.csv", enabled=False)
+    logs.log_energy(1, 0.1, 2.5)
+    logs.log_error(1, 0.1, 1e-3, 1e-2, 1e-3, 1e-2)
+    logs.log_probe(1, 0.1, 0.5)
+    logs.log_iterations(1, 0.1, 3, 4)
+    assert not (tmp_path / "run").exists()
+    assert not (tmp_path / "conv.csv").exists()

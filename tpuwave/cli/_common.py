@@ -49,18 +49,36 @@ def run_main(family: str, make_solver, argv=None) -> int:
     parser.add_argument("--vtu-pieces", type=int, default=1,
                         help="VTU pieces per output record, one per shard "
                              "(0 = one per local device)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host run: call jax.distributed.initialize "
+                             "from the JAX coordination env vars (the "
+                             "counterpart of the reference's mpirun launch)")
     args = parser.parse_args(argv)
 
+    if args.distributed:
+        from tpuwave.parallel.sharding import init_distributed
+        if not init_distributed():
+            print("--distributed: no coordination env configured "
+                  "(JAX_COORDINATOR_ADDRESS unset); continuing single-host",
+                  file=sys.stderr)
+
     config.use_x64(not args.f32)
+
+    import jax
+    primary = jax.process_index() == 0
+    if not primary:
+        args.quiet = True
 
     parameters_file = args.parameters
     if parameters_file is None:
         parameters_file = DEFAULT_PARAM_FILE
-        print(f"Usage: tpuwave-{family} <path-to-parameters-file>")
-        print(f"Using default parameter file: {parameters_file}")
-    else:
+        if primary:
+            print(f"Usage: tpuwave-{family} <path-to-parameters-file>")
+            print(f"Using default parameter file: {parameters_file}")
+    elif primary:
         print(f"Using parameter file from argument: {parameters_file}")
-    print("===============================================")
+    if primary:
+        print("===============================================")
 
     try:
         params = load_params(parameters_file)
@@ -80,11 +98,12 @@ def run_main(family: str, make_solver, argv=None) -> int:
     os.environ["NMPDE_LOG_EVERY"] = str(params.effective_log_every)
 
     problem_name = f"{family}-{Path(parameters_file).stem}"
-    print(f"  Problem name: {problem_name}")
     # counterpart of main-newmark's MPI library/size report
-    import jax
     devs = jax.devices()
-    print(f"  Backend: {devs[0].platform}, {len(devs)} device(s)")
+    if primary:
+        print(f"  Problem name: {problem_name}")
+        print(f"  Backend: {devs[0].platform}, {len(devs)} device(s), "
+              f"{jax.process_count()} process(es)")
 
     try:
         disc = Discretization(params)

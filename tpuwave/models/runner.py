@@ -90,8 +90,13 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     d = solver.disc
     p = d.params
 
+    # rank-0 semantics in multi-host runs (reference ConditionalOStream
+    # pcout, WaveEquationBase.hpp:355: only MPI rank 0 prints/writes)
+    import jax
+    primary = jax.process_index() == 0
+
     def pcout(*args):
-        if not cfg.quiet:
+        if not cfg.quiet and primary:
             print(*args)
 
     pcout("===============================================")
@@ -99,7 +104,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     pcout(f"Initializing the finite element space\n  Degree                     = {p.r}")
     pcout(f"Initializing the DoF handler\n  Number of DoFs = {d.n_dofs}")
 
-    if cfg.write_mesh:
+    if cfg.write_mesh and primary:
         try:
             write_mesh_vtk(mesh_file_name(cfg.mesh_root, p.nel, p.geometry),
                            d.mesh.vertex_coords, d.mesh.cells)
@@ -114,7 +119,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     # copy the parameter file for reproducibility
     # (reference WaveEquationBase.cpp:110-131 via NMPDE_PARAM_FILE)
     param_src = os.environ.get("NMPDE_PARAM_FILE") or p.source_path
-    if param_src and Path(param_src).exists():
+    if primary and param_src and Path(param_src).exists():
         shutil.copyfile(param_src, folder / "parameters.json")
 
     # checkpoint/resume (capability beyond the reference; utils/checkpoint.py)
@@ -132,7 +137,8 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     convergence_path = None
     if p.has_exact_solution:
         convergence_path = Path(cfg.results_root) / problem_name / "convergence.csv"
-    logs = RunLogs(folder, convergence_path, append=restored is not None)
+    logs = RunLogs(folder, convergence_path, append=restored is not None,
+                   enabled=primary)
 
     # env-variable overrides (reference main-theta.cpp:104-114)
     save_solution = env_flag_enabled("NMPDE_SAVE_SOLUTION", p.save_solution)
@@ -173,7 +179,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
          * n_pieces).astype(np.int64), n_pieces - 1)
 
     def output(timestep: int, t: float):
-        if not save_solution:
+        if not save_solution or not primary:
             return
         nv = d.mesh.n_vertices
         point_data = {"u": np.asarray(state.u)[:nv], "v": np.asarray(state.v)[:nv]}
@@ -246,7 +252,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
                 line += f",  E={current_energy:9.3e}"
             pcout(line)
 
-        if cfg.checkpoint_every > 0 and \
+        if cfg.checkpoint_every > 0 and primary and \
                 timestep_number % cfg.checkpoint_every == 0:
             from tpuwave.utils.checkpoint import save_checkpoint
             save_checkpoint(folder, timestep_number, current_time, state)

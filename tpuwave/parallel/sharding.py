@@ -21,8 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["device_mesh", "grid_sharding", "replicated", "shard_grid_arrays",
-           "init_distributed"]
+__all__ = ["device_mesh", "dcn_device_mesh", "grid_sharding", "replicated",
+           "shard_grid_arrays", "init_distributed"]
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
@@ -59,6 +59,24 @@ def device_mesh(n_devices: Optional[int] = None,
     if ry * rx != len(devs):
         raise ValueError(f"mesh shape {shape} != {len(devs)} devices")
     return Mesh(np.array(devs).reshape(ry, rx), ("y", "x"))
+
+
+def dcn_device_mesh() -> Mesh:
+    """DCN-aware 2D mesh for multi-host runs: grid ROWS over hosts
+    (slow DCN, one halo-row exchange per host boundary) x grid COLUMNS
+    over each host's local chips (fast ICI).
+
+    Every stencil halo along the column split rides ICI; only the thin
+    row boundary between adjacent hosts crosses DCN — the layout that
+    minimises DCN traffic for the row-major structured grid (SURVEY.md
+    section 5, distributed communication backend). Single-process
+    environments get a (1, n_local) mesh, so code written against this
+    helper also runs unchanged on one host.
+    """
+    n_proc = jax.process_count()
+    local = len(jax.local_devices())
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.array(devs).reshape(n_proc, local), ("y", "x"))
 
 
 def grid_sharding(mesh: Mesh) -> NamedSharding:

@@ -40,10 +40,12 @@ def to_string(x: float) -> str:
 class LazyCsv:
     """A CSV file that is created on first append."""
 
-    def __init__(self, path, header: str, append: bool = False):
+    def __init__(self, path, header: str, append: bool = False,
+                 enabled: bool = True):
         self.path = Path(path)
         self.header = header
         self.append = append
+        self.enabled = enabled
         self._fh = None
 
     @property
@@ -60,6 +62,8 @@ class LazyCsv:
                 self._fh.write(self.header + "\n")
 
     def write_row(self, *fields):
+        if not self.enabled:   # non-primary host: rank-0 file semantics
+            return
         self._ensure_open()
         self._fh.write(",".join(str(f) for f in fields) + "\n")
         self._fh.flush()
@@ -76,26 +80,26 @@ class RunLogs:
     (WaveEquationBase.cpp:143, 162, 214-220, 232, 259)."""
 
     def __init__(self, output_folder, convergence_path: Optional[Path] = None,
-                 append: bool = False):
+                 append: bool = False, enabled: bool = True):
         out = Path(output_folder)
         self.energy = LazyCsv(out / "energy.csv", "timestep,time,energy",
-                              append=append)
+                              append=append, enabled=enabled)
         self.error = LazyCsv(
             out / "error.csv",
             "timestep,time,L2_error,H1_error,rel_L2_error,rel_H1_error",
-            append=append)
+            append=append, enabled=enabled)
         self.probe = LazyCsv(out / "probe.csv", "timestep,time,u_probe",
-                             append=append)
+                             append=append, enabled=enabled)
         self.iterations = LazyCsv(out / "iterations.csv",
                                   "timestep,time,iterations_1,iterations_2",
-                                  append=append)
+                                  append=append, enabled=enabled)
         self.convergence = None
         if convergence_path is not None:
             self.convergence = LazyCsv(
                 Path(convergence_path),
                 "h,N_el_x,N_el_y,r,dt,T,method,theta,beta,gamma,"
                 "rel_L2_error_final,rel_H1_error_final,elapsed_time_s",
-                append=True)
+                append=True, enabled=enabled)
         # stream-state emulation: time column switches to scientific after
         # the first row in files that set persistent manipulators (a resumed
         # run starts in the already-scientific state)
