@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--distributed", action="store_true",
                    help="multi-host run: jax.distributed.initialize + a "
                         "DCN-aware (hosts x local-chips) 2D mesh")
+    p.add_argument("--profile-dir", default=None,
+                   help="archive a jax.profiler device trace per "
+                        "(scheme, device-count) next to the CSVs")
     return p.parse_args()
 
 
@@ -116,6 +119,15 @@ def main():
                 # on the compiled loop, min over repeats)
                 warm = solver.run_scan(state0, n_steps)
                 jax.block_until_ready(warm)
+                if args.profile_dir:
+                    # device trace of one warm run, archived next to the
+                    # CSVs (kept outside the timed repeats below)
+                    from tpuwave.utils.profiling import trace
+                    tdir = (Path(args.profile_dir)
+                            / f"{scheme_name}-p{n_dev}")
+                    with trace(str(tdir)):
+                        jax.block_until_ready(
+                            solver.run_scan(state0, n_steps))
                 for rep in range(1, args.repeats + 1):
                     t0 = time.perf_counter()
                     out = solver.run_scan(state0, n_steps)
