@@ -58,9 +58,12 @@ def main():
         return solver.run_leapfrog_scan(st, chunk)
 
     results = {}
-    # (path, steps per timed call); chunk is a multiple of the kernel's k
-    paths = [("pallas-k32", 96), ("pallas-k8", 48), ("pallas", 48),
-             ("roll", 48)] if on_accel else [("roll", 8)]
+    # (path, steps per timed call); chunk is a multiple of the kernel's k.
+    # Deep chunks amortise per-call dispatch/sync (the axon tunnel costs
+    # tens of ms per call): at chunk 6400 the k=32 kernel saturates at
+    # ~157 us/step vs 564 us/step measured at chunk 96.
+    paths = [("pallas-k32", 6400), ("pallas-k8", 960), ("pallas", 480),
+             ("roll", 96)] if on_accel else [("roll", 8)]
     for path, chunk in paths:
         try:
             st = run(state, path, chunk)

@@ -152,3 +152,11 @@ class NewmarkSolver:
 
     def step(self, state: NewmarkState, t):
         return self._step(state, t)
+
+    def run_steps(self, state: NewmarkState, times):
+        """Advance ``len(times)`` steps as ONE device program (lax.scan of
+        the step body); see ThetaSolver.run_steps."""
+        if getattr(self, "_scan", None) is None:
+            self._scan = jax.jit(lambda st, ts: jax.lax.scan(
+                self._step_impl, st, ts))
+        return self._scan(state, jnp.asarray(times))

@@ -130,3 +130,15 @@ class ThetaSolver:
 
     def step(self, state: ThetaState, t):
         return self._step(state, t)
+
+    def run_steps(self, state: ThetaState, times):
+        """Advance ``len(times)`` steps as ONE device program (lax.scan of
+        the step body) — the TPU-idiomatic whole-loop compilation of the
+        reference while-loop (SURVEY.md section 3.1). Returns
+        (final_state, stacked per-step info). Identical trajectory and CG
+        iteration counts to calling step() per step; used by the runner
+        when per-step host logging is off."""
+        if getattr(self, "_scan", None) is None:
+            self._scan = jax.jit(lambda st, ts: jax.lax.scan(
+                self._step_impl, st, ts))
+        return self._scan(state, jnp.asarray(times))
