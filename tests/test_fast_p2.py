@@ -123,3 +123,63 @@ def test_p2_canvas_pallas_matches_xla():
         sb = b.step(sb)
     np.testing.assert_allclose(np.asarray(sb.u), np.asarray(sa.u),
                                rtol=1e-10, atol=1e-13)
+
+
+def test_p2_theta_matches_flat_theta_solver():
+    """P2FastSolver theta stepping == the parity ThetaSolver trajectory
+    (same operators, tolerances; f64)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.fast_p2 import P2FastSolver
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.utils.params import load_params
+    from pathlib import Path
+
+    base = Path(__file__).resolve().parent.parent / "parameters" / \
+        "standing-mode-wsol.json"
+    params = load_params(base, overrides={
+        "Nel": "8", "R": "2", "Dt": "0.01", "T": "0.05", "Theta": "0.5",
+        "Save Solution": False, "Enable Logging": False, "Log Every": 0})
+    disc = Discretization(params)
+    ref = ThetaSolver(disc)
+    st_ref = ref.initial_state()
+    for i in range(1, 6):
+        st_ref, _ = ref.step(st_ref, i * 0.01)
+
+    s = P2FastSolver((8, 8), params.geometry, 0.01, scheme="theta",
+                     theta=0.5, dtype=jnp.float64)
+    st = s.initial_state(lambda xs, ys: params.u0.evaluate(xs, ys, 0.0))
+    for _ in range(5):
+        st = s.step(st)
+
+    np.testing.assert_allclose(np.asarray(st.u), np.asarray(st_ref.u),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(st.v), np.asarray(st_ref.v),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_p1_consistent_a0_matches_newmark_solver():
+    """FastWaveSolver.initial_state_consistent == NewmarkSolver a0 (f64)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.fast import FastWaveSolver
+    from tpuwave.models.newmark import NewmarkSolver
+    from tpuwave.utils.params import load_params
+    from pathlib import Path
+
+    base = Path(__file__).resolve().parent.parent / "parameters" / \
+        "standing-mode-wsol.json"
+    params = load_params(base, overrides={
+        "Nel": "12", "R": "1", "Dt": "0.01", "T": "0.05", "Beta": "0.25",
+        "Save Solution": False, "Enable Logging": False, "Log Every": 0})
+    ref = NewmarkSolver(Discretization(params))
+    st_ref = ref.initial_state()
+
+    s = FastWaveSolver((12, 12), params.geometry, 0.01, scheme="newmark",
+                       beta=0.25, lumped=False, dtype=jnp.float64)
+    st = s.initial_state_consistent(
+        lambda xs, ys: params.u0.evaluate(xs, ys, 0.0))
+    np.testing.assert_allclose(np.asarray(st.a).ravel(),
+                               np.asarray(st_ref.a), rtol=1e-9, atol=1e-10)

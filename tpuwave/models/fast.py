@@ -153,6 +153,23 @@ class FastWaveSolver:
             st = FastState(*(jax.device_put(x, self.sharding) for x in st))
         return st
 
+    def initial_state_consistent(self, u0_fn, v0_fn=None) -> FastState:
+        """Consistent-mass a0: solve M a0 = -K u0 by CG to the parity
+        tolerances (reference WaveNewmark.cpp:298-390; homogeneous data so
+        a0|boundary = 0) — use for digit-parity runs of the implicit
+        schemes instead of the lumped a0 of initial_state."""
+        st = self.initial_state(u0_fn, v0_fn)
+        rhs = jnp.where(self.interior, -self.stiff(st.u), 0.0)
+        x0 = jnp.zeros_like(rhs)
+        res = pcg(self._constrained(self.mass), rhs, x0,
+                  precond_inv_diag=1.0 / self.mass.stencil[1][1],
+                  abs_tol=self._solve_abs_tol(rhs, x0, self.mass),
+                  max_iter=10000 if self.dtype == jnp.float64 else 2000)
+        a0 = res.x.astype(self.dtype)
+        if self.sharding is not None:
+            a0 = jax.device_put(a0, self.sharding)
+        return FastState(u=st.u, v=st.v, a=a0)
+
     # ------------------------------------------------------------------
     def _explicit_step(self, state: FastState) -> FastState:
         """Lumped-mass central difference (Newmark beta=0, gamma=1/2):

@@ -44,10 +44,8 @@ class P2FastSolver:
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 2)
         self.nx, self.ny = self.mesh.nx, self.mesh.ny
-        if scheme != "newmark":
-            raise ValueError(
-                "P2FastSolver implements Newmark stepping only; use the "
-                "parity ThetaSolver (or FastWaveSolver for P1) for theta")
+        if scheme not in ("newmark", "theta"):
+            raise ValueError(f"unknown scheme {scheme!r}")
         self.dt = float(dt)
         self.c = float(c)
         self.scheme = scheme
@@ -60,8 +58,10 @@ class P2FastSolver:
         k_class = element_stiffness_class(self.space, quad, c * c)
         self.mass = P2PlaneStencil(self.space, m_class, dtype)
         self.stiff = P2PlaneStencil(self.space, k_class, dtype)
-        self.system = self.mass.axpy(self.beta * self.dt * self.dt,
-                                     self.stiff)
+        # matrix_a = M + beta dt^2 K | matrix_u = M + (theta dt)^2 K
+        sys_coef = (self.beta * self.dt * self.dt if scheme == "newmark"
+                    else (self.theta * self.dt) ** 2)
+        self.system = self.mass.axpy(sys_coef, self.stiff)
         self._interior = self.interior_mask()
         self._sys_prec = 1.0 / self.system.diagonal()
         self._mass_prec = 1.0 / self.mass.diagonal()
@@ -110,6 +110,9 @@ class P2FastSolver:
         else:
             v0 = planes_to_flat({p: jnp.asarray(v0_fn(xs, ys), self.dtype)
                                  for p, (xs, ys) in coords.items()})
+        if self.scheme == "theta":
+            # first-order system: no acceleration state
+            return P2State(u=u0, v=v0, a=jnp.zeros_like(u0))
         # consistent a0: M a0 = -K u0 (homogeneous data), interior-masked CG
         interior = self._interior
         rhs = jnp.where(interior, -self.stiff(u0), 0.0)
@@ -117,7 +120,7 @@ class P2FastSolver:
                   jnp.zeros_like(u0),
                   precond_inv_diag=self._mass_prec,
                   abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
-                  max_iter=2000)
+                  max_iter=self._max_iter)
         return P2State(u=u0, v=v0, a=res.x.astype(self.dtype))
 
     # ------------------------------------------------------------------
@@ -129,7 +132,20 @@ class P2FastSolver:
                              diag * w)
         return apply_c
 
+    @property
+    def _max_iter(self):
+        return 10000 if self.dtype == jnp.float64 else 2000
+
+    @property
+    def _abs_tol(self):
+        return 1e-6 if self.dtype == jnp.float32 else 1e-12
+
     def step(self, state: P2State) -> P2State:
+        if self.scheme == "theta":
+            return self._theta_step(state)
+        return self._newmark_step(state)
+
+    def _newmark_step(self, state: P2State) -> P2State:
         """Implicit Newmark-beta step (homogeneous BCs, zero forcing)."""
         dt, beta, gamma = self.dt, self.beta, self.gamma
         interior = self._interior
@@ -139,12 +155,36 @@ class P2FastSolver:
         res = pcg(self._constrained(self.system, interior), rhs,
                   jnp.where(interior, a, 0.0),
                   precond_inv_diag=self._sys_prec,
-                  abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
-                  max_iter=2000)
+                  abs_tol=self._abs_tol, max_iter=self._max_iter)
         a_new = res.x.astype(self.dtype)
         u_new = z + (beta * dt * dt) * a_new
         v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
         return P2State(u=u_new, v=v_new, a=a_new)
+
+    def _theta_step(self, state: P2State) -> P2State:
+        """theta-method step on the P2 plane stencils (homogeneous BCs,
+        zero forcing): two consistent-mass CG solves per step, exactly the
+        reference WaveTheta algebra (src/WaveTheta.cpp:119-339)."""
+        dt, th = self.dt, self.theta
+        interior = self._interior
+        u, v, a = state
+        mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
+        rhs_u = jnp.where(interior,
+                          mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
+                          0.0)
+        res_u = pcg(self._constrained(self.system, interior), rhs_u,
+                    jnp.where(interior, u, 0.0),
+                    precond_inv_diag=self._sys_prec,
+                    abs_tol=self._abs_tol, max_iter=self._max_iter)
+        u_new = res_u.x.astype(self.dtype)
+        rhs_v = jnp.where(interior,
+                          mv - (dt * (1.0 - th)) * ku
+                          - (dt * th) * self.stiff(u_new), 0.0)
+        res_v = pcg(self._constrained(self.mass, interior), rhs_v,
+                    jnp.where(interior, v, 0.0),
+                    precond_inv_diag=self._mass_prec,
+                    abs_tol=self._abs_tol, max_iter=self._max_iter)
+        return P2State(u=u_new, v=res_v.x.astype(self.dtype), a=a)
 
     def run_scan(self, state: P2State, n_steps: int) -> P2State:
         from tpuwave.models.fast import cached_scan
