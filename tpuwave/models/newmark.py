@@ -160,3 +160,14 @@ class NewmarkSolver:
             self._scan = jax.jit(lambda st, ts: jax.lax.scan(
                 self._step_impl, st, ts))
         return self._scan(state, jnp.asarray(times))
+
+    def run_steps_diag(self, state: NewmarkState, times, diag_fn):
+        """Scanned stepping with in-scan diagnostics; see
+        ThetaSolver.run_steps_diag."""
+        if getattr(self, "_scan_diag", None) is None:
+            def body(st, t):
+                new, info = self._step_impl(st, t)
+                return new, {**info, **diag_fn(new, t)}
+            self._scan_diag = jax.jit(
+                lambda st, ts: jax.lax.scan(body, st, ts))
+        return self._scan_diag(state, jnp.asarray(times))

@@ -142,3 +142,17 @@ class ThetaSolver:
             self._scan = jax.jit(lambda st, ts: jax.lax.scan(
                 self._step_impl, st, ts))
         return self._scan(state, jnp.asarray(times))
+
+    def run_steps_diag(self, state: ThetaState, times, diag_fn):
+        """run_steps with per-step diagnostics computed INSIDE the scan:
+        ``diag_fn(new_state, t) -> dict of scalars`` is evaluated on device
+        after every step and stacked — the post-hoc-gather CSV cadence of
+        SURVEY.md section 7 step 6 (one device program instead of one
+        host round-trip per logged step)."""
+        if getattr(self, "_scan_diag", None) is None:
+            def body(st, t):
+                new, info = self._step_impl(st, t)
+                return new, {**info, **diag_fn(new, t)}
+            self._scan_diag = jax.jit(
+                lambda st, ts: jax.lax.scan(body, st, ts))
+        return self._scan_diag(state, jnp.asarray(times))
