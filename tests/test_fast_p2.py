@@ -183,3 +183,46 @@ def test_p1_consistent_a0_matches_newmark_solver():
         lambda xs, ys: params.u0.evaluate(xs, ys, 0.0))
     np.testing.assert_allclose(np.asarray(st.a).ravel(),
                                np.asarray(st_ref.a), rtol=1e-9, atol=1e-10)
+
+
+def test_p2_canvas_theta_matches_plane_theta():
+    """Canvas theta stepping == P2FastSolver theta (flat) trajectory."""
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+    nel, dt, steps = 10, 0.005, 5
+    a = P2FastSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), dt,
+                     scheme="theta", theta=0.5, dtype=jnp.float64)
+    b = P2CanvasSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), dt,
+                       scheme="theta", theta=0.5, dtype=jnp.float64)
+    sa = a.initial_state(u0)
+    sb = b.initial_state(u0)
+    for _ in range(steps):
+        sa = a.step(sa)
+        sb = b.step(sb)
+    nrm = np.linalg.norm(np.asarray(sa.u))
+    diff = np.linalg.norm(np.asarray(b.to_flat(sb.u)) - np.asarray(sa.u))
+    assert diff < 1e-8 * nrm
+    diff_v = np.linalg.norm(np.asarray(b.to_flat(sb.v)) - np.asarray(sa.v))
+    assert diff_v < 1e-7 * max(np.linalg.norm(np.asarray(sa.v)), 1.0)
+
+
+def test_p2_canvas_theta_sharded_matches_single():
+    """Row-sharded canvas theta over the 8-device mesh == single device."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+    from tpuwave.parallel.sharding import device_mesh
+
+    mesh = device_mesh(8)
+    sh = NamedSharding(mesh, P(None, "y", None))
+    kw = dict(scheme="theta", theta=0.5, dtype=jnp.float64)
+    single = P2CanvasSolver((12, 12), ((0.0, 0.0), (1.0, 1.0)), 0.005, **kw)
+    want = single.run_scan(single.initial_state(u0), 4)
+
+    sharded = P2CanvasSolver((12, 12), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                             sharding=sh, row_multiple=8, **kw)
+    st = sharded.initial_state(u0)
+    assert len(st.u.sharding.device_set) == 8
+    got = sharded.run_scan(st, 4)
+    np.testing.assert_allclose(np.asarray(sharded.to_flat(got.u)),
+                               np.asarray(single.to_flat(want.u)),
+                               rtol=1e-10, atol=1e-12)

@@ -210,13 +210,18 @@ class P2CanvasSolver:
 
     def __init__(self, nel: Tuple[int, int], geometry, dt: float, *,
                  c: float = 1.0, beta: float = 0.25, gamma: float = 0.5,
+                 scheme: str = "newmark", theta: float = 0.5,
                  dtype=jnp.float32, sharding=None, row_multiple: int = 1,
                  use_pallas: bool = False, pallas_block_rows: int = 64,
                  pallas_interpret: bool = False):
+        if scheme not in ("newmark", "theta"):
+            raise ValueError(f"unknown scheme {scheme!r}")
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 2)
         self.nx, self.ny = self.mesh.nx, self.mesh.ny
         self.dt = float(dt)
+        self.scheme = scheme
+        self.theta = float(theta)
         self.beta, self.gamma = float(beta), float(gamma)
         self.dtype = dtype
         self.sharding = sharding
@@ -228,7 +233,9 @@ class P2CanvasSolver:
                                    element_mass_class(self.space, quad), dtype)
         self.stiff = P2PlaneStencil(
             self.space, element_stiffness_class(self.space, quad, c * c), dtype)
-        self.system = self.mass.axpy(self.beta * self.dt * self.dt, self.stiff)
+        sys_coef = (self.beta * self.dt * self.dt if scheme == "newmark"
+                    else (self.theta * self.dt) ** 2)
+        self.system = self.mass.axpy(sys_coef, self.stiff)
 
         self.use_pallas = bool(use_pallas)
         self.pallas_block_rows = int(pallas_block_rows)
@@ -301,6 +308,8 @@ class P2CanvasSolver:
         if self.sharding is not None:
             u0 = jax.device_put(u0, self.sharding)
             v0 = jax.device_put(v0, self.sharding)
+        if self.scheme == "theta":
+            return P2CanvasState(u=u0, v=v0, a=jnp.zeros_like(u0))
         rhs = self._rhs_stiff(u0)
         res = pcg(self._constrained(self.mass), rhs, jnp.zeros_like(u0),
                   precond_inv_diag=1.0 / self._mass_diag,
@@ -349,6 +358,11 @@ class P2CanvasSolver:
         return apply_c
 
     def step(self, state: P2CanvasState) -> P2CanvasState:
+        if self.scheme == "theta":
+            return self._theta_step(state)
+        return self._newmark_step(state)
+
+    def _newmark_step(self, state: P2CanvasState) -> P2CanvasState:
         dt, beta, gamma = self.dt, self.beta, self.gamma
         u, v, a = state
         z = u + dt * v + (dt * dt * (0.5 - beta)) * a
@@ -362,6 +376,34 @@ class P2CanvasSolver:
         u_new = z + (beta * dt * dt) * a_new
         v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
         return P2CanvasState(u=u_new, v=v_new, a=a_new)
+
+    def _theta_step(self, state: P2CanvasState) -> P2CanvasState:
+        """theta-method step on the shardable canvas layout (homogeneous
+        BCs, zero forcing) — the multi-chip P2 theta path; reference
+        WaveTheta algebra (src/WaveTheta.cpp:119-339)."""
+        dt, th = self.dt, self.theta
+        interior = self.interior
+        abs_tol = 1e-6 if self.dtype == jnp.float32 else 1e-12
+        u, v, a = state
+        um = jnp.where(interior, u, 0.0)
+        vm = jnp.where(interior, v, 0.0)
+        mu = self.mass.apply_canvases(um)
+        ku = self.stiff.apply_canvases(um)
+        mv = self.mass.apply_canvases(vm)
+        rhs_u = jnp.where(interior,
+                          mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
+                          0.0)
+        res_u = pcg(self._constrained(self.system), rhs_u, um,
+                    precond_inv_diag=1.0 / self._diag,
+                    abs_tol=abs_tol, max_iter=2000)
+        u_new = res_u.x.astype(self.dtype)
+        kun = self.stiff.apply_canvases(jnp.where(interior, u_new, 0.0))
+        rhs_v = jnp.where(interior,
+                          mv - (dt * (1.0 - th)) * ku - (dt * th) * kun, 0.0)
+        res_v = pcg(self._constrained(self.mass), rhs_v, vm,
+                    precond_inv_diag=1.0 / self._mass_diag,
+                    abs_tol=abs_tol, max_iter=2000)
+        return P2CanvasState(u=u_new, v=res_v.x.astype(self.dtype), a=a)
 
     def run_scan(self, state: P2CanvasState, n_steps: int) -> P2CanvasState:
         from tpuwave.models.fast import cached_scan
