@@ -46,7 +46,14 @@ def metrics_of(row):
 
 def is_blowup(m):
     vals = list(m.values())
-    return any((not math.isfinite(v)) or abs(v) > 1e10 for v in vals)
+    if any((not math.isfinite(v)) or abs(v) > 1e10 for v in vals):
+        return True
+    # slow blowup: the wave equation conserves energy, so E(T)/E(0)
+    # growing by more than an order of magnitude is an unstable run even
+    # when the magnitudes are still modest (marginal FE at tiny dt);
+    # trajectories there are chaotic in the last-digit rounding and the
+    # two codes legitimately reach different magnitudes
+    return m.get("energy_ratio", 0.0) > 10.0
 
 
 def main():
