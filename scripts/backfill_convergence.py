@@ -186,19 +186,26 @@ def run_fast_backfill(args, missing):
         else:
             kw = dict(scheme="newmark", beta=params.beta,
                       gamma=params.gamma)
+        # chunk the scan: one multi-minute device call can trip remote-TPU
+        # tunnel limits (observed UNAVAILABLE on 10k-step single calls)
+        chunk = 500
         if r == 1:
             s = FastWaveSolver((nel, nel), geom, dt, c=c0, lumped=False,
                                dtype=dtype, **kw)
             st = (s.initial_state_consistent(u0_fn, v0_fn)
                   if sdef["family"] == "newmark"
                   else s.initial_state(u0_fn, v0_fn))
-            out = s.run_scan(st, len(times))
-            u_flat = out.u.reshape(-1)
         else:
             s = P2FastSolver((nel, nel), geom, dt, c=c0, dtype=dtype, **kw)
             st = s.initial_state(u0_fn, v0_fn)
-            out = s.run_scan(st, len(times))
-            u_flat = out.u
+        n = len(times)
+        done = 0
+        while done < n:
+            k = min(chunk, n - done)
+            st = s.run_scan(st, k)
+            jax.block_until_ready(st.u)
+            done += k
+        u_flat = st.u.reshape(-1) if r == 1 else st.u
         jax.block_until_ready(u_flat)
         disc = Discretization(params)
         current_time = float(times[-1])
