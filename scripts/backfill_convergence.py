@@ -59,7 +59,6 @@ def main():
     ap.add_argument("--results-root", default="results")
     ap.add_argument("--base-params",
                     default=str(REPO / "parameters/standing-mode-wsol.json"))
-    ap.add_argument("--T", type=float, default=1.0)
     ap.add_argument("--limit", type=int, default=0,
                     help="run at most N rows (0 = all)")
     ap.add_argument("--max-steps", type=int, default=0,
@@ -197,7 +196,7 @@ def run_fast_backfill(args, missing):
                   else s.initial_state(u0_fn, v0_fn))
         else:
             s = P2FastSolver((nel, nel), geom, dt, c=c0, dtype=dtype, **kw)
-            st = s.initial_state(u0_fn, v0_fn)
+            st = s.initial_state(u0_fn, v0_fn=v0_fn)
         n = len(times)
         done = 0
         while done < n:

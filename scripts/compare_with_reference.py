@@ -72,7 +72,13 @@ def main():
         if is_blowup(r) or is_blowup(o):
             if is_blowup(r) == is_blowup(o):
                 n_blow += 1
-                print(f"{k}: blowup in both (parity)")
+                # print the magnitudes so a slow blowup that is real in
+                # one code and pathological in the other stays visible
+                eo = o.get("energy_ratio")
+                er = r.get("energy_ratio")
+                mag = (f" (E-ratio ours={eo:.3g} ref={er:.3g})"
+                       if eo is not None and er is not None else "")
+                print(f"{k}: blowup in both (parity){mag}")
             else:
                 n_bad += 1
                 print(f"{k}: STABILITY MISMATCH ours={o} ref={r}")

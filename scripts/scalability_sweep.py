@@ -88,7 +88,16 @@ def main():
             if n_dev > n_avail:
                 print(f"[SKIP] {n_dev} devices requested, {n_avail} available")
                 continue
-            if args.distributed and n_dev == n_avail:
+            if args.distributed:
+                # multi-host: every process must participate in every
+                # collective, so only the full-device count is valid (a
+                # prefix mesh would leave some hosts with no addressable
+                # devices and crash); smaller counts are skipped
+                if n_dev != n_avail:
+                    print(f"[SKIP] --distributed: n={n_dev} != all "
+                          f"{n_avail} devices (partial meshes cannot span "
+                          "all hosts)")
+                    continue
                 # hosts x local-chips: row halos over DCN only at host
                 # boundaries, column halos over ICI
                 sharding = grid_sharding(dcn_device_mesh())

@@ -313,8 +313,7 @@ class P2CanvasSolver:
         rhs = self._rhs_stiff(u0)
         res = pcg(self._constrained(self.mass), rhs, jnp.zeros_like(u0),
                   precond_inv_diag=1.0 / self._mass_diag,
-                  abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
-                  max_iter=2000)
+                  abs_tol=self._abs_tol, max_iter=self._max_iter)
         return P2CanvasState(u=u0, v=v0, a=res.x.astype(self.dtype))
 
     def _rhs_stiff(self, z):
@@ -330,6 +329,14 @@ class P2CanvasSolver:
                 block_rows=self.pallas_block_rows,
                 interpret=self.pallas_interpret)
         return jnp.where(self.interior, -self.stiff.apply_canvases(z), 0.0)
+
+    @property
+    def _max_iter(self):
+        return 10000 if self.dtype == jnp.float64 else 2000
+
+    @property
+    def _abs_tol(self):
+        return 1e-6 if self.dtype == jnp.float32 else 1e-12
 
     def _constrained(self, op):
         from tpuwave.ops.stencil_p2 import _PLANES
@@ -370,8 +377,7 @@ class P2CanvasSolver:
         res = pcg(self._constrained(self.system), rhs,
                   jnp.where(self.interior, a, 0.0),
                   precond_inv_diag=1.0 / self._diag,
-                  abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
-                  max_iter=2000)
+                  abs_tol=self._abs_tol, max_iter=self._max_iter)
         a_new = res.x.astype(self.dtype)
         u_new = z + (beta * dt * dt) * a_new
         v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
@@ -395,14 +401,14 @@ class P2CanvasSolver:
                           0.0)
         res_u = pcg(self._constrained(self.system), rhs_u, um,
                     precond_inv_diag=1.0 / self._diag,
-                    abs_tol=abs_tol, max_iter=2000)
+                    abs_tol=abs_tol, max_iter=self._max_iter)
         u_new = res_u.x.astype(self.dtype)
         kun = self.stiff.apply_canvases(jnp.where(interior, u_new, 0.0))
         rhs_v = jnp.where(interior,
                           mv - (dt * (1.0 - th)) * ku - (dt * th) * kun, 0.0)
         res_v = pcg(self._constrained(self.mass), rhs_v, vm,
                     precond_inv_diag=1.0 / self._mass_diag,
-                    abs_tol=abs_tol, max_iter=2000)
+                    abs_tol=abs_tol, max_iter=self._max_iter)
         return P2CanvasState(u=u_new, v=res_v.x.astype(self.dtype), a=a)
 
     def run_scan(self, state: P2CanvasState, n_steps: int) -> P2CanvasState:

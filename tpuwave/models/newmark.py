@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tpuwave.models._scan import ScanMixin
 from tpuwave.models.discretization import Discretization
 from tpuwave.ops.operators import constrain_system
 from tpuwave.solve.cg import pcg
@@ -40,7 +41,7 @@ class NewmarkState(NamedTuple):
     a: jax.Array
 
 
-class NewmarkSolver:
+class NewmarkSolver(ScanMixin):
     method_name = "newmark"
 
     def __init__(self, disc: Discretization, *, lumped_explicit: bool = False,
@@ -152,22 +153,3 @@ class NewmarkSolver:
 
     def step(self, state: NewmarkState, t):
         return self._step(state, t)
-
-    def run_steps(self, state: NewmarkState, times):
-        """Advance ``len(times)`` steps as ONE device program (lax.scan of
-        the step body); see ThetaSolver.run_steps."""
-        if getattr(self, "_scan", None) is None:
-            self._scan = jax.jit(lambda st, ts: jax.lax.scan(
-                self._step_impl, st, ts))
-        return self._scan(state, jnp.asarray(times))
-
-    def run_steps_diag(self, state: NewmarkState, times, diag_fn):
-        """Scanned stepping with in-scan diagnostics; see
-        ThetaSolver.run_steps_diag."""
-        if getattr(self, "_scan_diag", None) is None:
-            def body(st, t):
-                new, info = self._step_impl(st, t)
-                return new, {**info, **diag_fn(new, t)}
-            self._scan_diag = jax.jit(
-                lambda st, ts: jax.lax.scan(body, st, ts))
-        return self._scan_diag(state, jnp.asarray(times))

@@ -209,67 +209,23 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
 
     start = _time.perf_counter()
 
-    # Whole-loop scan fast path: when nothing is observed per step on the
-    # host (no CSV logging, no VTU, no checkpoints), the time loop runs as
+    # Whole-loop scan fast path: when the host needs nothing per step
+    # beyond CSV rows (no VTU, no checkpoints), the time loop runs as
     # chunked lax.scan device programs instead of one jit call per step —
-    # identical trajectory, CG counts and console cadence, but ~chunk x
-    # fewer host->device dispatches (decisive under a remote-TPU tunnel).
-    if (log_every == 0 and not save_solution and cfg.checkpoint_every == 0
-            and restored is None and not cfg.phase_timing
-            and hasattr(solver, "run_steps")):
-        chunk_len = 256
-        i = 0
-        while i < len(times):
-            if cfg.max_wall_s is not None and \
-                    _time.perf_counter() - start > cfg.max_wall_s:
-                pcout(f"Wall-clock limit {cfg.max_wall_s}s exceeded at step "
-                      f"{timestep_number}; aborting run.")
-                timed_out = True
-                break
-            chunk = times[i:i + chunk_len]
-            state, infos = solver.run_steps(state, chunk)
-            it1 = np.asarray(infos["iterations_1"])
-            it2 = np.asarray(infos["iterations_2"])
-            nu = np.asarray(infos["norm_u"])
-            nv = np.asarray(infos["norm_v"])
-            n_ok = len(chunk)
-            bad = False
-            for j in range(len(chunk)):
-                if d.check_divergence(float(nu[j]), float(nv[j]),
-                                      DIVERGENCE_THRESHOLD):
-                    n_ok, bad = j + 1, True
-                    break
-            total_it1 += int(it1[:n_ok].sum())
-            total_it2 += int(it2[:n_ok].sum())
-            # the host loop breaks BEFORE printing the diverged step
-            for j in range(n_ok - 1 if bad else n_ok):
-                ts_no = timestep_number + j + 1
-                if ts_no % p.print_every == 0:
-                    pcout(f"Step {ts_no:6d},  t={float(chunk[j]):9.3e}"
-                          f",  ||u||={float(nu[j]):9.3e}"
-                          f",  ||v||={float(nv[j]):9.3e}")
-            timestep_number += n_ok
-            current_time = float(chunk[n_ok - 1])
-            if bad:
-                # NB: state is end-of-chunk, not at the diverged step (the
-                # per-step loop would stop exactly there); a diverged run's
-                # final errors are garbage either way, as in the reference.
-                pcout(f"Divergence detected at step {timestep_number}, "
-                      f"t = {current_time}; stopping simulation.")
-                diverged = True
-                break
-            i += n_ok
-        times = []   # the per-step loop below is skipped
-
-    # Same scan fast path for the every-step-logging regime (the
-    # dissipation/dispersion sweeps: Log Every = 1): energy / errors /
-    # probe are computed INSIDE the scan and gathered post-hoc, so a
-    # 100k-step logged run is ~400 device calls instead of 100k.
-    elif (log_every == 1 and not save_solution and cfg.checkpoint_every == 0
-          and restored is None and not cfg.phase_timing
-          and hasattr(solver, "run_steps_diag")):
+    # identical trajectory, CG counts, console cadence and CSV bytes, but
+    # ~chunk x fewer host->device dispatches (decisive under a remote-TPU
+    # tunnel). log_every == 1 (the dissipation-sweep regime) additionally
+    # computes energy/errors/probe INSIDE the scan and gathers post-hoc
+    # (SURVEY.md section 7 step 6). NB the wall-clock limit is checked
+    # between chunks only, so it can overshoot by one device call.
+    scan_ok = (not save_solution and cfg.checkpoint_every == 0
+               and restored is None and not cfg.phase_timing)
+    if scan_ok and ((log_every == 0 and hasattr(solver, "run_steps"))
+                    or (log_every == 1
+                        and hasattr(solver, "run_steps_diag"))):
         import jax.numpy as jnp
 
+        with_diag = log_every == 1
         has_sol = p.has_exact_solution
 
         def diag_fn(st, t):
@@ -288,14 +244,18 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
                 timed_out = True
                 break
             chunk = times[i:i + chunk_len]
-            state, infos = solver.run_steps_diag(state, chunk, diag_fn)
+            if with_diag:
+                state, infos = solver.run_steps_diag(state, chunk, diag_fn)
+            else:
+                state, infos = solver.run_steps(state, chunk)
             it1 = np.asarray(infos["iterations_1"])
             it2 = np.asarray(infos["iterations_2"])
             nu = np.asarray(infos["norm_u"])
             nv = np.asarray(infos["norm_v"])
-            en = np.asarray(infos["energy"])
-            pr = np.asarray(infos["probe"])
-            err = np.asarray(infos["err"]) if has_sol else None
+            if with_diag:
+                en = np.asarray(infos["energy"])
+                pr = np.asarray(infos["probe"])
+                err = np.asarray(infos["err"]) if has_sol else None
             n_ok = len(chunk)
             bad = False
             for j in range(len(chunk)):
@@ -309,26 +269,35 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
             for j in range(n_ok - 1 if bad else n_ok):
                 ts_no = timestep_number + j + 1
                 tj = float(chunk[j])
-                current_energy = float(en[j])
-                logs.log_energy(ts_no, tj, current_energy)
-                if has_sol:
-                    logs.log_error(ts_no, tj, *(float(x) for x in err[j]))
-                logs.log_probe(ts_no, tj, float(pr[j]))
-                logs.log_iterations(ts_no, tj, int(it1[j]), int(it2[j]))
+                if with_diag:
+                    current_energy = float(en[j])
+                    logs.log_energy(ts_no, tj, current_energy)
+                    if has_sol:
+                        logs.log_error(ts_no, tj,
+                                       *(float(x) for x in err[j]))
+                    logs.log_probe(ts_no, tj, float(pr[j]))
+                    logs.log_iterations(ts_no, tj, int(it1[j]),
+                                        int(it2[j]))
                 if ts_no % p.print_every == 0:
-                    pcout(f"Step {ts_no:6d},  t={tj:9.3e}"
-                          f",  ||u||={float(nu[j]):9.3e}"
-                          f",  ||v||={float(nv[j]):9.3e}"
-                          f",  E={current_energy:9.3e}")
+                    line = (f"Step {ts_no:6d},  t={tj:9.3e}"
+                            f",  ||u||={float(nu[j]):9.3e}"
+                            f",  ||v||={float(nv[j]):9.3e}")
+                    if with_diag:
+                        line += f",  E={current_energy:9.3e}"
+                    pcout(line)
             timestep_number += n_ok
             current_time = float(chunk[n_ok - 1])
             if bad:
+                # NB: state is end-of-chunk, not at the diverged step (the
+                # per-step loop would stop exactly there); a diverged
+                # run's final errors are garbage either way, as in the
+                # reference.
                 pcout(f"Divergence detected at step {timestep_number}, "
                       f"t = {current_time}; stopping simulation.")
                 diverged = True
                 break
             i += n_ok
-        times = []
+        times = []   # the per-step loop below is skipped
 
     for t in times:
         if cfg.max_wall_s is not None and \

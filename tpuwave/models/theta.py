@@ -26,6 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tpuwave.models._scan import ScanMixin
 from tpuwave.models.discretization import Discretization
 from tpuwave.ops.operators import constrain_system
 from tpuwave.solve.cg import pcg
@@ -38,7 +39,7 @@ class ThetaState(NamedTuple):
     v: jax.Array
 
 
-class ThetaSolver:
+class ThetaSolver(ScanMixin):
     method_name = "theta"
 
     def __init__(self, disc: Discretization, *, precond: str = "jacobi",
@@ -130,29 +131,3 @@ class ThetaSolver:
 
     def step(self, state: ThetaState, t):
         return self._step(state, t)
-
-    def run_steps(self, state: ThetaState, times):
-        """Advance ``len(times)`` steps as ONE device program (lax.scan of
-        the step body) — the TPU-idiomatic whole-loop compilation of the
-        reference while-loop (SURVEY.md section 3.1). Returns
-        (final_state, stacked per-step info). Identical trajectory and CG
-        iteration counts to calling step() per step; used by the runner
-        when per-step host logging is off."""
-        if getattr(self, "_scan", None) is None:
-            self._scan = jax.jit(lambda st, ts: jax.lax.scan(
-                self._step_impl, st, ts))
-        return self._scan(state, jnp.asarray(times))
-
-    def run_steps_diag(self, state: ThetaState, times, diag_fn):
-        """run_steps with per-step diagnostics computed INSIDE the scan:
-        ``diag_fn(new_state, t) -> dict of scalars`` is evaluated on device
-        after every step and stacked — the post-hoc-gather CSV cadence of
-        SURVEY.md section 7 step 6 (one device program instead of one
-        host round-trip per logged step)."""
-        if getattr(self, "_scan_diag", None) is None:
-            def body(st, t):
-                new, info = self._step_impl(st, t)
-                return new, {**info, **diag_fn(new, t)}
-            self._scan_diag = jax.jit(
-                lambda st, ts: jax.lax.scan(body, st, ts))
-        return self._scan_diag(state, jnp.asarray(times))
