@@ -199,18 +199,36 @@ def run_fast_backfill(args, missing):
             st = s.initial_state(u0_fn, v0_fn=v0_fn)
         n = len(times)
         done = 0
+        diverged = False
         while done < n:
             k = min(chunk, n - done)
             st = s.run_scan(st, k)
             jax.block_until_ready(st.u)
             done += k
-        u_flat = st.u.reshape(-1) if r == 1 else st.u
-        jax.block_until_ready(u_flat)
-        disc = Discretization(params)
-        current_time = float(times[-1])
-        _, _, rl2, rh1 = (float(x) for x in
-                          disc.errors(jnp.asarray(u_flat, jnp.float64),
-                                      current_time))
+            # divergence early-break (reference WaveEquationBase.cpp:
+            # 425-431). The threshold is far below the reference's 1e130:
+            # TPU f64 is emulated over f32 pairs, so values past ~1e38
+            # fault the device kernel (observed on FE blowup rows) — any
+            # magnitude past 1e30 is a blown run in either code.
+            mx = float(jnp.max(jnp.abs(st.u)))
+            diverged = not math.isfinite(mx) or mx > 1e30
+            if diverged:
+                print(f"  diverged by step {done} (|u|max={mx:.3g}); "
+                      "stopping early", flush=True)
+                break
+        if diverged:
+            # the error quadrature would overflow on the blown state (and
+            # fault the emulated-f64 TPU path); a blown row only needs a
+            # >1e10 magnitude for the blowup classification
+            rl2 = rh1 = mx
+        else:
+            u_flat = st.u.reshape(-1) if r == 1 else st.u
+            jax.block_until_ready(u_flat)
+            disc = Discretization(params)
+            current_time = float(times[-1])
+            _, _, rl2, rh1 = (float(x) for x in
+                              disc.errors(jnp.asarray(u_flat, jnp.float64),
+                                          current_time))
         elapsed = _time.perf_counter() - t0
         print(f"  -> relL2={rl2:.6e} relH1={rh1:.6e} in {elapsed:.1f}s",
               flush=True)
