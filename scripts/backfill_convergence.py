@@ -81,9 +81,13 @@ def main():
     our_rows = list(csv.DictReader(open(args.dataset)))
     have = {key_of(r) for r in our_rows}
     missing = [r for r in ref_rows if key_of(r) not in have]
-    # cheapest first: cost ~ steps * DoF (DoF ~ (r*Nel)^2)
-    missing.sort(key=lambda r: (float(r["T"]) / float(r["dt"]))
-                 * (int(r["r"]) * int(r["N_el_x"])) ** 2)
+    # cheapest first: cost ~ steps * DoF (DoF ~ (r*Nel)^2); FE (theta-0,
+    # unconditionally unstable -> blowup rows, device-fault-prone on
+    # emulated f64) deferred to the end so one bad row can't block the
+    # stable queue
+    missing.sort(key=lambda r: (scheme_of(r) == "theta-0.0",
+                                (float(r["T"]) / float(r["dt"]))
+                                * (int(r["r"]) * int(r["N_el_x"])) ** 2))
     if args.max_steps:
         missing = [r for r in missing
                    if float(r["T"]) / float(r["dt"]) <= args.max_steps]
