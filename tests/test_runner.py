@@ -173,3 +173,34 @@ def test_runlogs_disabled_writes_nothing(tmp_path):
     logs.log_iterations(1, 0.1, 3, 4)
     assert not (tmp_path / "run").exists()
     assert not (tmp_path / "conv.csv").exists()
+
+
+def test_run_steps_diag_cache_keys_on_diag_fn(tmp_path):
+    """Two different diag_fns must each produce their own diagnostics
+    (the scan jit is memoized per diag_fn identity)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pathlib import Path
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.utils.params import load_params
+
+    base = Path(__file__).resolve().parent.parent / "parameters" / \
+        "standing-mode-wsol.json"
+    params = load_params(base, overrides={
+        "Nel": "8", "R": "1", "Dt": "0.01", "T": "0.05",
+        "Save Solution": False, "Enable Logging": False, "Log Every": 0})
+    s = ThetaSolver(Discretization(params))
+    st = s.initial_state()
+    times = [0.01, 0.02]
+
+    def diag_a(state, t):
+        return {"val": jnp.sum(state.u)}
+
+    def diag_b(state, t):
+        return {"val": jnp.zeros(())}
+
+    _, info_a = s.run_steps_diag(st, times, diag_a)
+    _, info_b = s.run_steps_diag(st, times, diag_b)
+    assert float(np.asarray(info_a["val"])[0]) != 0.0
+    assert float(np.asarray(info_b["val"]).sum()) == 0.0
