@@ -190,8 +190,11 @@ def run_fast_backfill(args, missing):
             kw = dict(scheme="newmark", beta=params.beta,
                       gamma=params.gamma)
         # chunk the scan: one multi-minute device call can trip remote-TPU
-        # tunnel limits (observed UNAVAILABLE on 10k-step single calls)
-        chunk = 500
+        # tunnel limits (observed UNAVAILABLE on 10k-step single calls).
+        # FE blowup growth can exceed e^30 per 500 steps, jumping from
+        # below any threshold straight past the emulated-f64 range inside
+        # one chunk — use short chunks for the unstable scheme.
+        chunk = 128 if scheme == "theta-0.0" else 500
         if r == 1:
             s = FastWaveSolver((nel, nel), geom, dt, c=c0, lumped=False,
                                dtype=dtype, **kw)
@@ -212,10 +215,10 @@ def run_fast_backfill(args, missing):
             # divergence early-break (reference WaveEquationBase.cpp:
             # 425-431). The threshold is far below the reference's 1e130:
             # TPU f64 is emulated over f32 pairs, so values past ~1e38
-            # fault the device kernel (observed on FE blowup rows) — any
-            # magnitude past 1e30 is a blown run in either code.
+            # fault the device kernel (observed on FE blowup rows) — and
+            # any magnitude past 1e15 is a blown run in either code.
             mx = float(jnp.max(jnp.abs(st.u)))
-            diverged = not math.isfinite(mx) or mx > 1e30
+            diverged = not math.isfinite(mx) or mx > 1e15
             if diverged:
                 print(f"  diverged by step {done} (|u|max={mx:.3g}); "
                       "stopping early", flush=True)
