@@ -65,6 +65,10 @@ def main():
                     help="skip rows needing more than N time steps (0 = all)")
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--reduction", type=float, default=1e-6,
+                    help="CG relative-reduction factor for the fast engine "
+                         "(1e-9 matches the reference AMG-CG's effective "
+                         "over-convergence on fine meshes)")
     ap.add_argument("--engine", choices=["harness", "fast"], default="harness",
                     help="harness = full parity solvers (host cadence); "
                          "fast = f64 grid/plane-stencil solvers with the "
@@ -195,6 +199,7 @@ def run_fast_backfill(args, missing):
         # below any threshold straight past the emulated-f64 range inside
         # one chunk — use short chunks for the unstable scheme.
         chunk = 128 if scheme == "theta-0.0" else 500
+        kw["cg_reduction"] = args.reduction
         if r == 1:
             s = FastWaveSolver((nel, nel), geom, dt, c=c0, lumped=False,
                                dtype=dtype, **kw)

@@ -93,7 +93,8 @@ class FastWaveSolver:
     def __init__(self, nel: Tuple[int, int], geometry, dt: float, *,
                  c: float = 1.0, scheme: str = "newmark", beta: float = 0.0,
                  gamma: float = 0.5, theta: float = 0.5, lumped: bool = True,
-                 dtype=jnp.float32, sharding=None):
+                 dtype=jnp.float32, sharding=None,
+                 cg_reduction: float = 1e-6):
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 1)
         self.shape = (self.mesh.ny + 1, self.mesh.nx + 1)
@@ -104,6 +105,10 @@ class FastWaveSolver:
         self.gamma = float(gamma)
         self.theta = float(theta)
         self.dtype = dtype
+        #: CG relative-reduction factor (reference ReductionControl 1e-6;
+        #: 1e-9 matches the reference AMG-CG's effective over-convergence
+        #: on fine meshes — see RESULTS.md solver-noise note)
+        self.cg_reduction = float(cg_reduction)
         self.lumped = bool(lumped) and scheme == "newmark" and beta == 0.0
         self.sharding = sharding
 
@@ -164,7 +169,8 @@ class FastWaveSolver:
         res = pcg(self._constrained(self.mass), rhs, x0,
                   precond_inv_diag=1.0 / self.mass.stencil[1][1],
                   abs_tol=self._solve_abs_tol(rhs, x0, self.mass),
-                  max_iter=10000 if self.dtype == jnp.float64 else 2000)
+                  max_iter=10000 if self.dtype == jnp.float64 else 2000,
+                  reduction=self.cg_reduction)
         a0 = res.x.astype(self.dtype)
         if self.sharding is not None:
             a0 = jax.device_put(a0, self.sharding)
@@ -213,7 +219,8 @@ class FastWaveSolver:
         res = pcg(self._constrained(self.system), rhs, x0,
                   precond_inv_diag=self._inv_diag,
                   abs_tol=self._solve_abs_tol(rhs, x0, self.system),
-                  max_iter=10000 if self.dtype == jnp.float64 else 2000)
+                  max_iter=10000 if self.dtype == jnp.float64 else 2000,
+                  reduction=self.cg_reduction)
         a_new = res.x.astype(self.dtype)
         u_new = z + (beta * dt * dt) * a_new
         v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
@@ -239,7 +246,7 @@ class FastWaveSolver:
         res_u = pcg(self._constrained(self.system), rhs_u, x0_u,
                     precond_inv_diag=self._inv_diag,
                     abs_tol=self._solve_abs_tol(rhs_u, x0_u, self.system),
-                    max_iter=max_iter)
+                    max_iter=max_iter, reduction=self.cg_reduction)
         u_new = res_u.x.astype(self.dtype)
 
         rhs_v = jnp.where(self.interior,
@@ -249,7 +256,7 @@ class FastWaveSolver:
         res_v = pcg(self._constrained(self.mass), rhs_v, x0_v,
                     precond_inv_diag=1.0 / self.mass.stencil[1][1],
                     abs_tol=self._solve_abs_tol(rhs_v, x0_v, self.mass),
-                    max_iter=max_iter)
+                    max_iter=max_iter, reduction=self.cg_reduction)
         v_new = res_v.x.astype(self.dtype)
         return FastState(u=u_new, v=v_new, a=a)
 
@@ -446,7 +453,7 @@ class FastWaveSolver:
                 x0 = jnp.where(interior, a, 0.0)
                 res = pcg(apply_a, rhs, x0, precond_inv_diag=prec_a,
                           abs_tol=self._solve_abs_tol(rhs, x0, self.system),
-                          max_iter=max_iter)
+                          max_iter=max_iter, reduction=self.cg_reduction)
                 a_new = res.x.astype(self.dtype)
                 u_new = z + (beta * dt * dt) * a_new
                 v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
@@ -465,7 +472,7 @@ class FastWaveSolver:
                 res_u = pcg(apply_u, rhs_u, x0_u, precond_inv_diag=prec_u,
                             abs_tol=self._solve_abs_tol(rhs_u, x0_u,
                                                         self.system),
-                            max_iter=max_iter)
+                            max_iter=max_iter, reduction=self.cg_reduction)
                 u_new = res_u.x.astype(self.dtype)
                 rhs_v = jnp.where(
                     interior,
@@ -475,7 +482,7 @@ class FastWaveSolver:
                 res_v = pcg(apply_m, rhs_v, x0_v, precond_inv_diag=prec_m,
                             abs_tol=self._solve_abs_tol(rhs_v, x0_v,
                                                         self.mass),
-                            max_iter=max_iter)
+                            max_iter=max_iter, reduction=self.cg_reduction)
                 return FastState(u=u_new, v=res_v.x.astype(self.dtype), a=a)
         else:
             raise ValueError("run_implicit_pallas needs scheme newmark/theta")

@@ -40,7 +40,8 @@ class P2FastSolver:
 
     def __init__(self, nel: Tuple[int, int], geometry, dt: float, *,
                  c: float = 1.0, scheme: str = "newmark", beta: float = 0.25,
-                 gamma: float = 0.5, theta: float = 0.5, dtype=jnp.float32):
+                 gamma: float = 0.5, theta: float = 0.5, dtype=jnp.float32,
+                 cg_reduction: float = 1e-6):
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 2)
         self.nx, self.ny = self.mesh.nx, self.mesh.ny
@@ -51,6 +52,11 @@ class P2FastSolver:
         self.scheme = scheme
         self.beta, self.gamma, self.theta = float(beta), float(gamma), float(theta)
         self.dtype = dtype
+        #: CG relative-reduction stopping factor (reference
+        #: ReductionControl 1e-6). The reference's ML-AMG V-cycles
+        #: over-converge past the nominal tolerance; pass 1e-9 to match
+        #: its effective solve accuracy on fine meshes (see RESULTS.md).
+        self.cg_reduction = float(cg_reduction)
         self.n_dofs = self.space.n_dofs
 
         quad = gauss_simplex(3)
@@ -120,7 +126,8 @@ class P2FastSolver:
                   jnp.zeros_like(u0),
                   precond_inv_diag=self._mass_prec,
                   abs_tol=1e-6 if self.dtype == jnp.float32 else 1e-12,
-                  max_iter=self._max_iter)
+                  max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
         return P2State(u=u0, v=v0, a=res.x.astype(self.dtype))
 
     # ------------------------------------------------------------------
@@ -155,7 +162,8 @@ class P2FastSolver:
         res = pcg(self._constrained(self.system, interior), rhs,
                   jnp.where(interior, a, 0.0),
                   precond_inv_diag=self._sys_prec,
-                  abs_tol=self._abs_tol, max_iter=self._max_iter)
+                  abs_tol=self._abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
         a_new = res.x.astype(self.dtype)
         u_new = z + (beta * dt * dt) * a_new
         v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
@@ -175,7 +183,8 @@ class P2FastSolver:
         res_u = pcg(self._constrained(self.system, interior), rhs_u,
                     jnp.where(interior, u, 0.0),
                     precond_inv_diag=self._sys_prec,
-                    abs_tol=self._abs_tol, max_iter=self._max_iter)
+                    abs_tol=self._abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
         u_new = res_u.x.astype(self.dtype)
         rhs_v = jnp.where(interior,
                           mv - (dt * (1.0 - th)) * ku
@@ -183,7 +192,8 @@ class P2FastSolver:
         res_v = pcg(self._constrained(self.mass, interior), rhs_v,
                     jnp.where(interior, v, 0.0),
                     precond_inv_diag=self._mass_prec,
-                    abs_tol=self._abs_tol, max_iter=self._max_iter)
+                    abs_tol=self._abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
         return P2State(u=u_new, v=res_v.x.astype(self.dtype), a=a)
 
     def run_scan(self, state: P2State, n_steps: int) -> P2State:
@@ -213,7 +223,7 @@ class P2CanvasSolver:
                  scheme: str = "newmark", theta: float = 0.5,
                  dtype=jnp.float32, sharding=None, row_multiple: int = 1,
                  use_pallas: bool = False, pallas_block_rows: int = 64,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False, cg_reduction: float = 1e-6):
         if scheme not in ("newmark", "theta"):
             raise ValueError(f"unknown scheme {scheme!r}")
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
@@ -224,6 +234,7 @@ class P2CanvasSolver:
         self.theta = float(theta)
         self.beta, self.gamma = float(beta), float(gamma)
         self.dtype = dtype
+        self.cg_reduction = float(cg_reduction)
         self.sharding = sharding
         self.cshape = canvas_shape(self.nx, self.ny, row_multiple)
         self.n_dofs = self.space.n_dofs
@@ -313,7 +324,8 @@ class P2CanvasSolver:
         rhs = self._rhs_stiff(u0)
         res = pcg(self._constrained(self.mass), rhs, jnp.zeros_like(u0),
                   precond_inv_diag=1.0 / self._mass_diag,
-                  abs_tol=self._abs_tol, max_iter=self._max_iter)
+                  abs_tol=self._abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
         return P2CanvasState(u=u0, v=v0, a=res.x.astype(self.dtype))
 
     def _rhs_stiff(self, z):
@@ -377,7 +389,8 @@ class P2CanvasSolver:
         res = pcg(self._constrained(self.system), rhs,
                   jnp.where(self.interior, a, 0.0),
                   precond_inv_diag=1.0 / self._diag,
-                  abs_tol=self._abs_tol, max_iter=self._max_iter)
+                  abs_tol=self._abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
         a_new = res.x.astype(self.dtype)
         u_new = z + (beta * dt * dt) * a_new
         v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
@@ -401,14 +414,16 @@ class P2CanvasSolver:
                           0.0)
         res_u = pcg(self._constrained(self.system), rhs_u, um,
                     precond_inv_diag=1.0 / self._diag,
-                    abs_tol=abs_tol, max_iter=self._max_iter)
+                    abs_tol=abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
         u_new = res_u.x.astype(self.dtype)
         kun = self.stiff.apply_canvases(jnp.where(interior, u_new, 0.0))
         rhs_v = jnp.where(interior,
                           mv - (dt * (1.0 - th)) * ku - (dt * th) * kun, 0.0)
         res_v = pcg(self._constrained(self.mass), rhs_v, vm,
                     precond_inv_diag=1.0 / self._mass_diag,
-                    abs_tol=abs_tol, max_iter=self._max_iter)
+                    abs_tol=abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
         return P2CanvasState(u=u_new, v=res_v.x.astype(self.dtype), a=a)
 
     def run_scan(self, state: P2CanvasState, n_steps: int) -> P2CanvasState:
