@@ -44,6 +44,16 @@ def load(path) -> pd.DataFrame:
     return df.drop_duplicates(subset=["scheme", "N_el_x", "r", "dt"])
 
 
+def drop_unstable(df: pd.DataFrame) -> pd.DataFrame:
+    """Stricter filter for the order FITS (plots keep the notebook filter):
+    a run with rel L2 > 10 has left the O(1)-norm solution entirely, and
+    rel H1 > 100 means the derivative field is exponentially-amplified
+    high-frequency noise even while L2 still looks O(1) (marginal FE rows)
+    — same classification as scripts/compare_with_reference.py."""
+    return df[(df.rel_L2_error_final < 10.0)
+              & (df.rel_H1_error_final < 100.0)]
+
+
 def fit_slope(x, y):
     x, y = np.log(np.asarray(x, float)), np.log(np.asarray(y, float))
     if len(x) < 2:
@@ -51,17 +61,37 @@ def fit_slope(x, y):
     return np.polyfit(x, y, 1)[0]
 
 
+def _above_floor(g: pd.DataFrame, col: str, factor: float = 3.0):
+    """Rows where ``col`` is dominated by the varying discretisation term.
+
+    The total error behaves like C(h^s + dt^q) (the notebook's collapsed
+    bound): sweeping one parameter with the other fixed, the error
+    saturates at the fixed term's floor.  Fitting a log-log slope through
+    saturated points biases the order towards zero, so keep only points a
+    ``factor`` above the observed floor.
+    """
+    return g[g[col] >= factor * g[col].min()]
+
+
 def temporal_orders(df: pd.DataFrame) -> pd.DataFrame:
     out = []
     for (scheme, r), gg in df.groupby(["scheme", "r"]):
-        nel = gg.N_el_x.max()
-        g = gg[gg.N_el_x == nel].sort_values("dt")
-        # use the coarse-dt regime where temporal error dominates
-        g = g[g.dt >= g.dt.min() * 4]
-        if len(g) >= 2:
-            out.append({"scheme": scheme, "r": r, "Nel": nel,
-                        "temporal_order_L2":
-                            fit_slope(g.dt, g.rel_L2_error_final)})
+        # finest mesh (lowest spatial floor) that still has >= 3 dt
+        # points above the floor; coarser fallback keeps marginal
+        # explicit schemes (few stable dts per mesh) fittable
+        best = None
+        for nel in sorted(gg.N_el_x.unique(), reverse=True):
+            g = _above_floor(gg[gg.N_el_x == nel].sort_values("dt"),
+                             "rel_L2_error_final")
+            if len(g) >= 3:
+                best = (nel, g)
+                break
+        if best is None:
+            continue
+        nel, g = best
+        out.append({"scheme": scheme, "r": r, "Nel": nel,
+                    "temporal_order_L2":
+                        fit_slope(g.dt, g.rel_L2_error_final)})
     return pd.DataFrame(out)
 
 
@@ -70,10 +100,14 @@ def spatial_orders(df: pd.DataFrame) -> pd.DataFrame:
     for (scheme, r), gg in df.groupby(["scheme", "r"]):
         dt = gg.dt.min()
         g = gg[gg.dt == dt].sort_values("h")
-        if len(g) >= 2:
+        gl2 = _above_floor(g, "rel_L2_error_final")
+        gh1 = _above_floor(g, "rel_H1_error_final")
+        if len(gl2) >= 2 and len(gh1) >= 2:
             out.append({"scheme": scheme, "r": r, "dt": dt,
-                        "spatial_order_L2": fit_slope(g.h, g.rel_L2_error_final),
-                        "spatial_order_H1": fit_slope(g.h, g.rel_H1_error_final)})
+                        "spatial_order_L2":
+                            fit_slope(gl2.h, gl2.rel_L2_error_final),
+                        "spatial_order_H1":
+                            fit_slope(gh1.h, gh1.rel_H1_error_final)})
     return pd.DataFrame(out)
 
 
@@ -108,8 +142,9 @@ def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "convergence-results.csv"
     out_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("analysis-out")
     df = load(path)
-    t = temporal_orders(df)
-    s = spatial_orders(df)
+    fit_df = drop_unstable(df)
+    t = temporal_orders(fit_df)
+    s = spatial_orders(fit_df)
     print("\nTemporal orders (coarse-dt fit at finest mesh):")
     print(t.to_string(index=False))
     print("\nSpatial orders (finest dt):")
