@@ -46,12 +46,14 @@ CONVERGENCE = nb([
        "O(h^{r+1}) L2 / O(h^r) H1 in space."),
     code("import sys, pathlib\n"
          "sys.path.insert(0, str(pathlib.Path.cwd().parent))\n"
-         "from analysis.convergence_analysis import (load, temporal_orders,\n"
+         "from analysis.convergence_analysis import (load, drop_unstable,\n"
+         "                                           temporal_orders,\n"
          "                                           spatial_orders)\n"
-         "df = load('convergence-results.csv')\n"
+         "df = load('data/convergence-results.csv')\n"
          "df.head()"),
-    code("temporal_orders(df)"),
-    code("spatial_orders(df)"),
+    code("fit_df = drop_unstable(df)  # exclude instability-contaminated rows\n"
+         "temporal_orders(fit_df)"),
+    code("spatial_orders(fit_df)"),
     code("%matplotlib inline\n"
          "import matplotlib.pyplot as plt\n"
          "for r in sorted(df.r.unique()):\n"
@@ -86,7 +88,7 @@ SCALABILITY = nb([
     code("import sys, pathlib, glob\n"
          "sys.path.insert(0, str(pathlib.Path.cwd().parent))\n"
          "from analysis.scalability_analysis import load, analyze\n"
-         "best = load(sorted(glob.glob('scalability-results-*.csv')))\n"
+         "best = load(sorted(glob.glob('data/scalability-results-*.csv')))\n"
          "res = analyze(best)\nres"),
     code("%matplotlib inline\n"
          "import matplotlib.pyplot as plt\n"
@@ -108,11 +110,11 @@ DISSDISP = nb([
        "centre-probe signal against the exact standing-mode cosine "
        "(from `scripts/dissipation_dispersion_sweep.py` outputs)."),
     code("import pandas as pd\n"
-         "df = pd.read_csv('dissdisp-results.csv')\n"
+         "df = pd.read_csv('data/dissdisp-results.csv')\n"
          "df.pivot_table(index='dt', columns='scheme', values='energy_ratio')"),
     code("%matplotlib inline\n"
          "import matplotlib.pyplot as plt, pathlib\n"
-         "energy_dir = pathlib.Path('dissdisp-energy-series')\n"
+         "energy_dir = pathlib.Path('data/dissdisp-energy-series')\n"
          "schemes = sorted({f.name.split('_dt')[0] for f in energy_dir.glob('*.csv')})\n"
          "fig, axes = plt.subplots(1, len(schemes), figsize=(4*len(schemes), 3.5))\n"
          "for ax, scheme in zip(axes, schemes):\n"
@@ -124,7 +126,7 @@ DISSDISP = nb([
          "    ax.grid(alpha=0.3); ax.legend(fontsize=6)\n"
          "plt.tight_layout(); plt.show()"),
     code("import numpy as np, math\n"
-         "probe_dir = pathlib.Path('dissdisp-probe-series')\n"
+         "probe_dir = pathlib.Path('data/dissdisp-probe-series')\n"
          "fig, ax = plt.subplots(figsize=(10, 3.5))\n"
          "for f in sorted(probe_dir.glob('*.csv'))[:6]:\n"
          "    s = pd.read_csv(f)\n"
