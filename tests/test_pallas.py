@@ -172,6 +172,15 @@ def test_implicit_cheby_matches_roll_path(scheme, kw):
     # same schemes, both solved to the 1e-6 relative tolerance contract
     np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
                                rtol=1e-3, atol=1e-5)
+    if scheme == "theta":
+        # a separate v-solve block degree changes only restart
+        # granularity, never the stopping contract
+        got2 = solver.run_implicit_cheby(st, 4, degree=6, degree_v=10,
+                                         block_rows=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(got2.u), np.asarray(want.u),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got2.v), np.asarray(got.v),
+                                   rtol=1e-3, atol=1e-5)
 
 
 def test_theta_r0_kernels_match_xla():

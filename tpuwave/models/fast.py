@@ -500,11 +500,22 @@ class FastWaveSolver:
     # ------------------------------------------------------------------
     def run_implicit_cheby(self, state: FastState, n_steps: int,
                            degree: int = 8, block_rows: int = 128,
+                           degree_v: int | None = None,
                            interpret: bool = False) -> FastState:
         """Newmark (beta>0) or theta stepping where each linear system is
         solved by restarted Chebyshev iteration with analytic stencil-symbol
         eigenvalue bounds, ``degree`` iterations fused per kernel pass.
-        Same stopping contract as the CG paths (max(abs_tol, 1e-6*||r0||))."""
+        Same stopping contract as the CG paths (max(abs_tol, 1e-6*||r0||)).
+
+        ``degree_v`` sets a separate block degree for the theta v-solve,
+        whose operator is the bare mass matrix — its condition number is
+        mesh-independent (~8 for P1 consistent mass), so the iterations
+        needed to hit 1e-6 are fixed (~10) regardless of mesh, while the
+        optimal degree for the stiffness-dominated u-system varies with
+        theta*dt/h. Default 10 (measured optimum at 4096^2 f32: 8.42
+        ms/step vs 9.02 at degree_v=degree=6; too-small degrees pay extra
+        per-block halo/norm overhead, too-large waste iterations past the
+        tolerance)."""
         from tpuwave.ops.pallas_kernels import (cheby_block_pallas,
                                                 newmark_rhs_r0_pallas,
                                                 newmark_update_pallas,
@@ -528,12 +539,12 @@ class FastWaveSolver:
         ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
         interior = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
 
-        def make_blocks(op):
+        def make_blocks(op, deg=degree):
             """while_loop of fused Chebyshev blocks on (x, r) until the
             stopping rule; shared by both entry forms below."""
             st_coeffs = op.stencil
             lo, hi = stencil_symbol_bounds(st_coeffs)
-            theta_c, coeffs = chebyshev_coefficients(lo, hi, degree)
+            theta_c, coeffs = chebyshev_coefficients(lo, hi, deg)
             coeffs = tuple(coeffs)
 
             def tol2_of(rn2_0, bn2, xn2):
@@ -554,7 +565,7 @@ class FastWaveSolver:
                         x, r, stencil=st_coeffs, theta=theta_c,
                         coeffs=coeffs, block_rows=block_rows, true_rows=h,
                         true_cols=w, interpret=interpret)
-                    return (x, r, rn2[0, 0], k + degree)
+                    return (x, r, rn2[0, 0], k + deg)
 
                 x, r, rn2, k = jax.lax.while_loop(
                     cond, body, (x0, r0, rn2_0, jnp.asarray(0, jnp.int32)))
@@ -590,7 +601,8 @@ class FastWaveSolver:
                 return FastState(u=u_new, v=v_new, a=a_new)
         elif self.scheme == "theta":
             run_blocks_u, tol2_u = make_blocks(self.system)
-            run_blocks_m, tol2_m = make_blocks(self.mass)
+            run_blocks_m, tol2_m = make_blocks(
+                self.mass, 10 if degree_v is None else degree_v)
             m_st = self.mass.stencil
             k_st = self.stiff.stencil
 
@@ -620,8 +632,8 @@ class FastWaveSolver:
         else:
             raise ValueError("run_implicit_cheby needs scheme newmark/theta")
 
-        runner = cached_scan(self, ("cheby", degree, block_rows, interpret,
-                                    self.scheme), step, n_steps)
+        runner = cached_scan(self, ("cheby", degree, degree_v, block_rows,
+                                    interpret, self.scheme), step, n_steps)
         out = runner(FastState(pad(state.u), pad(state.v), pad(state.a)))
         return FastState(u=out.u[:h, :w], v=out.v[:h, :w], a=out.a[:h, :w])
 
