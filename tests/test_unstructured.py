@@ -1,0 +1,276 @@
+"""Unstructured mesh import: readers, geometry, operator parity with the
+structured path, end-to-end runs, and convergence on perturbed meshes.
+
+Exercises the activated ``Mesh File Name`` parameter (reference
+ParameterReader.cpp:51-54, declared there but never consumed)."""
+
+import numpy as np
+import pytest
+
+from tpuwave.core.mesh import StructuredTriMesh
+from tpuwave.core.unstructured import (UnstructuredFeSpace, UnstructuredTriMesh,
+                                       read_mesh_file, write_msh)
+from tpuwave.models.discretization import Discretization
+from tpuwave.models.general import UnstructuredDiscretization, make_discretization
+from tpuwave.utils.params import ParamError, load_params
+
+from tests.test_schemes import standing_mode
+
+
+def perturbed_mesh(nel, seed=0, amp=0.25):
+    """Structured rectangle with interior vertices randomly displaced by
+    up to ``amp * h`` — a genuinely non-uniform but valid mesh."""
+    m = StructuredTriMesh((nel, nel), ((0.0, 0.0), (1.0, 1.0)))
+    pts = m.vertex_coords.copy()
+    rng = np.random.default_rng(seed)
+    interior = ~m.boundary_vertex_mask
+    pts[interior] += (rng.uniform(-amp, amp, (interior.sum(), 2))
+                      * np.array([m.hx, m.hy]))
+    return UnstructuredTriMesh(pts, m.cells)
+
+
+# ---------------------------------------------------------------------------
+# readers / writer
+# ---------------------------------------------------------------------------
+
+def test_msh22_roundtrip(tmp_path):
+    m = StructuredTriMesh((5, 4), ((0.0, -1.0), (2.0, 1.0)))
+    path = write_msh(tmp_path / "m.msh", m.vertex_coords, m.cells)
+    rt = read_mesh_file(path)
+    np.testing.assert_allclose(rt.vertex_coords, m.vertex_coords, atol=0)
+    assert np.array_equal(rt.cells, m.cells)
+
+
+def test_msh41_parse(tmp_path):
+    # one entity block, unit square split into two triangles
+    text = """$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$Nodes
+1 4 1 4
+2 1 0 4
+1
+2
+3
+4
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+$EndNodes
+$Elements
+1 2 1 2
+2 1 2 2
+1 1 2 3
+2 1 3 4
+$EndElements
+"""
+    path = tmp_path / "m4.msh"
+    path.write_text(text)
+    m = read_mesh_file(path)
+    assert m.n_vertices == 4 and m.n_cells == 2
+    np.testing.assert_allclose(m.det_j, [1.0, 1.0])
+
+
+def test_legacy_vtk_parse(tmp_path):
+    from tpuwave.utils.vtu import write_mesh_vtk
+    m = StructuredTriMesh((3, 3), ((0.0, 0.0), (1.0, 1.0)))
+    path = write_mesh_vtk(tmp_path / "m.vtk", m.vertex_coords, m.cells)
+    rt = read_mesh_file(path)
+    np.testing.assert_allclose(rt.vertex_coords, m.vertex_coords, atol=1e-12)
+    assert np.array_equal(rt.cells, m.cells)
+
+
+def test_unreadable_mesh_errors(tmp_path):
+    bad = tmp_path / "bad.msh"
+    bad.write_text("not a mesh")
+    with pytest.raises(ValueError):
+        read_mesh_file(bad)
+    with pytest.raises(FileNotFoundError):
+        read_mesh_file(tmp_path / "missing.msh")
+
+
+def test_params_mesh_file_resolution(tmp_path):
+    m = StructuredTriMesh((4, 4), ((0.0, 0.0), (1.0, 1.0)))
+    write_msh(tmp_path / "sq.msh", m.vertex_coords, m.cells)
+    case = standing_mode(**{"Mesh File Name": "sq.msh"})
+    import json
+    pf = tmp_path / "case.json"
+    pf.write_text(json.dumps(case))
+    p = load_params(pf)       # resolves relative to the param file dir
+    assert p.mesh_file.endswith("sq.msh")
+    with pytest.raises(ParamError):
+        load_params(standing_mode(**{"Mesh File Name": "nope.msh"}))
+    # absent key -> structured path
+    assert load_params(standing_mode()).mesh_file is None
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+def test_orientation_fix_and_degenerate_rejection():
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    m = UnstructuredTriMesh(pts, np.array([[0, 2, 1]]))  # clockwise input
+    assert m.det_j[0] > 0
+    with pytest.raises(ValueError):
+        UnstructuredTriMesh(np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]),
+                            np.array([[0, 1, 2]]))
+
+
+def test_boundary_and_edges_match_structured():
+    m = StructuredTriMesh((6, 5), ((0.0, 0.0), (1.0, 1.0)))
+    um = UnstructuredTriMesh(m.vertex_coords, m.cells)
+    assert np.array_equal(um.boundary_vertex_mask, m.boundary_vertex_mask)
+    assert um.n_edges == m.n_edges
+    assert um.boundary_edge_mask.sum() == m.boundary_edge_mask.sum()
+    # every cell edge id consistent with its vertex pair
+    e = um.edges[um.cell_edges]                  # (C, 3, 2)
+    c = um.cells
+    pairs = np.sort(np.stack([c[:, [0, 1]], c[:, [1, 2]], c[:, [2, 0]]],
+                             axis=1), axis=2)
+    assert np.array_equal(np.sort(e, axis=2), pairs)
+
+
+def test_locate_point_perturbed():
+    um = perturbed_mesh(8, seed=3)
+    sp = UnstructuredFeSpace(um, 1)
+    rng = np.random.default_rng(0)
+    for p in rng.uniform(0.05, 0.95, (10, 2)):
+        cell, (xi, eta) = um.locate_point(p)
+        assert -1e-9 <= xi and -1e-9 <= eta and xi + eta <= 1 + 1e-9
+        # reconstruct the physical point from the reference coords
+        v = um.vertex_coords[um.cells[cell]]
+        rec = v[0] + xi * (v[1] - v[0]) + eta * (v[2] - v[0])
+        np.testing.assert_allclose(rec, p, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# operator parity with the structured discretisation
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("r", [1, 2])
+def test_operator_parity_structured_equivalent(r):
+    case = standing_mode(Nel="4,3", R=str(r))
+    p = load_params(case)
+    d_s = Discretization(p)
+    m = StructuredTriMesh(p.nel, p.geometry)
+    d_u = UnstructuredDiscretization(
+        p, mesh=UnstructuredTriMesh(m.vertex_coords, m.cells))
+    # DoF numbering differs (P2 edge order); match by support coordinates
+    cs = np.asarray(d_s.dof_coords)
+    cu = np.asarray(d_u.dof_coords)
+    os_ = np.lexsort((cs[:, 0], cs[:, 1]))
+    ou = np.lexsort((cu[:, 0], cu[:, 1]))
+    np.testing.assert_allclose(cs[os_], cu[ou], atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(d_s.boundary_mask)[os_],
+                                  np.asarray(d_u.boundary_mask)[ou])
+    for a, b in ((d_s.mass, d_u.mass), (d_s.stiffness, d_u.stiffness)):
+        np.testing.assert_allclose(a.to_dense()[np.ix_(os_, os_)],
+                                   b.to_dense()[np.ix_(ou, ou)], atol=1e-12)
+    # diagnostics agree on the same FE function (nodal values of a smooth
+    # field on each numbering's own support points)
+    import jax.numpy as jnp
+    def f(c):
+        return jnp.asarray(np.sin(3.0 * c[:, 0]) * np.cos(2.0 * c[:, 1]))
+    e_s = float(d_s.energy(f(cs), f(cs)))
+    e_u = float(d_u.energy(f(cu), f(cu)))
+    assert abs(e_s - e_u) < 1e-10 * abs(e_s)
+
+
+def test_mass_matrix_exactness_perturbed():
+    """Sum of all mass entries = domain area; stiffness annihilates
+    constants — on a genuinely perturbed mesh."""
+    um = perturbed_mesh(6, seed=1)
+    case = standing_mode(R="2")
+    p = load_params(case)
+    d = UnstructuredDiscretization(p, mesh=um)
+    M = d.mass.to_dense()
+    np.testing.assert_allclose(M.sum(), 1.0, rtol=1e-12)
+    K = d.stiffness.to_dense()
+    np.testing.assert_allclose(K @ np.ones(K.shape[0]), 0.0, atol=1e-10)
+    # linear function is in the P2 space: K @ x-coords gives boundary flux
+    # only; interior rows must vanish
+    x = np.asarray(d.dof_coords)[:, 0]
+    res = K @ x
+    interior = ~np.asarray(d.boundary_mask)
+    np.testing.assert_allclose(res[interior], 0.0, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+def test_end_to_end_import_matches_structured(tmp_path):
+    from tpuwave import api
+    from tpuwave.models.runner import RunConfig
+    m = StructuredTriMesh((10, 10), ((0.0, 0.0), (1.0, 1.0)))
+    msh = write_msh(tmp_path / "sq10.msh", m.vertex_coords, m.cells)
+    base = standing_mode(Nel="10", T="0.05", **{"Save Solution": "false"})
+    cfg = RunConfig(quiet=True, write_mesh=False,
+                    results_root=str(tmp_path / "res"))
+    r_s = api.solve(dict(base), family="theta", config=cfg)
+    r_u = api.solve(dict(base, **{"Mesh File Name": str(msh)}),
+                    family="theta", config=cfg)
+    # same mesh, same scheme; only the element-matrix storage (class vs
+    # full) and its float summation order differ -> CG-noise-level match
+    assert abs(r_s.rel_l2 - r_u.rel_l2) < 1e-6 * r_s.rel_l2
+    assert abs(r_s.rel_h1 - r_u.rel_h1) < 1e-6 * r_s.rel_h1
+
+
+@pytest.mark.parametrize("family", ["theta", "newmark"])
+def test_end_to_end_perturbed(tmp_path, family):
+    from tpuwave import api
+    from tpuwave.models.runner import RunConfig
+    um = perturbed_mesh(12, seed=2)
+    msh = write_msh(tmp_path / "p12.msh", um.vertex_coords, um.cells)
+    base = standing_mode(T="0.05", **{"Mesh File Name": str(msh),
+                                      "Save Solution": "false"})
+    cfg = RunConfig(quiet=True, write_mesh=False,
+                    results_root=str(tmp_path / "res"))
+    r = api.solve(base, family=family, config=cfg)
+    assert not r.diverged
+    assert r.rel_l2 < 0.02      # standing mode, short horizon
+
+
+def test_convergence_on_perturbed_meshes(tmp_path):
+    """Spatial L2 order ~2 for P1 on a sequence of perturbed meshes
+    (CN, dt scaled with h so temporal error stays subdominant)."""
+    from tpuwave import api
+    from tpuwave.models.runner import RunConfig
+    errs, hs = [], []
+    for nel in (8, 16, 32):
+        um = perturbed_mesh(nel, seed=5, amp=0.2)
+        msh = write_msh(tmp_path / f"p{nel}.msh", um.vertex_coords, um.cells)
+        base = standing_mode(T="0.1", Dt=str(0.4 / nel),
+                             **{"Mesh File Name": str(msh),
+                                "Save Solution": "false"})
+        cfg = RunConfig(quiet=True, write_mesh=False,
+                        results_root=str(tmp_path / "res"))
+        r = api.solve(base, family="theta", config=cfg)
+        errs.append(r.rel_l2)
+        hs.append(um.h_max)
+    order = np.log(errs[0] / errs[2]) / np.log(hs[0] / hs[2])
+    assert 1.6 < order < 2.6, (errs, hs, order)
+
+
+def test_vtu_output_on_imported_mesh(tmp_path):
+    """Save Solution works on an imported mesh (piece geometry = the
+    imported triangulation)."""
+    from tpuwave import api
+    from tpuwave.models.runner import RunConfig
+    um = perturbed_mesh(5, seed=7)
+    msh = write_msh(tmp_path / "p5.msh", um.vertex_coords, um.cells)
+    base = standing_mode(T="0.02", Dt="0.01",
+                         **{"Mesh File Name": str(msh),
+                            "Save Solution": "true"})
+    cfg = RunConfig(quiet=True, write_mesh=False,
+                    results_root=str(tmp_path / "res"))
+    r = api.solve(base, family="theta", config=cfg)
+    vtus = list(r.output_folder.glob("solution_*.pvtu"))
+    assert len(vtus) == 3    # t=0 plus two steps
+
+
+def test_make_discretization_factory():
+    p = load_params(standing_mode())
+    assert type(make_discretization(p)) is Discretization

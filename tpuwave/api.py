@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional
 
 from tpuwave.models.discretization import Discretization
+from tpuwave.models.general import make_discretization
 from tpuwave.models.newmark import NewmarkSolver
 from tpuwave.models.runner import RunConfig, RunResult, run_solver
 from tpuwave.models.theta import ThetaSolver
@@ -23,7 +24,7 @@ __all__ = ["solve", "build_solver"]
 
 def build_solver(params: Params, family: str = "theta", **solver_kwargs):
     """Discretise and construct a stepper ('theta' or 'newmark')."""
-    disc = Discretization(params)
+    disc = make_discretization(params)
     if family == "theta":
         return ThetaSolver(disc, **solver_kwargs)
     if family == "newmark":

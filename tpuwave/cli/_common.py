@@ -17,6 +17,7 @@ from pathlib import Path
 
 from tpuwave import config
 from tpuwave.models.discretization import Discretization
+from tpuwave.models.general import make_discretization
 from tpuwave.models.runner import RunConfig, run_solver
 from tpuwave.utils.params import ParamError, load_params
 
@@ -106,7 +107,7 @@ def run_main(family: str, make_solver, argv=None) -> int:
               f"{jax.process_count()} process(es)")
 
     try:
-        disc = Discretization(params)
+        disc = make_discretization(params)
         solver = make_solver(disc, precond=args.precond)
         cfg = RunConfig(results_root=args.results_root,
                         mesh_root=args.mesh_root, quiet=args.quiet,

@@ -14,6 +14,7 @@ import time
 from typing import Dict, Optional, Tuple
 
 from tpuwave.models.discretization import Discretization
+from tpuwave.models.general import make_discretization
 from tpuwave.models.newmark import NewmarkSolver
 from tpuwave.models.runner import RunConfig, RunResult, run_solver
 from tpuwave.models.theta import ThetaSolver
@@ -82,7 +83,7 @@ def run_case(scheme_name: str, base_param_path, overrides: Dict, *,
     t0 = time.perf_counter()
     try:
         params = load_params(base_param_path, overrides=overrides)
-        disc = Discretization(params)
+        disc = make_discretization(params)
         solver = (ThetaSolver(disc) if sdef["family"] == "theta"
                   else NewmarkSolver(disc))
         cfg = RunConfig(results_root=results_root, quiet=quiet,

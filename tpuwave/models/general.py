@@ -1,0 +1,177 @@
+"""Discretisation on an imported unstructured mesh + the mesh-path factory.
+
+Activates the reference's dormant ``Mesh File Name`` parameter
+(ParameterReader.cpp:51-54; never consumed there — setup_mesh always
+regenerates the structured rectangle, WaveEquationBase.cpp:37-72): when a
+parameter file explicitly sets ``Mesh File Name``, tpuwave imports that
+mesh (Gmsh .msh or legacy VTK, tpuwave/core/unstructured.py) and solves on
+it with the identical scheme steppers — same boundary treatment, same CG
+contract, same diagnostics.
+
+TPU shape of the general path: geometry is per-cell (n_cells, ...) arrays
+in HBM; operators are per-cell element matrices on the shared
+gather -> batched matvec -> segment_sum path
+(ops/operators.py ``a_full`` mode), so each apply is still one fused XLA
+program. The structured fast paths (stencils, Pallas) remain exclusive to
+generated rectangle meshes, where geometry is compile-time constant.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuwave.core.quadrature import gauss_simplex
+from tpuwave.core.unstructured import (UnstructuredFeSpace, UnstructuredTriMesh,
+                                       read_mesh_file)
+from tpuwave.models.discretization import Discretization, _expr_grad_fn
+from tpuwave.ops.operators import MatrixFreeOperator
+from tpuwave.utils.expr import Expression
+from tpuwave.utils.params import Params
+
+__all__ = ["UnstructuredDiscretization", "make_discretization"]
+
+
+def make_discretization(params: Params, dtype=None) -> Discretization:
+    """Factory: unstructured import when ``Mesh File Name`` was given,
+    otherwise the structured rectangle discretisation."""
+    if params.mesh_file is not None:
+        return UnstructuredDiscretization(params, dtype=dtype)
+    return Discretization(params, dtype=dtype)
+
+
+class UnstructuredDiscretization(Discretization):
+    """Same public surface as :class:`Discretization`, per-cell geometry.
+
+    The scheme steppers (ThetaSolver/NewmarkSolver) and the run driver only
+    touch the shared surface — mass/stiffness operators, boundary plumbing,
+    interpolate/load_vector, diagnostics — so they work on imported meshes
+    unchanged. Time-independent wave speed: like the reference, ``c`` is
+    evaluated at t = 0 (FunctionParser default time; SURVEY.md C-note).
+    """
+
+    def __init__(self, params: Params, dtype=None,
+                 mesh: UnstructuredTriMesh = None):
+        # deliberately NOT calling super().__init__ — the structured
+        # constructor builds class-constant geometry that does not exist
+        # here. Generic methods (interpolate, boundary_values, energy,
+        # probe, check_divergence) are inherited and work off the
+        # attributes set below.
+        self.params = params
+        self.mesh = mesh if mesh is not None else read_mesh_file(params.mesh_file)
+        self.space = UnstructuredFeSpace(self.mesh, params.r)
+        self.quad = gauss_simplex(params.r + 1)       # assembly rule (ref :82)
+        self.quad_err = gauss_simplex(params.r + 2)   # error rule (ref :371)
+        if dtype is None:
+            dtype = jnp.zeros(0, dtype=float).dtype
+        self.dtype = dtype
+
+        sp, quad = self.space, self.quad
+        self.n_dofs = sp.n_dofs
+        cell_dofs = sp.cell_dofs
+        det = self.mesh.det_j                          # (C,)
+        sh = sp.shape_at(quad)
+        w = quad.weights                               # (Q,)
+
+        # per-cell element matrices (affine elements: mass = det-scaled
+        # reference mass; stiffness needs the per-cell physical gradients)
+        m_ref = np.einsum("q,qi,qj->ij", w, sh.values, sh.values)
+        m_full = det[:, None, None] * m_ref[None]
+        self.mass = MatrixFreeOperator(cell_dofs, self.n_dofs,
+                                       a_full=m_full, dtype=dtype)
+
+        g = sp.physical_grads(sh)                      # (C, Q, nloc, 2)
+        xq = sp.quad_points(quad)                      # (C, Q, 2)
+        c2 = np.asarray(params.c.evaluate(
+            jnp.asarray(xq[..., 0]), jnp.asarray(xq[..., 1]), 0.0))
+        c2 = np.broadcast_to(np.asarray(c2, dtype=np.float64) ** 2, xq.shape[:2])
+        k_full = np.einsum("q,cq,cqia,cqja,c->cij", w, c2, g, g, det)
+        self.stiffness = MatrixFreeOperator(cell_dofs, self.n_dofs,
+                                            a_full=k_full, dtype=dtype)
+
+        self.mass_diag = self.mass.diagonal()
+        self.lumped_mass = self.mass.row_sums()
+
+        self.boundary_mask = jnp.asarray(sp.boundary_mask)
+        bidx = np.flatnonzero(sp.boundary_mask)
+        self.boundary_idx = jnp.asarray(bidx, dtype=jnp.int32)
+        self.boundary_coords = jnp.asarray(sp.dof_coords[bidx], dtype=dtype)
+        self.dof_coords = jnp.asarray(sp.dof_coords, dtype=dtype)
+
+        # assembly-rule data for the load vector: per-cell quadrature
+        # coordinates and det-weighted quadrature weights
+        self._load_vals = jnp.asarray(sh.values, dtype=dtype)      # (Q, nloc)
+        self._load_w = jnp.asarray(w, dtype=dtype)                 # (Q,)
+        self._load_xq = jnp.asarray(xq, dtype=dtype)               # (C, Q, 2)
+        self._det_j = jnp.asarray(det, dtype=dtype)                # (C,)
+
+        # error-rule data
+        she = sp.shape_at(self.quad_err)
+        self._err_vals = jnp.asarray(she.values, dtype=dtype)      # (Q2, nloc)
+        self._err_grads = jnp.asarray(sp.physical_grads(she), dtype=dtype)
+        self._err_w = jnp.asarray(self.quad_err.weights, dtype=dtype)
+        self._err_xq = jnp.asarray(sp.quad_points(self.quad_err), dtype=dtype)
+
+        # probe point = domain (bounding-box) centre
+        cell, ref = self.mesh.locate_point(self.mesh.center)
+        pdofs, pvals = sp.eval_basis_at(cell, ref)
+        self._probe_dofs = jnp.asarray(pdofs, dtype=jnp.int32)
+        self._probe_vals = jnp.asarray(pvals, dtype=dtype)
+
+        if params.solution is not None:
+            self._sol_grad = _expr_grad_fn(params.solution)
+        else:
+            self._sol_grad = None
+
+    # ------------------------------------------------------------------
+    # load vector (per-cell geometry)
+    # ------------------------------------------------------------------
+    def load_vector(self, t):
+        if not self.has_forcing:
+            return jnp.zeros(self.n_dofs, dtype=self.dtype)
+        xq = self._load_xq                                     # (C, Q, 2)
+        fq = self.params.f.evaluate(xq[..., 0], xq[..., 1], t)  # (C, Q)
+        cell_rhs = jnp.einsum("cq,q,qi,c->ci", fq, self._load_w,
+                              self._load_vals, self._det_j)
+        cd = self.space.cell_dofs.reshape(-1)
+        return jax.ops.segment_sum(cell_rhs.reshape(-1), jnp.asarray(cd),
+                                   num_segments=self.n_dofs)
+
+    # ------------------------------------------------------------------
+    # errors (per-cell geometry)
+    # ------------------------------------------------------------------
+    def _fe_at_err_quads(self, u):
+        """uh: (C, Q2); grad_uh: (C, Q2, 2)."""
+        cd = jnp.asarray(self.space.cell_dofs)
+        ue = u[cd]                                             # (C, nloc)
+        uh = jnp.einsum("qi,ci->cq", self._err_vals, ue)
+        guh = jnp.einsum("cqia,ci->cqa", self._err_grads, ue)
+        return uh, guh
+
+    def _exact_at_err_quads(self, t):
+        xq = self._err_xq                                      # (C, Q2, 2)
+        uex = self.params.solution.evaluate(xq[..., 0], xq[..., 1], t)
+        flat = xq.reshape(-1, 2)
+        gex = self._sol_grad(flat, t).reshape(xq.shape)
+        return uex, gex
+
+    def errors(self, u, t):
+        """Same contract as the structured version (quadrature degree r+2,
+        < 1e-14 exact-norm guard, full H1 norm — reference
+        WaveEquationBase.cpp:367-423), with per-cell |det J| weights."""
+        uh, guh = self._fe_at_err_quads(u)
+        uex, gex = self._exact_at_err_quads(t)
+        w, det = self._err_w, self._det_j
+        l2_sq = jnp.einsum("cq,q,c->", (uh - uex) ** 2, w, det)
+        semi_sq = jnp.einsum("cqa,q,c->", (guh - gex) ** 2, w, det)
+        ex_l2_sq = jnp.einsum("cq,q,c->", uex ** 2, w, det)
+        ex_semi_sq = jnp.einsum("cqa,q,c->", gex ** 2, w, det)
+
+        err_l2 = jnp.sqrt(l2_sq)
+        err_h1 = jnp.sqrt(l2_sq + semi_sq)
+        ex_l2 = jnp.sqrt(ex_l2_sq)
+        ex_h1 = jnp.sqrt(ex_l2_sq + ex_semi_sq)
+        rel_l2 = jnp.where(ex_l2 < 1e-14, err_l2, err_l2 / ex_l2)
+        rel_h1 = jnp.where(ex_h1 < 1e-14, err_h1, err_h1 / ex_h1)
+        return err_l2, err_h1, rel_l2, rel_h1

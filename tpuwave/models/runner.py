@@ -104,7 +104,10 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     pcout(f"Initializing the finite element space\n  Degree                     = {p.r}")
     pcout(f"Initializing the DoF handler\n  Number of DoFs = {d.n_dofs}")
 
-    if cfg.write_mesh and primary:
+    imported_mesh = p.mesh_file is not None
+    if imported_mesh:
+        pcout(f"  Mesh imported from {p.mesh_file}")
+    if cfg.write_mesh and primary and not imported_mesh:
         try:
             write_mesh_vtk(mesh_file_name(cfg.mesh_root, p.nel, p.geometry),
                            d.mesh.vertex_coords, d.mesh.cells)

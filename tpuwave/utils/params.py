@@ -95,6 +95,13 @@ class Params:
     dgdt: Expression
     solution: Optional[Expression]
     source_path: Optional[str] = None
+    #: resolved path of an explicitly-requested mesh file, or None. The
+    #: reference declares "Mesh File Name" (ParameterReader.cpp:51-54) but
+    #: never reads it back; tpuwave makes the parameter live as an opt-in:
+    #: only a key PRESENT in the input activates the unstructured-import
+    #: path (the declared default would point every run at a nonexistent
+    #: ../mesh/mesh-square-40.msh).
+    mesh_file: Optional[str] = None
     raw: Dict = field(default_factory=dict, hash=False, compare=False)
 
     @property
@@ -221,6 +228,11 @@ def load_params(path_or_dict, *, overrides: Optional[Dict] = None) -> Params:
     _range_check("Gamma", gamma, 0.0, 1.0)
     _range_check("Dt", dt, 0.0)
 
+    mesh_file = None
+    raw_mesh = data.get("Mesh File Name")
+    if raw_mesh is not None and str(raw_mesh).strip():
+        mesh_file = _resolve_mesh_file(str(raw_mesh).strip(), source_path)
+
     funcs = {}
     for name in _FUNCTION_NAMES:
         sub = data.get(name)
@@ -252,5 +264,20 @@ def load_params(path_or_dict, *, overrides: Optional[Dict] = None) -> Params:
         dgdt=funcs["DGDT"],
         solution=funcs["Solution"],
         source_path=source_path,
+        mesh_file=mesh_file,
         raw=data,
     )
+
+
+def _resolve_mesh_file(name: str, source_path: Optional[str]) -> str:
+    """Resolve a mesh path: as given (cwd-relative), then relative to the
+    parameter file's directory. Missing files fail at load time so the CLI
+    can report a friendly error (like the reference's parameter errors)."""
+    p = Path(name)
+    if p.exists():
+        return str(p)
+    if source_path is not None:
+        q = Path(source_path).resolve().parent / name
+        if q.exists():
+            return str(q)
+    raise ParamError(f"Mesh File Name points at a missing file: {name!r}")
