@@ -1,0 +1,185 @@
+"""Time-dependent wave speed c(x, y, t) — a tpuwave extension.
+
+The reference evaluates C once at t = 0 (FunctionParser default time;
+its WaveTheta.cpp:85-87 never calls c.set_time), so a t-dependent C is
+silently frozen there. With ``"Time Dependent C": "true"`` tpuwave
+re-evaluates c each step: K(t) is rebuilt inside the jitted step
+(Discretization.stiffness_at), the theta scheme weights K^n / K^{n+1}
+onto the explicit / implicit terms, and Newmark evaluates the elastic
+force at t^{n+1}."""
+
+import numpy as np
+import pytest
+
+from tpuwave.models.discretization import Discretization
+from tpuwave.models.general import UnstructuredDiscretization
+from tpuwave.models.newmark import NewmarkSolver
+from tpuwave.models.theta import ThetaSolver
+from tpuwave.utils.params import load_params
+
+from tests.test_schemes import standing_mode, run_case
+
+
+def tdep_case(**over):
+    """MMS: u = cos(t) sin(pi x) sin(pi y), c^2(t) = 1 + 0.5 sin(2t)
+    => f = (2 pi^2 c^2(t) - 1) u."""
+    base = standing_mode(
+        **{"Time Dependent C": "true",
+           "C": {"Function expression": "sqrt(1 + 0.5*sin(2*t))",
+                 "Variable names": "x, y, t"},
+           "F": {"Function expression":
+                 "(2*pi^2*(1 + 0.5*sin(2*t)) - 1)*cos(t)*sin(pi*x)*sin(pi*y)",
+                 "Variable names": "x, y, t"},
+           "U0": {"Function expression": "sin(pi*x)*sin(pi*y)",
+                  "Variable names": "x, y"},
+           "V0": {"Function expression": "0.0", "Variable names": "x, y"},
+           "Solution": {"Function expression":
+                        "cos(t)*sin(pi*x)*sin(pi*y)",
+                        "Variable names": "x, y, t"}})
+    base.update(over)
+    return base
+
+
+# ---------------------------------------------------------------------------
+# operator level
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("r", [1, 2])
+def test_stiffness_at_matches_frozen_assembly(r):
+    """K(t*) from the traceable path == host assembly with c frozen at t*."""
+    live = standing_mode(Nel="5,4", R=str(r),
+                         **{"C": {"Function expression": "1 + 0.5*x*sin(t)",
+                                  "Variable names": "x, y, t"}})
+    frozen = standing_mode(Nel="5,4", R=str(r),
+                           **{"C": {"Function expression":
+                                    "1 + 0.5*x*sin(0.7)",
+                                    "Variable names": "x, y, t"}})
+    d_live = Discretization(load_params(live))
+    d_frozen = Discretization(load_params(frozen))
+    k_t = d_live.stiffness_at(0.7)
+    np.testing.assert_allclose(k_t.to_dense(), d_frozen.stiffness.to_dense(),
+                               atol=1e-12)
+    # and t = 0 reproduces the reference-semantics static operator
+    k_0 = d_live.stiffness_at(0.0)
+    np.testing.assert_allclose(k_0.to_dense(), d_live.stiffness.to_dense(),
+                               atol=1e-12)
+
+
+def test_stiffness_at_unstructured(tmp_path):
+    from tests.test_unstructured import perturbed_mesh
+    um = perturbed_mesh(5, seed=4)
+    live = standing_mode(R="2",
+                         **{"C": {"Function expression": "1 + 0.5*y*sin(t)",
+                                  "Variable names": "x, y, t"}})
+    frozen = standing_mode(R="2",
+                           **{"C": {"Function expression":
+                                    "1 + 0.5*y*sin(0.3)",
+                                    "Variable names": "x, y, t"}})
+    d_live = UnstructuredDiscretization(load_params(live), mesh=um)
+    d_frozen = UnstructuredDiscretization(load_params(frozen), mesh=um)
+    np.testing.assert_allclose(d_live.stiffness_at(0.3).to_dense(),
+                               d_frozen.stiffness.to_dense(), atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# scheme level
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("scheme", ["theta", "newmark"])
+def test_static_c_unchanged_by_tdep_mode(scheme):
+    """With a time-independent c, the time-dependent mode reproduces the
+    static path (same operators, same trajectory to solver noise)."""
+    base = standing_mode(T="0.05")
+    d0, st0, t0, _ = run_case(base, scheme=scheme)
+    dyn = dict(base, **{"Time Dependent C": "true"})
+    d1, st1, t1, _ = run_case(dyn, scheme=scheme)
+    np.testing.assert_allclose(np.asarray(st1.u), np.asarray(st0.u),
+                               rtol=0, atol=1e-9)
+    e0 = float(d0.errors(st0.u, t0)[2])
+    e1 = float(d1.errors(st1.u, t1)[2])
+    assert abs(e0 - e1) < 1e-8
+
+
+def test_tdep_c_mms_accuracy_and_mode_matters():
+    """The MMS with genuinely varying c(t): the time-dependent mode hits
+    the spatial error floor; freezing c at t=0 (reference semantics) is
+    an order of magnitude worse."""
+    case = tdep_case(Nel="32", T="0.5", Dt="0.01")
+    p = load_params(case)
+    d = Discretization(p)
+    s = ThetaSolver(d)
+    assert s.time_dep_c
+    st = s.initial_state()
+    t = 0.0
+    while t < p.t_final:
+        t += p.dt
+        st, _ = s.step(st, t)
+    rel_l2 = float(d.errors(st.u, t)[2])
+    assert rel_l2 < 5e-3, rel_l2
+
+    frozen = dict(case, **{"Time Dependent C": "false"})
+    d2, st2, t2, _ = run_case(frozen, scheme="theta")
+    rel_l2_frozen = float(d2.errors(st2.u, t2)[2])
+    assert rel_l2_frozen > 5 * rel_l2, (rel_l2, rel_l2_frozen)
+
+
+def test_tdep_temporal_order_cn():
+    """Self-convergence in dt on a fixed mesh: CN stays second order with
+    the time-varying operator."""
+    errs = []
+    dts = [0.05, 0.025, 0.0125]
+    ref_u = None
+    case0 = tdep_case(Nel="16", T="0.5")
+    for dt in [0.003125] + dts:
+        p = load_params(dict(case0, Dt=str(dt)))
+        d = Discretization(p)
+        s = ThetaSolver(d)
+        st = s.initial_state()
+        t = 0.0
+        while t < p.t_final - 1e-12:
+            t += p.dt
+            st, _ = s.step(st, t)
+        u = np.asarray(st.u)
+        if ref_u is None:
+            ref_u = u
+        else:
+            errs.append(np.linalg.norm(u - ref_u))
+    order = np.log(errs[0] / errs[2]) / np.log(dts[0] / dts[2])
+    assert 1.8 < order < 2.3, (errs, order)
+
+
+def test_tdep_newmark_matches_cn():
+    """Newmark-AA and CN agree on the time-varying problem (both second
+    order; equal up to the temporal error scale)."""
+    case = tdep_case(Nel="16", T="0.25", Dt="0.005")
+    d1, st1, t1, _ = run_case(case, scheme="theta")
+    d2, st2, t2, _ = run_case(case, scheme="newmark")
+    e1 = float(d1.errors(st1.u, t1)[2])
+    e2 = float(d2.errors(st2.u, t2)[2])
+    assert abs(e1 - e2) < 0.2 * max(e1, e2), (e1, e2)
+
+
+def test_tdep_end_to_end_unstructured(tmp_path):
+    from tpuwave import api
+    from tpuwave.core.unstructured import write_msh
+    from tpuwave.models.runner import RunConfig
+    from tests.test_unstructured import perturbed_mesh
+    um = perturbed_mesh(12, seed=9, amp=0.15)
+    msh = write_msh(tmp_path / "p12.msh", um.vertex_coords, um.cells)
+    case = tdep_case(T="0.1", Dt="0.01",
+                     **{"Mesh File Name": str(msh),
+                        "Save Solution": "false"})
+    cfg = RunConfig(quiet=True, write_mesh=False,
+                    results_root=str(tmp_path / "res"))
+    r = api.solve(case, family="newmark", config=cfg)
+    assert not r.diverged
+    assert r.rel_l2 < 0.02
+
+
+def test_chebyshev_precond_rejected():
+    p = load_params(tdep_case())
+    d = Discretization(p)
+    with pytest.raises(ValueError):
+        ThetaSolver(d, precond="chebyshev")
+    with pytest.raises(ValueError):
+        NewmarkSolver(d, precond="chebyshev")

@@ -176,6 +176,49 @@ class Discretization:
                                    num_segments=self.n_dofs)
 
     # ------------------------------------------------------------------
+    # time-dependent wave speed (tpuwave extension; the reference always
+    # freezes c at t = 0 — FunctionParser default time, SURVEY.md C-note)
+    # ------------------------------------------------------------------
+    @property
+    def _tdep_data(self):
+        try:
+            return self.__tdep_cache
+        except AttributeError:
+            pass
+        sp, quad = self.space, self.quad
+        sh = sp.shape_at(quad)
+        grads = sp.physical_grads(sh)               # (2, Q, nloc, 2)
+        if sp.degree == 1:
+            # P1 gradients are q-independent: K_e = s_e(t) * G_class with
+            # s_e = detJ * sum_q w_q c^2(x_q, t)
+            g_class = np.einsum("cqia,cqja->cqij", grads, grads)[:, 0]
+            self.__tdep_cache = (
+                "scaled", jnp.asarray(g_class, dtype=self.dtype),
+                jnp.asarray(quad.weights * self.mesh.det_j, dtype=self.dtype))
+        else:
+            gprod = np.einsum("q,kqia,kqja->kqij", quad.weights,
+                              grads, grads) * self.mesh.det_j
+            self.__tdep_cache = (
+                "full", jnp.asarray(gprod, dtype=self.dtype), None)
+        return self.__tdep_cache
+
+    def stiffness_at(self, t):
+        """K(t): stiffness with c^2 evaluated at time ``t`` (jit-traceable;
+        used by the steppers when ``Time Dependent C`` is enabled)."""
+        kind, data, wdet = self._tdep_data
+        xq = self._quad_coords(self._offsets_j)      # (G, 2, Q, 2)
+        c2 = self.params.c.evaluate(xq[..., 0], xq[..., 1], t) ** 2
+        cd = self.space.cell_dofs
+        if kind == "scaled":
+            scale = jnp.einsum("gkq,q->gk", c2, wdet).reshape(-1)
+            return MatrixFreeOperator(cd, self.n_dofs, a_class=data,
+                                      scale=scale, dtype=self.dtype)
+        a_full = jnp.einsum("gkq,kqij->gkij", c2, data)
+        a_full = a_full.reshape(-1, a_full.shape[-1], a_full.shape[-1])
+        return MatrixFreeOperator(cd, self.n_dofs, a_full=a_full,
+                                  dtype=self.dtype)
+
+    # ------------------------------------------------------------------
     # diagnostics
     # ------------------------------------------------------------------
     def energy(self, u, v):

@@ -106,6 +106,10 @@ class UnstructuredDiscretization(Discretization):
         self._load_xq = jnp.asarray(xq, dtype=dtype)               # (C, Q, 2)
         self._det_j = jnp.asarray(det, dtype=dtype)                # (C,)
 
+        # assembly-rule physical gradients, kept for the time-dependent
+        # wave-speed mode (stiffness_at)
+        self._grads_j = jnp.asarray(g, dtype=dtype)            # (C, Q, nloc, 2)
+
         # error-rule data
         she = sp.shape_at(self.quad_err)
         self._err_vals = jnp.asarray(she.values, dtype=dtype)      # (Q2, nloc)
@@ -137,6 +141,19 @@ class UnstructuredDiscretization(Discretization):
         cd = self.space.cell_dofs.reshape(-1)
         return jax.ops.segment_sum(cell_rhs.reshape(-1), jnp.asarray(cd),
                                    num_segments=self.n_dofs)
+
+    # ------------------------------------------------------------------
+    # time-dependent wave speed (per-cell geometry)
+    # ------------------------------------------------------------------
+    def stiffness_at(self, t):
+        """K(t) with c^2 evaluated at time ``t`` (jit-traceable)."""
+        xq = self._load_xq                                     # (C, Q, 2)
+        c2 = self.params.c.evaluate(xq[..., 0], xq[..., 1], t) ** 2
+        g = self._grads_j
+        a_full = jnp.einsum("cq,q,cqia,cqja,c->cij", c2, self._load_w,
+                            g, g, self._det_j)
+        return MatrixFreeOperator(self.space.cell_dofs, self.n_dofs,
+                                  a_full=a_full, dtype=self.dtype)
 
     # ------------------------------------------------------------------
     # errors (per-cell geometry)

@@ -54,6 +54,13 @@ class NewmarkSolver(ScanMixin):
         #: performance mode: diagonal (row-sum lumped) mass, no CG. Only
         #: meaningful at beta = 0; parity mode keeps consistent-mass CG.
         self.lumped_explicit = bool(lumped_explicit) and p.beta <= 1e-12
+        #: tpuwave extension: rebuild K(t^{n+1}) inside each step (the
+        #: elastic force in Newmark acts at t^{n+1}; see theta.py note)
+        self.time_dep_c = p.time_dependent_c
+        if self.time_dep_c and precond != "jacobi":
+            raise ValueError(
+                "Time Dependent C supports only the jacobi preconditioner "
+                "(the matrix changes every step)")
 
         # matrix_a = M + beta dt^2 K (WaveNewmark.cpp:110-112)
         self.matrix_a = disc.mass.axpy(p.beta * p.dt * p.dt, disc.stiffness)
@@ -122,7 +129,15 @@ class NewmarkSolver(ScanMixin):
 
         # z = u^n + dt v^n + dt^2 (0.5 - beta) a^n  (WaveNewmark.cpp:123-126)
         z = u_n + dt * v_n + (dt * dt * (0.5 - beta)) * a_n
-        rhs = -d.stiffness(z)
+        if self.time_dep_c:
+            k_np1 = d.stiffness_at(t)
+            matrix_a = d.mass.axpy(beta * dt * dt, k_np1)
+            diag_a = matrix_a.diagonal()
+            prec_a = 1.0 / diag_a
+            rhs = -k_np1(z)
+        else:
+            matrix_a, diag_a, prec_a = self.matrix_a, self.diag_a, self.prec_a
+            rhs = -d.stiffness(z)
         if d.has_forcing:
             rhs = rhs + d.load_vector(t)
 
@@ -134,8 +149,8 @@ class NewmarkSolver(ScanMixin):
         else:
             a_bc = self._boundary_accel(t, z)
             apply_a, rhs_c, x0 = constrain_system(
-                self.matrix_a, self.diag_a, d.boundary_mask, a_bc, rhs, a_n)
-            res = pcg(apply_a, rhs_c, x0, precond_inv_diag=self.prec_a)
+                matrix_a, diag_a, d.boundary_mask, a_bc, rhs, a_n)
+            res = pcg(apply_a, rhs_c, x0, precond_inv_diag=prec_a)
             a_np1, iters = res.x, res.iterations
 
         # Newmark update (WaveNewmark.cpp:264-278)

@@ -48,6 +48,14 @@ class ThetaSolver(ScanMixin):
         p = disc.params
         self.theta = p.theta
         self.dt = p.dt
+        #: tpuwave extension: rebuild K(t) inside each step from c(x, y, t)
+        #: (see Params.time_dependent_c). The u-system matrix then varies
+        #: per step, so its diagonal/preconditioner are traced per step too.
+        self.time_dep_c = p.time_dependent_c
+        if self.time_dep_c and precond != "jacobi":
+            raise ValueError(
+                "Time Dependent C supports only the jacobi preconditioner "
+                "(the matrix changes every step)")
 
         # matrix_u = M + (theta dt)^2 K; matrix_v = M (WaveTheta.cpp:110-116),
         # merged into single fused element operators.
@@ -89,8 +97,21 @@ class ThetaSolver(ScanMixin):
         th, dt = self.theta, self.dt
         u_n, v_n = state.u, state.v
 
+        if self.time_dep_c:
+            # theta-weighted evaluation of the time-varying operator:
+            # K^n acts on the explicit terms, K^{n+1} on the implicit ones
+            k_n = d.stiffness_at(t - dt)
+            k_np1 = d.stiffness_at(t)
+            matrix_u = d.mass.axpy((th * dt) ** 2, k_np1)
+            diag_u = matrix_u.diagonal()
+            prec_u = 1.0 / diag_u
+            ku = k_n(u_n)
+        else:
+            k_np1 = d.stiffness
+            matrix_u, diag_u, prec_u = self.matrix_u, self.diag_u, self.prec_u
+            ku = d.stiffness(u_n)
+
         mu = d.mass(u_n)
-        ku = d.stiffness(u_n)
         mv = d.mass(v_n)
 
         if d.has_forcing:
@@ -105,12 +126,12 @@ class ThetaSolver(ScanMixin):
 
         g_np1 = d.boundary_values(d.params.g, t)
         apply_u, rhs_u_c, x0_u = constrain_system(
-            self.matrix_u, self.diag_u, d.boundary_mask, g_np1, rhs_u, u_n)
-        res_u = pcg(apply_u, rhs_u_c, x0_u, precond_inv_diag=self.prec_u)
+            matrix_u, diag_u, d.boundary_mask, g_np1, rhs_u, u_n)
+        res_u = pcg(apply_u, rhs_u_c, x0_u, precond_inv_diag=prec_u)
         u_np1 = res_u.x
 
         # ---- v system (WaveTheta.cpp:188-249, 296-339) -------------------
-        rhs_v = mv - (dt * (1.0 - th)) * ku - (dt * th) * d.stiffness(u_np1)
+        rhs_v = mv - (dt * (1.0 - th)) * ku - (dt * th) * k_np1(u_np1)
         if f_avg is not None:
             rhs_v = rhs_v + dt * f_avg
 

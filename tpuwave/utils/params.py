@@ -51,6 +51,10 @@ _DEFAULTS = {
     "Enable Logging": "true",
     "Log Every": "10",
     "Print Every": "10",
+    # tpuwave extension (no reference counterpart): re-evaluate the wave
+    # speed c(x, y, t) at the current time each step instead of freezing
+    # it at t = 0 (the reference's FunctionParser default-time behaviour)
+    "Time Dependent C": "false",
 }
 
 _FUNCTION_NAMES = ("C", "F", "U0", "V0", "G", "DGDT", "Solution")
@@ -102,6 +106,8 @@ class Params:
     #: path (the declared default would point every run at a nonexistent
     #: ../mesh/mesh-square-40.msh).
     mesh_file: Optional[str] = None
+    #: tpuwave extension: re-evaluate c(x, y, t) each step (see _DEFAULTS)
+    time_dependent_c: bool = False
     raw: Dict = field(default_factory=dict, hash=False, compare=False)
 
     @property
@@ -265,6 +271,7 @@ def load_params(path_or_dict, *, overrides: Optional[Dict] = None) -> Params:
         solution=funcs["Solution"],
         source_path=source_path,
         mesh_file=mesh_file,
+        time_dependent_c=_parse_bool(get("Time Dependent C")),
         raw=data,
     )
 
