@@ -88,6 +88,33 @@ def test_unreadable_mesh_errors(tmp_path):
         read_mesh_file(bad)
     with pytest.raises(FileNotFoundError):
         read_mesh_file(tmp_path / "missing.msh")
+    # binary .msh: friendly ValueError, not a UnicodeDecodeError
+    binmsh = tmp_path / "bin.msh"
+    binmsh.write_bytes(b"$MeshFormat\n4.1 1 8\n" + bytes(range(256)))
+    with pytest.raises(ValueError, match="binary"):
+        read_mesh_file(binmsh)
+
+
+def test_non_planar_mesh_rejected(tmp_path):
+    """A Gmsh surface mesh off z = 0 must not silently flatten."""
+    text = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+3
+1 0 0 0
+2 1 0 0.5
+3 0 1 0
+$EndNodes
+$Elements
+1
+1 2 2 0 1 1 2 3
+$EndElements
+"""
+    path = tmp_path / "warped.msh"
+    path.write_text(text)
+    with pytest.raises(ValueError, match="planar"):
+        read_mesh_file(path)
 
 
 def test_params_mesh_file_resolution(tmp_path):
@@ -111,8 +138,11 @@ def test_params_mesh_file_resolution(tmp_path):
 
 def test_orientation_fix_and_degenerate_rejection():
     pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
-    m = UnstructuredTriMesh(pts, np.array([[0, 2, 1]]))  # clockwise input
+    cells_in = np.array([[0, 2, 1]], dtype=np.int32)     # clockwise input
+    m = UnstructuredTriMesh(pts, cells_in)
     assert m.det_j[0] > 0
+    # the orientation fix must not write through to the caller's array
+    assert np.array_equal(cells_in, [[0, 2, 1]])
     with pytest.raises(ValueError):
         UnstructuredTriMesh(np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]),
                             np.array([[0, 1, 2]]))

@@ -46,7 +46,7 @@ def read_mesh_file(path) -> "UnstructuredTriMesh":
     path = Path(path)
     if not path.exists():
         raise FileNotFoundError(f"Mesh file not found: {path}")
-    text = path.read_text()
+    text = path.read_bytes().decode("utf-8", errors="replace")
     if "$MeshFormat" in text:
         points, cells = _parse_msh(text, path)
     elif "DATASET UNSTRUCTURED_GRID" in text:
@@ -73,13 +73,14 @@ def _parse_msh(text: str, path: Path):
             i = j + 1
         else:
             i += 1
-    if "MeshFormat" not in sections or "Nodes" not in sections \
-            or "Elements" not in sections:
-        raise ValueError(f"{path}: missing $MeshFormat/$Nodes/$Elements")
+    if "MeshFormat" not in sections:
+        raise ValueError(f"{path}: missing $MeshFormat")
     fmt = sections["MeshFormat"][0].split()
     version = float(fmt[0])
     if int(fmt[1]) != 0:
         raise ValueError(f"{path}: binary .msh is not supported (ASCII only)")
+    if "Nodes" not in sections or "Elements" not in sections:
+        raise ValueError(f"{path}: missing $Nodes/$Elements")
     if version >= 4.0:
         return _parse_msh4(sections, path)
     return _parse_msh2(sections, path)
@@ -90,10 +91,13 @@ def _parse_msh2(sections, path: Path):
     n_nodes = int(node_lines[0].split()[0])
     ids = np.empty(n_nodes, dtype=np.int64)
     pts = np.empty((n_nodes, 2), dtype=np.float64)
+    z_max = 0.0
     for k in range(n_nodes):
         parts = node_lines[1 + k].split()
         ids[k] = int(parts[0])
         pts[k] = (float(parts[1]), float(parts[2]))
+        z_max = max(z_max, abs(float(parts[3])))
+    _check_planar(z_max, pts, path)
     id_map = {int(i): k for k, i in enumerate(ids)}
 
     elem_lines = sections["Elements"]
@@ -118,6 +122,7 @@ def _parse_msh4(sections, path: Path):
     n_blocks, n_nodes = int(header[0]), int(header[1])
     ids = np.empty(n_nodes, dtype=np.int64)
     pts = np.empty((n_nodes, 2), dtype=np.float64)
+    z_max = 0.0
     row = 1
     out = 0
     for _ in range(n_blocks):
@@ -130,8 +135,10 @@ def _parse_msh4(sections, path: Path):
             parts = node_lines[row + k].split()
             ids[out] = blk_ids[k]
             pts[out] = (float(parts[0]), float(parts[1]))
+            z_max = max(z_max, abs(float(parts[2])))
             out += 1
         row += n_in_block
+    _check_planar(z_max, pts, path)
     id_map = {int(i): k for k, i in enumerate(ids)}
 
     elem_lines = sections["Elements"]
@@ -153,6 +160,17 @@ def _parse_msh4(sections, path: Path):
     return pts, np.asarray(tris, dtype=np.int32)
 
 
+def _check_planar(z_max: float, pts_xy, path: Path):
+    """tpuwave solves the 2D problem: reject meshes that live off z = 0
+    (a tet-volume or curved-surface export would otherwise import as a
+    silently-flattened, overlapping 2D triangulation)."""
+    extent = float(np.abs(pts_xy).max(initial=1.0))
+    if z_max > 1e-10 * max(extent, 1.0):
+        raise ValueError(
+            f"{path}: mesh is not planar (|z| up to {z_max:g}); tpuwave "
+            "solves the 2D wave equation on z = 0 meshes only")
+
+
 def _parse_legacy_vtk(text: str, path: Path):
     tokens = text.split()
     def find(kw):
@@ -164,7 +182,9 @@ def _parse_legacy_vtk(text: str, path: Path):
     ip = find("POINTS")
     n_pts = int(tokens[ip + 1])
     vals = np.asarray(tokens[ip + 3:ip + 3 + 3 * n_pts], dtype=np.float64)
-    pts = vals.reshape(n_pts, 3)[:, :2].copy()
+    pts3 = vals.reshape(n_pts, 3)
+    _check_planar(float(np.abs(pts3[:, 2]).max(initial=0.0)), pts3[:, :2], path)
+    pts = pts3[:, :2].copy()
 
     ic = find("CELLS")
     n_cells = int(tokens[ic + 1])
@@ -218,7 +238,8 @@ class UnstructuredTriMesh:
 
     def __init__(self, points, cells, name: str = "unstructured"):
         pts = np.asarray(points, dtype=np.float64)
-        cls = np.asarray(cells, dtype=np.int32)
+        cls = np.array(cells, dtype=np.int32)   # copy: orientation fix below
+                                                # must not mutate the caller
         if pts.ndim != 2 or pts.shape[1] != 2:
             raise ValueError("points must be (n, 2)")
         if cls.ndim != 2 or cls.shape[1] != 3:
@@ -359,6 +380,14 @@ class UnstructuredTriMesh:
         violation = np.maximum.reduce([
             -xi, -eta, xi + eta - 1.0, np.zeros_like(xi)])
         cell = int(np.argmin(violation))
+        if violation[cell] > 1e-9:
+            # bbox centre of a non-convex domain (annulus, L-shape) can
+            # fall outside the mesh; the basis would then EXTRAPOLATE
+            import warnings
+            warnings.warn(
+                f"point {tuple(p)} lies outside the mesh (nearest-cell "
+                f"reference-coordinate violation {violation[cell]:.3g}); "
+                "probe values will extrapolate", stacklevel=2)
         return cell, (float(xi[cell]), float(eta[cell]))
 
 

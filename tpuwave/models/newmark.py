@@ -56,7 +56,7 @@ class NewmarkSolver(ScanMixin):
         self.lumped_explicit = bool(lumped_explicit) and p.beta <= 1e-12
         #: tpuwave extension: rebuild K(t^{n+1}) inside each step (the
         #: elastic force in Newmark acts at t^{n+1}; see theta.py note)
-        self.time_dep_c = p.time_dependent_c
+        self.time_dep_c = p.time_dependent_c and p.c.time_dependent
         if self.time_dep_c and precond != "jacobi":
             raise ValueError(
                 "Time Dependent C supports only the jacobi preconditioner "

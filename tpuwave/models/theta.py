@@ -51,7 +51,7 @@ class ThetaSolver(ScanMixin):
         #: tpuwave extension: rebuild K(t) inside each step from c(x, y, t)
         #: (see Params.time_dependent_c). The u-system matrix then varies
         #: per step, so its diagonal/preconditioner are traced per step too.
-        self.time_dep_c = p.time_dependent_c
+        self.time_dep_c = p.time_dependent_c and p.c.time_dependent
         if self.time_dep_c and precond != "jacobi":
             raise ValueError(
                 "Time Dependent C supports only the jacobi preconditioner "
@@ -99,7 +99,10 @@ class ThetaSolver(ScanMixin):
 
         if self.time_dep_c:
             # theta-weighted evaluation of the time-varying operator:
-            # K^n acts on the explicit terms, K^{n+1} on the implicit ones
+            # K^n acts on the explicit terms, K^{n+1} on the implicit ones.
+            # (K^n here rebuilds what the previous step built as K^{n+1};
+            # carrying it forward would need the operator payload in the
+            # scan state — accepted cost, the build is one fused einsum.)
             k_n = d.stiffness_at(t - dt)
             k_np1 = d.stiffness_at(t)
             matrix_u = d.mass.axpy((th * dt) ** 2, k_np1)

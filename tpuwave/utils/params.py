@@ -282,7 +282,7 @@ def _resolve_mesh_file(name: str, source_path: Optional[str]) -> str:
     can report a friendly error (like the reference's parameter errors)."""
     p = Path(name)
     if p.exists():
-        return str(p)
+        return str(p.resolve())     # absolute: survives later cwd changes
     if source_path is not None:
         q = Path(source_path).resolve().parent / name
         if q.exists():
