@@ -304,3 +304,67 @@ def test_vtu_output_on_imported_mesh(tmp_path):
 def test_make_discretization_factory():
     p = load_params(standing_mode())
     assert type(make_discretization(p)) is Discretization
+
+
+# ---------------------------------------------------------------------------
+# cell-parallel sharding (8-device virtual CPU mesh from conftest)
+# ---------------------------------------------------------------------------
+
+def test_sharded_cell_operator_matches():
+    import jax
+    import jax.numpy as jnp
+    from tpuwave.parallel.cells import ShardedCellOperator
+    from tpuwave.parallel.sharding import device_mesh
+    um = perturbed_mesh(7, seed=11)      # 98 cells: pads to 104 over 8 devs
+    p = load_params(standing_mode(R="2"))
+    d = UnstructuredDiscretization(p, mesh=um)
+    mesh = device_mesh(8)
+    sm = ShardedCellOperator.from_operator(d.mass, mesh)
+    sk = ShardedCellOperator.from_operator(d.stiffness, mesh)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(d.n_dofs))
+    np.testing.assert_allclose(np.asarray(sm(v)), np.asarray(d.mass(v)),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sk.diagonal()),
+                               np.asarray(d.stiffness.diagonal()), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sm.row_sums()),
+                               np.asarray(d.mass.row_sums()), atol=1e-12)
+    combo = sm.axpy(0.37, sk)
+    ref = d.mass.axpy(0.37, d.stiffness)
+    np.testing.assert_allclose(np.asarray(combo(v)), np.asarray(ref(v)),
+                               atol=1e-12)
+    # the apply must also work under jit (it runs inside the step program)
+    np.testing.assert_allclose(np.asarray(jax.jit(combo)(v)),
+                               np.asarray(ref(v)), atol=1e-12)
+
+
+@pytest.mark.parametrize("family", ["theta", "newmark"])
+def test_sharded_unstructured_trajectory(family):
+    from tpuwave.models.newmark import NewmarkSolver
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.parallel.sharding import device_mesh
+    um = perturbed_mesh(10, seed=12)
+    p = load_params(standing_mode(T="0.05"))
+    mk = ThetaSolver if family == "theta" else NewmarkSolver
+    s0 = mk(UnstructuredDiscretization(p, mesh=um))
+    s1 = mk(UnstructuredDiscretization(p, mesh=um,
+                                       device_mesh=device_mesh(8)))
+    st0, st1 = s0.initial_state(), s1.initial_state()
+    t = 0.0
+    for _ in range(5):
+        t += p.dt
+        st0, _ = s0.step(st0, t)
+        st1, _ = s1.step(st1, t)
+    np.testing.assert_allclose(np.asarray(st1.u), np.asarray(st0.u),
+                               atol=1e-10)
+
+
+def test_sharded_tdep_c_rejected():
+    from tpuwave.parallel.sharding import device_mesh
+    um = perturbed_mesh(5, seed=13)
+    case = standing_mode(**{"Time Dependent C": "true",
+                            "C": {"Function expression": "1 + 0.1*sin(t)",
+                                  "Variable names": "x, y, t"}})
+    with pytest.raises(ValueError, match="sharded"):
+        UnstructuredDiscretization(load_params(case), mesh=um,
+                                   device_mesh=device_mesh(8))

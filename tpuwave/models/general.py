@@ -52,7 +52,7 @@ class UnstructuredDiscretization(Discretization):
     """
 
     def __init__(self, params: Params, dtype=None,
-                 mesh: UnstructuredTriMesh = None):
+                 mesh: UnstructuredTriMesh = None, device_mesh=None):
         # deliberately NOT calling super().__init__ — the structured
         # constructor builds class-constant geometry that does not exist
         # here. Generic methods (interpolate, boundary_values, energy,
@@ -89,6 +89,20 @@ class UnstructuredDiscretization(Discretization):
         k_full = np.einsum("q,cq,cqia,cqja,c->cij", w, c2, g, g, det)
         self.stiffness = MatrixFreeOperator(cell_dofs, self.n_dofs,
                                             a_full=k_full, dtype=dtype)
+
+        if device_mesh is not None:
+            # cell-parallel domain decomposition for imported meshes:
+            # cells + element matrices sharded over the device mesh, DoF
+            # vectors replicated, one psum per apply (parallel/cells.py)
+            if params.time_dependent_c and params.c.time_dependent:
+                raise ValueError(
+                    "Time Dependent C with a sharded unstructured mesh is "
+                    "not supported yet (K(t) is rebuilt unsharded)")
+            from tpuwave.parallel.cells import ShardedCellOperator
+            self.mass = ShardedCellOperator.from_operator(self.mass,
+                                                          device_mesh)
+            self.stiffness = ShardedCellOperator.from_operator(self.stiffness,
+                                                               device_mesh)
 
         self.mass_diag = self.mass.diagonal()
         self.lumped_mass = self.mass.row_sums()
