@@ -1,0 +1,193 @@
+"""Geometric multigrid (solve/multigrid.py): transfer-operator adjointness,
+Galerkin exactness via nestedness, SPD symmetry of the V-cycle, dt- and
+h-independent MG-PCG convergence, and stepper-level agreement with the
+Jacobi-CG implicit path.
+
+The reference solves these systems with ML-AMG-CG (WaveTheta.cpp:276-293);
+parity is solution accuracy, and the MG path exists for the large-dt
+regime where single-level solvers need O(dt/h) iterations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuwave.core.mesh import FeSpace, StructuredTriMesh
+from tpuwave.core.quadrature import gauss_simplex
+from tpuwave.models.fast import FastState, FastWaveSolver
+from tpuwave.ops.assembly import element_mass_class, element_stiffness_class
+from tpuwave.ops.stencil import apply_stencil, class_matrices_to_stencil
+from tpuwave.solve.cg import pcg
+from tpuwave.solve.multigrid import (gmg_for_system, prolong_p1,
+                                     restrict_p1)
+
+GEOM = ((0.0, 0.0), (1.0, 1.0))
+
+
+def _stencils(nx, ny, c=1.0, geom=GEOM):
+    space = FeSpace(StructuredTriMesh((nx, ny), geom), 1)
+    quad = gauss_simplex(2)
+    m = class_matrices_to_stencil(element_mass_class(space, quad))
+    k = class_matrices_to_stencil(element_stiffness_class(space, quad, c * c))
+    return m, k
+
+
+def _interior(h, w):
+    ri = np.arange(h)[:, None]
+    ci = np.arange(w)[None, :]
+    return jnp.asarray((ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1))
+
+
+def _constrained(stencil, interior):
+    st = tuple(map(tuple, stencil))
+
+    def apply_c(x):
+        xi = jnp.where(interior, x, 0.0)
+        return jnp.where(interior, apply_stencil(xi, st), st[1][1] * x)
+    return apply_c
+
+
+def test_transfer_adjoint():
+    """<P c, f> == <c, R f>: restriction is the exact transpose of
+    prolongation (up to the masked boundary, excluded here)."""
+    rng = np.random.default_rng(3)
+    c = jnp.asarray(rng.standard_normal((5, 7)))
+    f = rng.standard_normal((9, 13))
+    f[0, :] = f[-1, :] = 0.0   # R reads zero-padded ghosts only for
+    f[:, 0] = f[:, -1] = 0.0   # boundary coarse rows; zero them
+    f = jnp.asarray(f)
+    lhs = float(jnp.vdot(prolong_p1(c), f))
+    rhs = float(jnp.vdot(c, restrict_p1(f)))
+    assert abs(lhs - rhs) < 1e-12
+
+
+def test_prolong_is_p1_interpolation():
+    """Prolonging the nodal values of a LINEAR function reproduces its
+    fine-grid nodal values exactly (P1 nested interpolation), including
+    the diagonal-edge midpoints."""
+    nyc, nxc = 4, 6
+    xs = np.linspace(0.0, 1.0, nxc + 1)
+    ys = np.linspace(0.0, 2.0, nyc + 1)
+    f = lambda x, y: 0.3 * x - 1.7 * y + 0.25
+    c = jnp.asarray(f(xs[None, :], ys[:, None]))
+    xf = np.linspace(0.0, 1.0, 2 * nxc + 1)
+    yf = np.linspace(0.0, 2.0, 2 * nyc + 1)
+    want = f(xf[None, :], yf[:, None])
+    np.testing.assert_allclose(np.asarray(prolong_p1(c)), want, atol=1e-14)
+
+
+def test_galerkin_equals_coarse_assembly():
+    """R A_h P == A_2h on interior coarse nodes (nested P1 spaces) — the
+    property that makes the geometric hierarchy exact, for an anisotropic
+    geometry and an asymmetric Nel."""
+    geom = ((0.0, 0.0), (3.0, 1.0))
+    nx, ny = 8, 12
+    coef = 0.37
+    mf, kf = _stencils(nx, ny, c=1.3, geom=geom)
+    mc, kc = _stencils(nx // 2, ny // 2, c=1.3, geom=geom)
+    af = tuple(map(tuple, mf + coef * kf))
+    ac = mc + coef * kc
+    hc, wc = ny // 2 + 1, nx // 2 + 1
+    for (i, j) in [(1, 1), (2, 3), (hc - 2, wc - 2)]:
+        e = jnp.zeros((hc, wc)).at[i, j].set(1.0)
+        w = restrict_p1(apply_stencil(prolong_p1(e), af))
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                assert abs(float(w[i + dj, j + di]) - ac[1 + dj, 1 + di]) \
+                    < 1e-13
+
+
+def test_vcycle_is_spd():
+    """The V-cycle as a matrix is symmetric positive definite — the
+    requirement for use as a CG preconditioner."""
+    pre = gmg_for_system((8, 8), GEOM, 1.0, 0.37)
+    n = 81
+    b = np.zeros((n, n))
+    for i in range(n):
+        e = jnp.zeros((9, 9)).at[i // 9, i % 9].set(1.0)
+        b[:, i] = np.asarray(pre(e)).ravel()
+    assert np.abs(b - b.T).max() < 1e-12
+    assert np.linalg.eigvalsh(0.5 * (b + b.T)).min() > 0.0
+
+
+@pytest.mark.parametrize("dt2", [1e-4, 1e-2, 1.0])
+def test_mg_pcg_iterations_dt_independent(dt2):
+    """MG-PCG converges in a small, dt-independent iteration count on the
+    stiffness-dominated system (Jacobi-CG needs O(dt/h)) and matches the
+    Jacobi-CG solution."""
+    nel = 64
+    m_st, k_st = _stencils(nel, nel)
+    a_st = m_st + dt2 * k_st
+    h = w = nel + 1
+    interior = _interior(h, w)
+    apply_c = _constrained(a_st, interior)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(np.where(interior, rng.standard_normal((h, w)), 0.0))
+    pre = gmg_for_system((nel, nel), GEOM, 1.0, dt2)
+    res = pcg(apply_c, b, jnp.zeros_like(b), precond_inv_diag=pre,
+              reduction=1e-10)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 15
+    res_j = pcg(apply_c, b, jnp.zeros_like(b),
+                precond_inv_diag=1.0 / a_st[1, 1], reduction=1e-10,
+                max_iter=100000)
+    diff = float(jnp.linalg.norm(res.x - res_j.x)
+                 / jnp.linalg.norm(res_j.x))
+    assert diff < 1e-7
+
+
+def test_levels_stop_at_odd_nel():
+    """Coarsening stops when an axis goes odd; the hierarchy still solves."""
+    pre = gmg_for_system((24, 20), GEOM, 1.0, 1e-2)
+    assert [lev.shape for lev in pre.levels] == [(21, 25), (11, 13)]
+    m_st, k_st = _stencils(24, 20)
+    a_st = m_st + 1e-2 * k_st
+    interior = _interior(21, 25)
+    apply_c = _constrained(a_st, interior)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(np.where(interior, rng.standard_normal((21, 25)), 0.0))
+    res = pcg(apply_c, b, jnp.zeros_like(b), precond_inv_diag=pre,
+              reduction=1e-8)
+    assert bool(res.converged)
+
+
+def _standing_u0(x, y):
+    return jnp.sin(np.pi * x) * jnp.sin(np.pi * y)
+
+
+@pytest.mark.parametrize("scheme,kw", [
+    ("newmark", dict(beta=0.25, gamma=0.5, lumped=False)),
+    ("theta", dict(theta=0.5)),
+])
+def test_stepper_mg_matches_jacobi_path(scheme, kw):
+    """run_implicit_mg reproduces the Jacobi-CG implicit trajectory (both
+    solve to the same ReductionControl contract) at a CFL-breaking dt."""
+    mk = lambda: FastWaveSolver((32, 32), GEOM, 0.02, scheme=scheme,
+                                dtype=jnp.float64, cg_reduction=1e-11, **kw)
+    s1, s2 = mk(), mk()
+    st = s1.initial_state(_standing_u0)
+    ref = s1.run_scan(st, 20)
+    got = s2.run_implicit_mg(st, 20)
+    for name in ("u", "v"):
+        r, g = getattr(ref, name), getattr(got, name)
+        denom = float(jnp.linalg.norm(r)) or 1.0
+        assert float(jnp.linalg.norm(r - g)) / denom < 1e-8
+
+
+def test_stepper_mg_sharded():
+    """MG stepping under 8-way row sharding matches single-device."""
+    from tpuwave.parallel.sharding import device_mesh, grid_sharding
+    mesh = device_mesh(8)
+    sh = grid_sharding(mesh)
+    mk = lambda s: FastWaveSolver((16, 23), GEOM, 0.02, scheme="theta",
+                                  theta=1.0, dtype=jnp.float64, sharding=s)
+    single = mk(None)
+    st = single.initial_state(_standing_u0)
+    ref = single.run_implicit_mg(st, 10)
+    sharded = mk(sh)
+    st_s = sharded.initial_state(_standing_u0)
+    assert len(st_s.u.sharding.device_set) == 8
+    got = sharded.run_implicit_mg(st_s, 10)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
+                               atol=1e-12)

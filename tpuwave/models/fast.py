@@ -209,7 +209,8 @@ class FastWaveSolver:
         eta = 8 * float(jnp.finfo(self.dtype).eps)
         return eta * (lam_max * jnp.linalg.norm(x0) + jnp.linalg.norm(rhs))
 
-    def _implicit_newmark_step(self, state: FastState) -> FastState:
+    def _implicit_newmark_step(self, state: FastState,
+                               precond=None) -> FastState:
         dt, beta, gamma = self.dt, self.beta, self.gamma
         u, v, a = state
         z = u + dt * v + (dt * dt * (0.5 - beta)) * a
@@ -217,7 +218,8 @@ class FastWaveSolver:
 
         x0 = jnp.where(self.interior, a, 0.0)
         res = pcg(self._constrained(self.system), rhs, x0,
-                  precond_inv_diag=self._inv_diag,
+                  precond_inv_diag=(self._inv_diag if precond is None
+                                    else precond),
                   abs_tol=self._solve_abs_tol(rhs, x0, self.system),
                   max_iter=10000 if self.dtype == jnp.float64 else 2000,
                   reduction=self.cg_reduction)
@@ -232,9 +234,11 @@ class FastWaveSolver:
                              op.stencil[1][1] * w)
         return apply_c
 
-    def _theta_step(self, state: FastState) -> FastState:
+    def _theta_step(self, state: FastState, precond=None) -> FastState:
         """Stencil theta-method (homogeneous BCs, no forcing): two CG
-        solves per step like the reference WaveTheta, on grid stencils."""
+        solves per step like the reference WaveTheta, on grid stencils.
+        ``precond`` overrides the u-system preconditioner (the v-system is
+        the bare mass: mesh-independent conditioning, Jacobi suffices)."""
         dt, th = self.dt, self.theta
         u, v, a = state
         mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
@@ -244,7 +248,8 @@ class FastWaveSolver:
                           mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv, 0.0)
         x0_u = jnp.where(self.interior, u, 0.0)
         res_u = pcg(self._constrained(self.system), rhs_u, x0_u,
-                    precond_inv_diag=self._inv_diag,
+                    precond_inv_diag=(self._inv_diag if precond is None
+                                      else precond),
                     abs_tol=self._solve_abs_tol(rhs_u, x0_u, self.system),
                     max_iter=max_iter, reduction=self.cg_reduction)
         u_new = res_u.x.astype(self.dtype)
@@ -399,6 +404,51 @@ class FastWaveSolver:
         (the fast-mode analogue of the reference while-loop,
         WaveTheta.cpp:372-411, with IO off)."""
         return cached_scan(self, "state3", self.step, n_steps)(state)
+
+    # ------------------------------------------------------------------
+    # implicit stepping with geometric-multigrid-preconditioned CG: the
+    # large-dt production path. Single-level polynomial solvers need
+    # O(dt/h) iterations once (theta dt / h)^2 or (beta dt^2 / h^2)
+    # dominates; the V-cycle's contraction is h- and dt-independent
+    # (solve/multigrid.py), replacing the reference's ML-AMG
+    # (WaveTheta.cpp:276-286) with a TPU-regular geometric hierarchy.
+    # ------------------------------------------------------------------
+    def gmg_preconditioner(self, *, pre_degree: int = 2,
+                           smooth_range: float = 8.0,
+                           coarse_tol: float = 1e-2):
+        """V-cycle preconditioner for this solver's implicit system
+        (M + beta dt^2 K for Newmark, M + (theta dt)^2 K for theta)."""
+        from tpuwave.solve.multigrid import gmg_for_system
+        coef = (self.beta * self.dt * self.dt if self.scheme == "newmark"
+                else (self.theta * self.dt) ** 2)
+        return gmg_for_system(
+            (self.mesh.nx, self.mesh.ny), self.mesh.geometry, self.c, coef,
+            pre_degree=pre_degree, smooth_range=smooth_range,
+            coarse_tol=coarse_tol)
+
+    def run_implicit_mg(self, state: FastState, n_steps: int, *,
+                        pre_degree: int = 2, smooth_range: float = 8.0,
+                        coarse_tol: float = 1e-2) -> FastState:
+        """Newmark (beta>0) or theta stepping with MG-PCG linear solves
+        (same stopping contract as the other implicit paths)."""
+        if self.scheme == "newmark" and self.beta <= 1e-12:
+            raise ValueError(
+                "run_implicit_mg needs beta > 0 (explicit beta=0 is the "
+                "leapfrog/lumped path: run_leapfrog_* / run_scan)")
+        precond = self.gmg_preconditioner(
+            pre_degree=pre_degree, smooth_range=smooth_range,
+            coarse_tol=coarse_tol)
+        if self.scheme == "newmark":
+            def step(st):
+                return self._implicit_newmark_step(st, precond)
+        elif self.scheme == "theta":
+            def step(st):
+                return self._theta_step(st, precond)
+        else:
+            raise ValueError("run_implicit_mg needs scheme newmark/theta")
+        runner = cached_scan(self, ("mg", pre_degree, smooth_range,
+                                    coarse_tol, self.scheme), step, n_steps)
+        return runner(state)
 
     # ------------------------------------------------------------------
 
