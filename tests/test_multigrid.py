@@ -191,3 +191,67 @@ def test_stepper_mg_sharded():
     got = sharded.run_implicit_mg(st_s, 10)
     np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
                                atol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# general (parity) path: --precond mg on the flat-DoF solvers
+# ----------------------------------------------------------------------
+
+def test_general_theta_mg_mode():
+    """ThetaSolver(precond='mg') reproduces the Jacobi trajectory at a
+    CFL-breaking dt with far fewer u-solve iterations."""
+    from tests.test_schemes import standing_mode
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.utils.params import load_params
+
+    p = load_params(standing_mode(Nel="40", Dt="0.2", T="1.0"))
+    d = Discretization(p)
+    s_j = ThetaSolver(d)
+    s_m = ThetaSolver(d, precond="mg")
+    st_j, st_m = s_j.initial_state(), s_m.initial_state()
+    t = 0.0
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        st_j, info_j = s_j.step(st_j, t)
+        st_m, info_m = s_m.step(st_m, t)
+    nrm = float(jnp.linalg.norm(st_j.u))
+    assert float(jnp.linalg.norm(st_j.u - st_m.u)) < 1e-4 * nrm
+    assert int(info_m["iterations_1"]) < int(info_j["iterations_1"])
+
+
+def test_general_newmark_mg_mode():
+    from tests.test_schemes import standing_mode
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.newmark import NewmarkSolver
+    from tpuwave.utils.params import load_params
+
+    p = load_params(standing_mode(Nel="32", Dt="0.1", T="0.5"))
+    d = Discretization(p)
+    s_j = NewmarkSolver(d)
+    s_m = NewmarkSolver(d, precond="mg")
+    st_j, st_m = s_j.initial_state(), s_m.initial_state()
+    t = 0.0
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        st_j, _ = s_j.step(st_j, t)
+        st_m, _ = s_m.step(st_m, t)
+    nrm = float(jnp.linalg.norm(st_j.u))
+    assert float(jnp.linalg.norm(st_j.u - st_m.u)) < 1e-4 * nrm
+
+
+def test_general_mg_mode_rejects_p2_and_variable_c():
+    from tests.test_schemes import standing_mode
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.utils.params import load_params
+
+    p2 = load_params(standing_mode(Nel="8", R="2"))
+    with pytest.raises(ValueError, match="R=1"):
+        ThetaSolver(Discretization(p2), precond="mg")
+
+    pc = load_params(standing_mode(
+        Nel="8", C={"Function expression": "1.0 + 0.5*x",
+                    "Variable names": "x, y, t"}))
+    with pytest.raises(ValueError, match="constant"):
+        ThetaSolver(Discretization(pc), precond="mg")

@@ -43,10 +43,13 @@ def run_main(family: str, make_solver, argv=None) -> int:
                         help="capture a jax.profiler trace into this directory")
     parser.add_argument("--phase-timing", action="store_true",
                         help="print per-phase wall-clock breakdown")
-    parser.add_argument("--precond", choices=["jacobi", "chebyshev"],
+    parser.add_argument("--precond", choices=["jacobi", "chebyshev", "mg"],
                         default="jacobi",
                         help="CG preconditioner (chebyshev = AMG stand-in "
-                             "for stiffness-dominated theta systems)")
+                             "for stiffness-dominated theta systems; mg = "
+                             "geometric multigrid, dt-independent iteration "
+                             "counts at CFL-breaking dt — structured P1, "
+                             "constant C)")
     parser.add_argument("--vtu-pieces", type=int, default=1,
                         help="VTU pieces per output record, one per shard "
                              "(0 = one per local device)")

@@ -73,6 +73,12 @@ class NewmarkSolver(ScanMixin):
             self.prec_a = ChebyshevPreconditioner(
                 self.matrix_a, self.diag_a, lambda_max=lmax,
                 degree=cheby_degree)
+        elif precond == "mg":
+            # geometric multigrid for the a-system (solve/multigrid.py;
+            # structured P1, constant C only) — pays at large beta dt^2/h^2
+            from tpuwave.solve.multigrid import gmg_flat_preconditioner
+            self.prec_a = gmg_flat_preconditioner(
+                disc, p.beta * p.dt * p.dt)
         elif precond != "jacobi":
             raise ValueError(f"Unknown preconditioner {precond!r}")
 

@@ -74,6 +74,13 @@ class ThetaSolver(ScanMixin):
             self.prec_u = ChebyshevPreconditioner(
                 self.matrix_u, self.diag_u, lambda_max=lmax,
                 degree=cheby_degree)
+        elif precond == "mg":
+            # geometric multigrid V-cycle for the u-system: dt-independent
+            # CG iteration counts in the large-dt (stiffness-dominated)
+            # regime (solve/multigrid.py; structured P1, constant C only)
+            from tpuwave.solve.multigrid import gmg_flat_preconditioner
+            self.prec_u = gmg_flat_preconditioner(
+                disc, (p.theta * p.dt) ** 2)
         elif precond != "jacobi":
             raise ValueError(f"Unknown preconditioner {precond!r}")
 

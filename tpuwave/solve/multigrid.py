@@ -57,7 +57,7 @@ from tpuwave.solve.cheby_iter import (chebyshev_block, chebyshev_coefficients,
 from tpuwave.ops.stencil import apply_stencil
 
 __all__ = ["prolong_p1", "restrict_p1", "MgLevel", "build_gmg_levels",
-           "GmgPreconditioner", "gmg_for_system"]
+           "GmgPreconditioner", "gmg_for_system", "gmg_flat_preconditioner"]
 
 
 # ----------------------------------------------------------------------
@@ -296,3 +296,34 @@ def gmg_for_system(nel: Tuple[int, int], geometry, c: float,
         stencil_of, nel, pre_degree=pre_degree, smooth_range=smooth_range,
         min_coarse=min_coarse, coarse_tol=coarse_tol)
     return GmgPreconditioner(levels, c_theta, c_coeffs)
+
+
+def gmg_flat_preconditioner(disc, stiff_coef: float, **kw) -> Callable:
+    """GMG V-cycle as a FLAT-DoF-vector preconditioner for the general
+    (parity) solvers (models/theta.py, models/newmark.py), whose state is
+    the flat DoF vector of models/discretization.py.
+
+    Requires the structured P1 discretization with constant wave speed —
+    there the flat DoF numbering IS the row-major vertex grid
+    (core/mesh.py::vertex_index), so the adapter is a pair of reshapes.
+    Raises ValueError otherwise (P2, imported meshes, variable c).
+    """
+    from tpuwave.core.mesh import StructuredTriMesh
+
+    p = disc.params
+    mesh = disc.mesh
+    if not type(mesh) is StructuredTriMesh:
+        raise ValueError("mg preconditioner needs the structured mesh")
+    if p.r != 1:
+        raise ValueError("mg preconditioner supports only R=1 (P1 DoFs = "
+                         "vertex grid); use chebyshev for P2")
+    if p.c.constant_value is None:
+        raise ValueError("mg preconditioner needs a constant wave speed C")
+    shape = (mesh.ny + 1, mesh.nx + 1)
+    inner = gmg_for_system(mesh.nel, mesh.geometry,
+                           float(p.c.constant_value), stiff_coef, **kw)
+
+    def precond(r):
+        return inner(r.reshape(shape)).reshape(-1)
+
+    return precond
