@@ -240,18 +240,152 @@ def test_general_newmark_mg_mode():
     assert float(jnp.linalg.norm(st_j.u - st_m.u)) < 1e-4 * nrm
 
 
-def test_general_mg_mode_rejects_p2_and_variable_c():
+def test_general_mg_mode_rejects_variable_c():
     from tests.test_schemes import standing_mode
     from tpuwave.models.discretization import Discretization
     from tpuwave.models.theta import ThetaSolver
     from tpuwave.utils.params import load_params
-
-    p2 = load_params(standing_mode(Nel="8", R="2"))
-    with pytest.raises(ValueError, match="R=1"):
-        ThetaSolver(Discretization(p2), precond="mg")
 
     pc = load_params(standing_mode(
         Nel="8", C={"Function expression": "1.0 + 0.5*x",
                     "Variable names": "x, y, t"}))
     with pytest.raises(ValueError, match="constant"):
         ThetaSolver(Discretization(pc), precond="mg")
+
+
+# ----------------------------------------------------------------------
+# P2: the (p+h)-multigrid
+# ----------------------------------------------------------------------
+
+def test_p2_transfer_adjoint():
+    """<P c, f>_P2 == <c, R f>_P1 for the P2 <- P1 nodal inclusion."""
+    from tpuwave.ops.stencil_p2 import p2_plane_shapes
+    from tpuwave.solve.multigrid import prolong_p1_to_p2, restrict_p2_to_p1
+
+    rng = np.random.default_rng(5)
+    nx, ny = 6, 4
+    c = jnp.asarray(rng.standard_normal((ny + 1, nx + 1)))
+    planes = {p: jnp.asarray(rng.standard_normal(s))
+              for p, s in p2_plane_shapes(nx, ny).items()}
+    pc = prolong_p1_to_p2(c)
+    lhs = sum(float(jnp.vdot(pc[p], planes[p])) for p in pc)
+    rhs = float(jnp.vdot(c, restrict_p2_to_p1(planes)))
+    assert abs(lhs - rhs) < 1e-12
+
+
+def test_p2_galerkin_is_p1_operator():
+    """R A_P2 P == A_P1 on interior nodes (P1 subset of P2, same mesh)."""
+    from tpuwave.ops.stencil_p2 import P2PlaneStencil, planes_to_flat, \
+        flat_to_planes
+    from tpuwave.solve.multigrid import prolong_p1_to_p2, restrict_p2_to_p1
+
+    geom = ((0.0, 0.0), (2.0, 1.0))
+    nx, ny = 6, 4
+    coef = 0.23
+    space2 = FeSpace(StructuredTriMesh((nx, ny), geom), 2)
+    quad = gauss_simplex(3)
+    m2 = P2PlaneStencil(space2, element_mass_class(space2, quad),
+                        jnp.float64)
+    k2 = P2PlaneStencil(space2,
+                        element_stiffness_class(space2, quad, 1.69),
+                        jnp.float64)
+    a2 = m2.axpy(coef, k2)
+    m1, k1 = _stencils(nx, ny, c=1.3, geom=geom)
+    a1 = m1 + coef * k1
+    for (i, j) in [(1, 1), (2, 3), (ny - 1, nx - 1)]:
+        e = jnp.zeros((ny + 1, nx + 1)).at[i, j].set(1.0)
+        w = restrict_p2_to_p1(flat_to_planes(
+            a2(planes_to_flat(prolong_p1_to_p2(e))), nx, ny))
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                assert abs(float(w[i + dj, j + di]) - a1[1 + dj, 1 + di]) \
+                    < 1e-13
+
+
+def test_p2_vcycle_is_spd():
+    from tpuwave.solve.multigrid import p2_gmg_for_system
+
+    nx = ny = 6
+    pre = p2_gmg_for_system((nx, ny), GEOM, 1.0, 0.1)
+    n = (nx + 1) * (ny + 1) + (ny + 1) * nx + ny * (nx + 1) + nx * ny
+    b = np.zeros((n, n))
+    for i in range(n):
+        e = jnp.zeros(n).at[i].set(1.0)
+        b[:, i] = np.asarray(pre(e))
+    assert np.abs(b - b.T).max() < 1e-11
+    assert np.linalg.eigvalsh(0.5 * (b + b.T)).min() > 0.0
+
+
+@pytest.mark.parametrize("dt2", [1e-3, 1.0])
+def test_p2_mg_pcg_dt_independent(dt2):
+    """MG-PCG on the P2 system: small iteration count at any dt, matching
+    the Jacobi-CG solution."""
+    from tpuwave.models.fast_p2 import P2FastSolver
+    from tpuwave.solve.multigrid import p2_gmg_for_system
+
+    nel = 32
+    s = P2FastSolver((nel, nel), GEOM, 1.0, scheme="theta", theta=1.0,
+                     dtype=jnp.float64)
+    a_op = s.mass.axpy(dt2, s.stiff)
+    interior = s._interior
+    diag = a_op.diagonal()
+
+    def apply_c(x):
+        xi = jnp.where(interior, x, 0.0)
+        return jnp.where(interior, a_op(xi), diag * x)
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(np.where(np.asarray(interior),
+                             rng.standard_normal(s.n_dofs), 0.0))
+    pre = p2_gmg_for_system((nel, nel), GEOM, 1.0, dt2)
+    res = pcg(apply_c, b, jnp.zeros_like(b), precond_inv_diag=pre,
+              reduction=1e-10)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 20
+    res_j = pcg(apply_c, b, jnp.zeros_like(b), precond_inv_diag=1.0 / diag,
+                reduction=1e-10, max_iter=100000)
+    diff = float(jnp.linalg.norm(res.x - res_j.x)
+                 / jnp.linalg.norm(res_j.x))
+    assert diff < 1e-7
+
+
+def test_p2_solver_mg_matches_jacobi_path():
+    """P2FastSolver(precond='mg') reproduces the Jacobi trajectory at a
+    CFL-breaking dt."""
+    from tpuwave.models.fast_p2 import P2FastSolver
+
+    u0 = _standing_u0
+    mk = lambda prec: P2FastSolver((16, 16), GEOM, 0.05, scheme="newmark",
+                                   beta=0.25, dtype=jnp.float64,
+                                   cg_reduction=1e-11, precond=prec)
+    s_j, s_m = mk("jacobi"), mk("mg")
+    st = s_j.initial_state(u0)
+    ref = s_j.run_scan(st, 10)
+    got = s_m.run_scan(st, 10)
+    for name in ("u", "v"):
+        r, g = getattr(ref, name), getattr(got, name)
+        denom = float(jnp.linalg.norm(r)) or 1.0
+        assert float(jnp.linalg.norm(r - g)) / denom < 1e-8
+
+
+def test_general_theta_p2_mg_mode():
+    """ThetaSolver(precond='mg') on R=2: the flat general-path numbering
+    matches the plane concatenation, so the P2 cycle drops straight in."""
+    from tests.test_schemes import standing_mode
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.utils.params import load_params
+
+    p = load_params(standing_mode(Nel="16", R="2", Dt="0.2", T="0.6"))
+    d = Discretization(p)
+    s_j = ThetaSolver(d)
+    s_m = ThetaSolver(d, precond="mg")
+    st_j, st_m = s_j.initial_state(), s_m.initial_state()
+    t = 0.0
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        st_j, info_j = s_j.step(st_j, t)
+        st_m, info_m = s_m.step(st_m, t)
+    nrm = float(jnp.linalg.norm(st_j.u))
+    assert float(jnp.linalg.norm(st_j.u - st_m.u)) < 1e-4 * nrm
+    assert int(info_m["iterations_1"]) < int(info_j["iterations_1"])

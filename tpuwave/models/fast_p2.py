@@ -41,7 +41,7 @@ class P2FastSolver:
     def __init__(self, nel: Tuple[int, int], geometry, dt: float, *,
                  c: float = 1.0, scheme: str = "newmark", beta: float = 0.25,
                  gamma: float = 0.5, theta: float = 0.5, dtype=jnp.float32,
-                 cg_reduction: float = 1e-6):
+                 cg_reduction: float = 1e-6, precond: str = "jacobi"):
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 2)
         self.nx, self.ny = self.mesh.nx, self.mesh.ny
@@ -71,6 +71,15 @@ class P2FastSolver:
         self._interior = self.interior_mask()
         self._sys_prec = 1.0 / self.system.diagonal()
         self._mass_prec = 1.0 / self.mass.diagonal()
+        if precond == "mg":
+            # (p+h)-multigrid for the system solves: dt-independent CG
+            # iteration counts at CFL-breaking dt (solve/multigrid.py).
+            # The mass v-solve keeps Jacobi (mesh-independent cond).
+            from tpuwave.solve.multigrid import p2_gmg_for_system
+            self._sys_prec = p2_gmg_for_system(
+                tuple(nel), geometry, c, sys_coef, dtype=dtype)
+        elif precond != "jacobi":
+            raise ValueError(f"Unknown preconditioner {precond!r}")
 
     # ------------------------------------------------------------------
     # device-built geometry (no host O(n) arrays)

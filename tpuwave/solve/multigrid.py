@@ -57,7 +57,9 @@ from tpuwave.solve.cheby_iter import (chebyshev_block, chebyshev_coefficients,
 from tpuwave.ops.stencil import apply_stencil
 
 __all__ = ["prolong_p1", "restrict_p1", "MgLevel", "build_gmg_levels",
-           "GmgPreconditioner", "gmg_for_system", "gmg_flat_preconditioner"]
+           "GmgPreconditioner", "gmg_for_system", "gmg_flat_preconditioner",
+           "prolong_p1_to_p2", "restrict_p2_to_p1", "P2GmgPreconditioner",
+           "p2_gmg_for_system"]
 
 
 # ----------------------------------------------------------------------
@@ -303,10 +305,13 @@ def gmg_flat_preconditioner(disc, stiff_coef: float, **kw) -> Callable:
     (parity) solvers (models/theta.py, models/newmark.py), whose state is
     the flat DoF vector of models/discretization.py.
 
-    Requires the structured P1 discretization with constant wave speed —
-    there the flat DoF numbering IS the row-major vertex grid
-    (core/mesh.py::vertex_index), so the adapter is a pair of reshapes.
-    Raises ValueError otherwise (P2, imported meshes, variable c).
+    Requires the structured discretization with constant wave speed. For
+    R=1 the flat DoF numbering IS the row-major vertex grid
+    (core/mesh.py::vertex_index), so the adapter is a pair of reshapes;
+    for R=2 it is the plane concatenation of ops/stencil_p2.py (vertices,
+    h/v/d edge midpoints — core/mesh.py edge indexers), which is what
+    ``P2GmgPreconditioner`` operates on directly. Raises ValueError
+    otherwise (imported meshes, variable c, R>2).
     """
     from tpuwave.core.mesh import StructuredTriMesh
 
@@ -314,11 +319,14 @@ def gmg_flat_preconditioner(disc, stiff_coef: float, **kw) -> Callable:
     mesh = disc.mesh
     if not type(mesh) is StructuredTriMesh:
         raise ValueError("mg preconditioner needs the structured mesh")
-    if p.r != 1:
-        raise ValueError("mg preconditioner supports only R=1 (P1 DoFs = "
-                         "vertex grid); use chebyshev for P2")
     if p.c.constant_value is None:
         raise ValueError("mg preconditioner needs a constant wave speed C")
+    if p.r == 2:
+        return p2_gmg_for_system(mesh.nel, mesh.geometry,
+                                 float(p.c.constant_value), stiff_coef,
+                                 dtype=disc.dtype, **kw)
+    if p.r != 1:
+        raise ValueError("mg preconditioner supports only R=1/R=2")
     shape = (mesh.ny + 1, mesh.nx + 1)
     inner = gmg_for_system(mesh.nel, mesh.geometry,
                            float(p.c.constant_value), stiff_coef, **kw)
@@ -327,3 +335,169 @@ def gmg_flat_preconditioner(disc, stiff_coef: float, **kw) -> Callable:
         return inner(r.reshape(shape)).reshape(-1)
 
     return precond
+
+
+# ----------------------------------------------------------------------
+# P2: p-multigrid (P2 -> P1 on the same mesh, then the h-hierarchy)
+# ----------------------------------------------------------------------
+#
+# P1 on the (nx, ny) mesh is a SUBSPACE of P2 on the same mesh, and the
+# inclusion is nodal: a P1 function's value at an edge midpoint is the
+# average of the edge's endpoint values. So exactly as in the h-case the
+# Galerkin coarse operator P^T (M2 + c K2) P is the P1 FEM matrix
+# M1 + c K1 — the fine level of the existing h-hierarchy. One extra
+# (p-)level on top of gmg_for_system therefore gives P2 a full
+# dt-independent multigrid solver with no new operator machinery.
+
+def prolong_p1_to_p2(c: jax.Array) -> dict:
+    """(ny+1, nx+1) P1 vertex grid -> P2 plane dict (V, H, W, D): nodal
+    P1-in-P2 interpolation (edge midpoints average their endpoints; the
+    D plane sits on the (+1,+1) triangulation diagonal)."""
+    return {"V": c,
+            "H": 0.5 * (c[:, :-1] + c[:, 1:]),
+            "W": 0.5 * (c[:-1, :] + c[1:, :]),
+            "D": 0.5 * (c[:-1, :-1] + c[1:, 1:])}
+
+
+def restrict_p2_to_p1(planes: dict) -> jax.Array:
+    """P2 plane dict -> (ny+1, nx+1) P1 grid, the exact transpose of
+    ``prolong_p1_to_p2`` (out-of-range edge neighbours read as zero —
+    they only affect boundary rows, which every caller masks)."""
+    v, h, w, d = planes["V"], planes["H"], planes["W"], planes["D"]
+    zero = jnp.asarray(0.0, v.dtype)
+
+    def pad(a, lo_r, hi_r, lo_c, hi_c):
+        return jax.lax.pad(a, zero, ((lo_r, hi_r, 0), (lo_c, hi_c, 0)))
+
+    hterm = pad(h, 0, 0, 1, 0) + pad(h, 0, 0, 0, 1)
+    wterm = pad(w, 1, 0, 0, 0) + pad(w, 0, 1, 0, 0)
+    dterm = pad(d, 1, 0, 1, 0) + pad(d, 0, 1, 0, 1)
+    return v + 0.5 * (hterm + wterm + dterm)
+
+
+def _smooth_block_jacobi(apply_c: Callable, inv_d, x, r, theta: float,
+                         coeffs) -> Tuple[jax.Array, jax.Array]:
+    """Chebyshev smoothing block on the Jacobi-scaled operator D^{-1}A
+    (needed where the diagonal is NOT constant, e.g. P2 planes): a fixed
+    polynomial q(D^{-1}A) D^{-1} = D^{-1/2} q(\\hat A) D^{-1/2} — still a
+    symmetric positive smoother, so the cycle stays a valid CG
+    preconditioner. ``theta``/``coeffs`` target the D^{-1}A spectrum."""
+    d = (1.0 / theta) * (inv_d * r)
+    x = x + d
+    r = r - apply_c(d)
+    for c1, c2 in coeffs:
+        d = c1 * d + c2 * (inv_d * r)
+        x = x + d
+        r = r - apply_c(d)
+    return x, r
+
+
+def _p2_interior_flat(nx: int, ny: int) -> jax.Array:
+    """Flat P2 non-Dirichlet mask (plane order V, H, W, D), from iota —
+    mirrors models/fast_p2.py::interior_mask."""
+    from tpuwave.ops.stencil_p2 import p2_plane_shapes
+    parts = []
+    for p, (r, c) in p2_plane_shapes(nx, ny).items():
+        ri = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+        if p == "V":
+            bnd = (ri == 0) | (ri == r - 1) | (ci == 0) | (ci == c - 1)
+        elif p == "H":
+            bnd = (ri == 0) | (ri == r - 1)
+        elif p == "W":
+            bnd = (ci == 0) | (ci == c - 1)
+        else:
+            bnd = jnp.zeros((r, c), bool)
+        parts.append(jnp.logical_not(bnd).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+class P2GmgPreconditioner:
+    """One (p+h)-multigrid V-cycle on the flat P2 DoF vector: Jacobi-
+    Chebyshev smoothing on the P2 plane-stencil system, coarse correction
+    by the full P1 h-hierarchy (GmgPreconditioner). SPD — valid for pcg.
+    """
+
+    def __init__(self, system, interior, diag, sm_theta: float,
+                 sm_coeffs: Tuple, p1_cycle: GmgPreconditioner,
+                 nx: int, ny: int):
+        self.system = system            # P2PlaneStencil (flat call surface)
+        self.interior = interior        # flat bool
+        self.diag = diag                # flat system diagonal
+        self.inv_diag = 1.0 / diag
+        self.sm_theta = float(sm_theta)
+        self.sm_coeffs = tuple(sm_coeffs)
+        self.p1_cycle = p1_cycle
+        self.nx, self.ny = int(nx), int(ny)
+
+    def _apply_c(self, x):
+        xi = jnp.where(self.interior, x, 0.0)
+        return jnp.where(self.interior, self.system(xi), self.diag * x)
+
+    def __call__(self, b: jax.Array) -> jax.Array:
+        from tpuwave.ops.stencil_p2 import flat_to_planes, planes_to_flat
+
+        x = jnp.zeros_like(b)
+        x, r = _smooth_block_jacobi(self._apply_c, self.inv_diag, x, b,
+                                    self.sm_theta, self.sm_coeffs)
+        planes = flat_to_planes(jnp.where(self.interior, r, 0.0),
+                                self.nx, self.ny)
+        bc = restrict_p2_to_p1(planes)
+        grid_int = _interior((self.ny + 1, self.nx + 1))
+        bc = jnp.where(grid_int, bc, 0.0)
+        ec = self.p1_cycle(bc)
+        ec = jnp.where(grid_int, ec, 0.0)
+        corr = planes_to_flat(prolong_p1_to_p2(ec))
+        corr = jnp.where(self.interior, corr, 0.0)
+        x = x + corr
+        r = r - self._apply_c(corr)
+        x, _ = _smooth_block_jacobi(self._apply_c, self.inv_diag, x, r,
+                                    self.sm_theta, self.sm_coeffs)
+        return x
+
+
+def p2_gmg_for_system(nel: Tuple[int, int], geometry, c: float,
+                      stiff_coef: float, *, dtype=jnp.float64,
+                      pre_degree: int = 2, smooth_range: float = 8.0,
+                      min_coarse: int = 8, coarse_tol: float = 1e-2,
+                      lambda_max: float | None = None) -> P2GmgPreconditioner:
+    """(p+h)-MG preconditioner for the P2 system ``M + stiff_coef * K``
+    on the structured (nel, geometry) mesh.
+
+    The P2-level smoother needs lam_max of D^{-1}A; unlike the constant-
+    stencil P1 levels there is no scalar symbol, so it is estimated once
+    by power iteration (solve/chebyshev.py, the deal.II
+    PreconditionChebyshev approach) unless passed in.
+    """
+    from tpuwave.core.mesh import FeSpace, StructuredTriMesh
+    from tpuwave.core.quadrature import gauss_simplex
+    from tpuwave.ops.assembly import (element_mass_class,
+                                      element_stiffness_class)
+    from tpuwave.ops.stencil_p2 import P2PlaneStencil
+    from tpuwave.solve.chebyshev import estimate_lambda_max
+
+    nx, ny = int(nel[0]), int(nel[1])
+    space = FeSpace(StructuredTriMesh((nx, ny), geometry), 2)
+    quad = gauss_simplex(3)
+    mass = P2PlaneStencil(space, element_mass_class(space, quad), dtype)
+    stiff = P2PlaneStencil(space,
+                           element_stiffness_class(space, quad, c * c), dtype)
+    system = mass.axpy(stiff_coef, stiff)
+    interior = _p2_interior_flat(nx, ny)
+    diag = system.diagonal()
+    inv_diag = 1.0 / diag
+
+    def apply_c(x):
+        xi = jnp.where(interior, x, 0.0)
+        return jnp.where(interior, system(xi), diag * x)
+
+    if lambda_max is None:
+        lambda_max = estimate_lambda_max(apply_c, inv_diag, space.n_dofs)
+    th, cf = chebyshev_coefficients(lambda_max / smooth_range,
+                                    lambda_max, pre_degree)
+    p1_cycle = gmg_for_system((nx, ny), geometry, c, stiff_coef,
+                              pre_degree=pre_degree,
+                              smooth_range=smooth_range,
+                              min_coarse=min_coarse, coarse_tol=coarse_tol)
+    return P2GmgPreconditioner(system, interior, diag, th, tuple(cf),
+                               p1_cycle, nx, ny)
