@@ -389,3 +389,25 @@ def test_general_theta_p2_mg_mode():
     nrm = float(jnp.linalg.norm(st_j.u))
     assert float(jnp.linalg.norm(st_j.u - st_m.u)) < 1e-4 * nrm
     assert int(info_m["iterations_1"]) < int(info_j["iterations_1"])
+
+
+@pytest.mark.parametrize("aspect,max_iters", [(2.0, 14), (8.0, 40)])
+def test_mg_pcg_anisotropic_mesh(aspect, max_iters):
+    """Point-smoothing GMG degrades gracefully under cell anisotropy
+    (hx != hy weakens the smoother in the strong direction); CG
+    compensates — convergence is kept, iterations grow mildly
+    (measured 10 -> 19 -> 32 at 1:1 -> 4:1 -> 8:1)."""
+    geom = ((0.0, 0.0), (aspect, 1.0))
+    nel = (64, 64)
+    m_st, k_st = _stencils(*nel, geom=geom)
+    a_st = m_st + 1e-2 * k_st
+    h, w = nel[1] + 1, nel[0] + 1
+    interior = _interior(h, w)
+    apply_c = _constrained(a_st, interior)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(np.where(interior, rng.standard_normal((h, w)), 0.0))
+    pre = gmg_for_system(nel, geom, 1.0, 1e-2)
+    res = pcg(apply_c, b, jnp.zeros_like(b), precond_inv_diag=pre,
+              reduction=1e-10)
+    assert bool(res.converged)
+    assert int(res.iterations) <= max_iters
