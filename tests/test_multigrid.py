@@ -411,3 +411,63 @@ def test_mg_pcg_anisotropic_mesh(aspect, max_iters):
               reduction=1e-10)
     assert bool(res.converged)
     assert int(res.iterations) <= max_iters
+
+
+# ----------------------------------------------------------------------
+# Pallas-fused fine level (PallasGmgPreconditioner / run_implicit_mg_pallas)
+# ----------------------------------------------------------------------
+
+def test_pallas_vcycle_matches_xla():
+    """The Pallas-fused V-cycle (interpret mode) reproduces the XLA cycle
+    on the padded-plane contract."""
+    from tpuwave.solve.multigrid import PallasGmgPreconditioner
+
+    nel, dt2 = 32, 0.37
+    base = gmg_for_system((nel, nel), GEOM, 1.0, dt2)
+    h = w = nel + 1
+    block_rows = 16
+    hp = -(-h // block_rows) * block_rows
+    pre_p = PallasGmgPreconditioner(base.levels, base.coarse_theta,
+                                    base.coarse_coeffs,
+                                    block_rows=block_rows, interpret=True)
+    rng = np.random.default_rng(7)
+    interior = _interior(h, w)
+    b = jnp.asarray(np.where(interior, rng.standard_normal((h, w)), 0.0))
+    b_pad = jnp.zeros((hp, w)).at[:h, :w].set(b)
+    z_pad = pre_p(b_pad)
+    z_ref = base(b)
+    np.testing.assert_allclose(np.asarray(z_pad[:h, :w]),
+                               np.asarray(z_ref), rtol=1e-12, atol=1e-13)
+    # pad rows come back zero (the CG vectors stay confined to the grid)
+    assert float(jnp.abs(z_pad[h:, :]).max()) == 0.0
+
+
+@pytest.mark.parametrize("scheme,kw", [
+    ("theta", {"theta": 1.0}),
+    ("newmark", {"beta": 0.25, "lumped": False}),
+])
+def test_stepper_mg_pallas_matches_mg(scheme, kw):
+    """run_implicit_mg_pallas (interpret mode) reproduces the XLA MG-PCG
+    trajectory at a CFL-breaking dt."""
+    mk = lambda: FastWaveSolver((32, 32), GEOM, 0.02, scheme=scheme,
+                                dtype=jnp.float64, cg_reduction=1e-11, **kw)
+    s1, s2 = mk(), mk()
+    st = s1.initial_state(_standing_u0)
+    ref = s1.run_implicit_mg(st, 8)
+    got = s2.run_implicit_mg_pallas(st, 8, block_rows=16, interpret=True)
+    for name in ("u", "v"):
+        r, g = getattr(ref, name), getattr(got, name)
+        denom = float(jnp.linalg.norm(r)) or 1.0
+        assert float(jnp.linalg.norm(r - g)) / denom < 1e-9
+
+
+def test_stepper_mg_pallas_small_grid_falls_back():
+    """Grids too small for the kernel path delegate to run_implicit_mg."""
+    mk = lambda: FastWaveSolver((8, 8), GEOM, 0.02, scheme="theta",
+                                theta=1.0, dtype=jnp.float64)
+    s1, s2 = mk(), mk()
+    st = s1.initial_state(_standing_u0)
+    ref = s1.run_implicit_mg(st, 5)
+    got = s2.run_implicit_mg_pallas(st, 5, block_rows=128)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
+                               atol=1e-14)

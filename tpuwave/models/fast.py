@@ -450,6 +450,114 @@ class FastWaveSolver:
                                     coarse_tol, self.scheme), step, n_steps)
         return runner(state)
 
+    def run_implicit_mg_pallas(self, state: FastState, n_steps: int, *,
+                               pre_degree: int = 2, smooth_range: float = 8.0,
+                               coarse_tol: float = 1e-2,
+                               block_rows: int = 128,
+                               interpret: bool = False) -> FastState:
+        """MG-PCG stepping with the FINE multigrid level and every CG
+        matvec fused into Pallas halo-DMA passes — the production form of
+        ``run_implicit_mg`` (solve/multigrid.py::PallasGmgPreconditioner).
+
+        Falls back to ``run_implicit_mg`` when the grid is too small for
+        the kernels (< 2 row blocks) or the hierarchy has a single level.
+        """
+        from tpuwave.ops.pallas_kernels import (
+            constrained_stencil_apply_pallas)
+        from tpuwave.solve.multigrid import (PallasGmgPreconditioner,
+                                             gmg_for_system)
+
+        if self.scheme == "newmark" and self.beta <= 1e-12:
+            raise ValueError(
+                "run_implicit_mg_pallas needs beta > 0 (explicit beta=0 is "
+                "the leapfrog/lumped path: run_leapfrog_* / run_scan)")
+        if self.scheme not in ("newmark", "theta"):
+            raise ValueError("run_implicit_mg_pallas needs newmark/theta")
+        h, w = self.shape
+        hp = -(-h // block_rows) * block_rows
+        wp = w if interpret else -(-w // 128) * 128
+        coef = (self.beta * self.dt * self.dt if self.scheme == "newmark"
+                else (self.theta * self.dt) ** 2)
+        base = gmg_for_system(
+            (self.mesh.nx, self.mesh.ny), self.mesh.geometry, self.c, coef,
+            pre_degree=pre_degree, smooth_range=smooth_range,
+            coarse_tol=coarse_tol)
+        if len(base.levels) < 2 or hp // block_rows < 2:
+            return self.run_implicit_mg(
+                state, n_steps, pre_degree=pre_degree,
+                smooth_range=smooth_range, coarse_tol=coarse_tol)
+        precond = PallasGmgPreconditioner(
+            base.levels, base.coarse_theta, base.coarse_coeffs,
+            block_rows=block_rows, interpret=interpret)
+        max_iter = 10000 if self.dtype == jnp.float64 else 2000
+
+        ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        interior = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
+
+        def fused_apply(op):
+            st_coeffs = op.stencil
+            diag = op.stencil[1][1]
+
+            def apply_c(x):
+                return constrained_stencil_apply_pallas(
+                    x, stencil=st_coeffs, diag=diag, block_rows=block_rows,
+                    true_rows=h, true_cols=w, interpret=interpret)
+            return apply_c, 1.0 / diag
+
+        def pad(x):
+            return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
+
+        dt, beta, gamma, th = self.dt, self.beta, self.gamma, self.theta
+
+        if self.scheme == "newmark":
+            apply_a, _ = fused_apply(self.system)
+
+            def step(st):
+                u, v, a = st
+                z = u + dt * v + (dt * dt * (0.5 - beta)) * a
+                rhs = jnp.where(interior, -self.stiff(z), 0.0)
+                x0 = jnp.where(interior, a, 0.0)
+                res = pcg(apply_a, rhs, x0, precond_inv_diag=precond,
+                          abs_tol=self._solve_abs_tol(rhs, x0, self.system),
+                          max_iter=max_iter, reduction=self.cg_reduction)
+                a_new = res.x.astype(self.dtype)
+                u_new = z + (beta * dt * dt) * a_new
+                v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
+                return FastState(u=u_new, v=v_new, a=a_new)
+        else:
+            apply_u, _ = fused_apply(self.system)
+            apply_m, prec_m = fused_apply(self.mass)
+
+            def step(st):
+                u, v, a = st
+                mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
+                rhs_u = jnp.where(
+                    interior, mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
+                    0.0)
+                x0_u = jnp.where(interior, u, 0.0)
+                res_u = pcg(apply_u, rhs_u, x0_u, precond_inv_diag=precond,
+                            abs_tol=self._solve_abs_tol(rhs_u, x0_u,
+                                                        self.system),
+                            max_iter=max_iter, reduction=self.cg_reduction)
+                u_new = res_u.x.astype(self.dtype)
+                rhs_v = jnp.where(
+                    interior,
+                    mv - (dt * (1.0 - th)) * ku - (dt * th) * self.stiff(u_new),
+                    0.0)
+                x0_v = jnp.where(interior, v, 0.0)
+                res_v = pcg(apply_m, rhs_v, x0_v, precond_inv_diag=prec_m,
+                            abs_tol=self._solve_abs_tol(rhs_v, x0_v,
+                                                        self.mass),
+                            max_iter=max_iter, reduction=self.cg_reduction)
+                return FastState(u=u_new, v=res_v.x.astype(self.dtype), a=a)
+
+        runner = cached_scan(self, ("mgp", pre_degree, smooth_range,
+                                    coarse_tol, block_rows, interpret,
+                                    self.scheme), step, n_steps)
+        out = runner(FastState(pad(state.u), pad(state.v), pad(state.a)))
+        return FastState(u=out.u[:h, :w], v=out.v[:h, :w], a=out.a[:h, :w])
+
     # ------------------------------------------------------------------
 
     # ------------------------------------------------------------------

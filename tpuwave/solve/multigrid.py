@@ -57,9 +57,9 @@ from tpuwave.solve.cheby_iter import (chebyshev_block, chebyshev_coefficients,
 from tpuwave.ops.stencil import apply_stencil
 
 __all__ = ["prolong_p1", "restrict_p1", "MgLevel", "build_gmg_levels",
-           "GmgPreconditioner", "gmg_for_system", "gmg_flat_preconditioner",
-           "prolong_p1_to_p2", "restrict_p2_to_p1", "P2GmgPreconditioner",
-           "p2_gmg_for_system"]
+           "GmgPreconditioner", "PallasGmgPreconditioner", "gmg_for_system",
+           "gmg_flat_preconditioner", "prolong_p1_to_p2", "restrict_p2_to_p1",
+           "P2GmgPreconditioner", "p2_gmg_for_system"]
 
 
 # ----------------------------------------------------------------------
@@ -266,6 +266,77 @@ class GmgPreconditioner:
 
     def __call__(self, b: jax.Array) -> jax.Array:
         return self._cycle(0, b)
+
+
+class PallasGmgPreconditioner(GmgPreconditioner):
+    """V-cycle whose FINE level runs as fused Pallas halo-DMA passes.
+
+    In 2D the fine level is ~3/4 of the cycle's work (each coarser level is
+    4x smaller), and it was the one part of the MG-PCG fast path still
+    going through XLA's roll-based stencils (which materialise shifted
+    copies — extra HBM traffic and relayouts). This subclass replaces the
+    level-0 pre/post smoothing with ``cheby_block_pallas`` and the
+    post-correction residual with ``constrained_stencil_apply_pallas``
+    (ops/pallas_kernels.py), the same kernels the single-level Chebyshev
+    solver runs; the coarse tail (levels >= 1) keeps the XLA cycle.
+
+    Operates DIRECTLY on the Mosaic-padded (hp, wp) planes of the fused
+    implicit fast path (models/fast.py::run_implicit_mg_pallas) — pad rows
+    behave like pinned Dirichlet rows, exactly the kernels' contract — so
+    the only pad<->true reshuffles are at the (4x smaller) level-0/1
+    transfers. Same fixed SPD polynomial as the parent: a valid CG
+    preconditioner, bit-compatible up to roll/fma ordering.
+    """
+
+    def __init__(self, levels: Sequence[MgLevel], coarse_theta: float,
+                 coarse_coeffs: Tuple, *, block_rows: int = 128,
+                 interpret: bool = False):
+        super().__init__(levels, coarse_theta, coarse_coeffs)
+        if len(self.levels) < 2:
+            raise ValueError("PallasGmgPreconditioner needs >= 2 levels "
+                             "(single-level hierarchies: use the XLA "
+                             "GmgPreconditioner)")
+        self.block_rows = int(block_rows)
+        self.interpret = bool(interpret)
+        h, w = self.levels[0].shape
+        self._hp = -(-h // self.block_rows) * self.block_rows
+        self._wp = w if interpret else -(-w // 128) * 128
+        if self._hp // self.block_rows < 2:
+            raise ValueError("fine level too small for the Pallas cycle "
+                             "(needs >= 2 row blocks); use the XLA "
+                             "GmgPreconditioner")
+
+    def __call__(self, b: jax.Array) -> jax.Array:
+        """b: Mosaic-padded (hp, wp) residual plane, zero on pinned/pad
+        rows (the fast-path CG invariant). Returns the padded z = V(b)."""
+        from tpuwave.ops.pallas_kernels import (
+            cheby_block_pallas, constrained_stencil_apply_pallas)
+
+        lev = self.levels[0]
+        h, w = lev.shape
+        if b.shape != (self._hp, self._wp):
+            raise ValueError(f"expected padded plane {(self._hp, self._wp)},"
+                             f" got {b.shape}")
+        kw = dict(stencil=lev.stencil, block_rows=self.block_rows,
+                  true_rows=h, true_cols=w, interpret=self.interpret)
+        # pre-smoothing from zero guess: x, r = q(A) b, b - A x in one pass
+        x, r, _ = cheby_block_pallas(jnp.zeros_like(b), b,
+                                     theta=lev.sm_theta,
+                                     coeffs=lev.sm_coeffs, **kw)
+        # coarse correction on the true-shape planes (kernel left r zero on
+        # pinned/pad rows, so the slice is already interior-masked)
+        bc = restrict_p1(r[:h, :w])
+        bc = jnp.where(_interior(self.levels[1].shape), bc, 0.0)
+        ec = self._cycle(1, bc)
+        corr = jnp.where(_interior((h, w)), prolong_p1(ec), 0.0)
+        x = x + jnp.zeros_like(b).at[:h, :w].set(corr)
+        # post-correction residual + post-smoothing (same polynomial ->
+        # symmetric cycle), both as fused passes
+        ax = constrained_stencil_apply_pallas(
+            x, diag=lev.stencil[1][1], **kw)
+        x, _, _ = cheby_block_pallas(x, b - ax, theta=lev.sm_theta,
+                                     coeffs=lev.sm_coeffs, **kw)
+        return x
 
 
 def gmg_for_system(nel: Tuple[int, int], geometry, c: float,
