@@ -242,10 +242,11 @@ def test_end_to_end_import_matches_structured(tmp_path):
     r_s = api.solve(dict(base), family="theta", config=cfg)
     r_u = api.solve(dict(base, **{"Mesh File Name": str(msh)}),
                     family="theta", config=cfg)
-    # same mesh, same scheme; only the element-matrix storage (class vs
-    # full) and its float summation order differ -> CG-noise-level match
-    assert abs(r_s.rel_l2 - r_u.rel_l2) < 1e-6 * r_s.rel_l2
-    assert abs(r_s.rel_h1 - r_u.rel_h1) < 1e-6 * r_s.rel_h1
+    # the import is recognised as the structured triangulation
+    # (detect_structured) and renumbered onto the SAME structured engine,
+    # so the trajectories are identical to the last digit
+    assert abs(r_s.rel_l2 - r_u.rel_l2) <= 1e-14 * r_s.rel_l2
+    assert abs(r_s.rel_h1 - r_u.rel_h1) <= 1e-14 * r_s.rel_h1
 
 
 @pytest.mark.parametrize("family", ["theta", "newmark"])
@@ -304,6 +305,73 @@ def test_vtu_output_on_imported_mesh(tmp_path):
 def test_make_discretization_factory():
     p = load_params(standing_mode())
     assert type(make_discretization(p)) is Discretization
+
+
+# ---------------------------------------------------------------------------
+# structured-grid detection (imported mesh -> stencil fast paths)
+# ---------------------------------------------------------------------------
+
+def test_detect_structured_roundtrip_and_renumbering():
+    from tpuwave.core.unstructured import detect_structured
+    m = StructuredTriMesh((7, 4), ((-1.0, 2.0), (3.0, 5.0)))
+    um = UnstructuredTriMesh(m.vertex_coords, m.cells)
+    assert detect_structured(um) == ((7, 4), ((-1.0, 2.0), (3.0, 5.0)))
+    # arbitrary vertex/cell renumbering and local vertex rotation must
+    # still match (detection is permutation-invariant)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(m.n_vertices)
+    inv = np.argsort(perm)
+    pts2 = m.vertex_coords[perm]
+    cells2 = inv[m.cells][rng.permutation(m.n_cells)]
+    cells2 = np.roll(cells2, 1, axis=1)
+    um2 = UnstructuredTriMesh(pts2, cells2.astype(np.int32))
+    assert detect_structured(um2) == ((7, 4), ((-1.0, 2.0), (3.0, 5.0)))
+
+
+def test_detect_structured_rejections():
+    from tpuwave.core.unstructured import detect_structured
+    # perturbed interior vertices: not a lattice
+    assert detect_structured(perturbed_mesh(6, seed=1)) is None
+    # same lattice, squares split along the OTHER diagonal: different
+    # triangulation (different stiffness), must not match
+    nx = ny = 4
+    m = StructuredTriMesh((nx, ny), ((0.0, 0.0), (1.0, 1.0)))
+    ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="xy")
+    ii, jj = ii.ravel(), jj.ravel()
+
+    def vi(i, j):
+        return j * (nx + 1) + i
+
+    lower = np.stack([vi(ii, jj), vi(ii + 1, jj), vi(ii, jj + 1)], axis=-1)
+    upper = np.stack([vi(ii + 1, jj), vi(ii + 1, jj + 1), vi(ii, jj + 1)],
+                     axis=-1)
+    flipped = np.concatenate([lower, upper]).astype(np.int32)
+    assert detect_structured(
+        UnstructuredTriMesh(m.vertex_coords, flipped)) is None
+    # tensor grid with non-uniform x spacing: counts match, snap fails
+    m3 = StructuredTriMesh((3, 3), ((0.0, 0.0), (1.0, 1.0)))
+    pts = m3.vertex_coords.copy()
+    col = np.rint(pts[:, 0] * 3).astype(int)
+    pts[:, 0] = np.array([0.0, 0.1, 0.5, 1.0])[col]
+    assert detect_structured(UnstructuredTriMesh(pts, m3.cells)) is None
+
+
+def test_factory_routes_detected_structured(tmp_path):
+    m = StructuredTriMesh((6, 5), ((0.0, 0.0), (3.0, 1.0)))
+    msh = write_msh(tmp_path / "s.msh", m.vertex_coords, m.cells)
+    # the param file's own Nel/Geometry are overridden by the detected mesh
+    p = load_params(standing_mode(**{"Mesh File Name": str(msh)}))
+    d = make_discretization(p)
+    assert type(d) is Discretization
+    assert d.mesh.nel == (6, 5)
+    assert d.mesh.geometry == ((0.0, 0.0), (3.0, 1.0))
+    assert d.params.nel == (6, 5)          # folder naming sees the real grid
+    assert d.params.mesh_file is not None  # provenance preserved
+    # a genuinely perturbed import keeps the general engine
+    um = perturbed_mesh(5, seed=3)
+    msh2 = write_msh(tmp_path / "p.msh", um.vertex_coords, um.cells)
+    p2 = load_params(standing_mode(**{"Mesh File Name": str(msh2)}))
+    assert type(make_discretization(p2)) is UnstructuredDiscretization
 
 
 # ---------------------------------------------------------------------------

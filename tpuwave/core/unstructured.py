@@ -31,8 +31,8 @@ import numpy as np
 from tpuwave.core.quadrature import TriangleQuadrature
 from tpuwave.core.shape import SimplexShape, simplex_shape
 
-__all__ = ["read_mesh_file", "write_msh", "UnstructuredTriMesh",
-           "UnstructuredFeSpace"]
+__all__ = ["read_mesh_file", "write_msh", "detect_structured",
+           "UnstructuredTriMesh", "UnstructuredFeSpace"]
 
 
 # ---------------------------------------------------------------------------
@@ -200,6 +200,70 @@ def _parse_legacy_vtk(text: str, path: Path):
     if not conn:
         raise ValueError(f"{path}: no VTK_TRIANGLE cells")
     return pts, np.asarray(conn, dtype=np.int32)
+
+
+def detect_structured(mesh: "UnstructuredTriMesh", *, tol: float = 1e-12):
+    """Recognise an imported mesh as the structured rectangle triangulation.
+
+    Returns ``(nel, geometry)`` when ``mesh`` is — up to vertex and cell
+    renumbering — exactly the grid that
+    :class:`~tpuwave.core.mesh.StructuredTriMesh` generates (the deal.II
+    ``subdivided_hyper_rectangle_with_simplices`` layout the reference
+    always solves on, WaveEquationBase.cpp:42-46): a uniform (nx+1)x(ny+1)
+    vertex lattice with every grid square split along its lower-left ->
+    upper-right diagonal. Returns ``None`` otherwise (perturbed vertices,
+    flipped/mixed diagonals, holes, genuinely unstructured meshes).
+
+    Coordinates may differ from the exact lattice by IO roundoff: the
+    match tolerance is ``tol`` relative to the coordinate/extent scale
+    (Gmsh ASCII roundtrips at 16 significant digits sit at ~1e-16).
+    A positive match lets the solvers run the class-constant structured
+    engines (stencil operators, Pallas kernels, ``--precond mg``) instead
+    of the per-cell-geometry general path — same triangulation, so the
+    discrete problem is identical.
+    """
+    pts = mesh.vertex_coords
+    n = pts.shape[0]
+    if n < 4:
+        return None
+    (x0, y0), (x1, y1) = mesh.bbox
+    ex, ey = x1 - x0, y1 - y0
+    if ex <= 0.0 or ey <= 0.0:
+        return None
+    atol = (max(abs(x0), abs(x1), abs(y0), abs(y1)) + max(ex, ey)) * tol
+    # lattice dimensions from the bottom-row / left-column vertex counts;
+    # any miscount here is caught by the index-uniqueness check below
+    nx = int(np.count_nonzero(pts[:, 1] <= y0 + atol)) - 1
+    ny = int(np.count_nonzero(pts[:, 0] <= x0 + atol)) - 1
+    if nx < 1 or ny < 1:
+        return None
+    if (nx + 1) * (ny + 1) != n or mesh.n_cells != 2 * nx * ny:
+        return None
+    hx, hy = ex / nx, ey / ny
+    if atol >= 0.25 * min(hx, hy):  # tolerance must stay well below a cell
+        return None
+    i = np.rint((pts[:, 0] - x0) / hx).astype(np.int64)
+    j = np.rint((pts[:, 1] - y0) / hy).astype(np.int64)
+    if (np.abs(pts[:, 0] - (x0 + i * hx)) > atol).any():
+        return None
+    if (np.abs(pts[:, 1] - (y0 + j * hy)) > atol).any():
+        return None
+    perm = (j * (nx + 1) + i).astype(np.int64)  # imported vid -> lattice vid
+    if not (np.bincount(perm, minlength=n) == 1).all():
+        return None
+    # triangulation match: compare the vertex-id SETS of the triangles
+    # (element matrices are invariant under local vertex reordering, so
+    # only the set of triangles matters)
+    from tpuwave.core.mesh import StructuredTriMesh
+    geometry = ((x0, y0), (x1, y1))
+    ref = StructuredTriMesh((nx, ny), geometry)
+    want = np.sort(ref.cells.astype(np.int64), axis=1)
+    got = np.sort(perm[mesh.cells], axis=1)
+    want = want[np.lexsort(want.T)]
+    got = got[np.lexsort(got.T)]
+    if not np.array_equal(want, got):
+        return None
+    return (nx, ny), geometry
 
 
 def write_msh(path, points, cells) -> Path:

@@ -18,13 +18,15 @@ generated rectangle meshes, where geometry is compile-time constant.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpuwave.core.quadrature import gauss_simplex
 from tpuwave.core.unstructured import (UnstructuredFeSpace, UnstructuredTriMesh,
-                                       read_mesh_file)
+                                       detect_structured, read_mesh_file)
 from tpuwave.models.discretization import Discretization, _expr_grad_fn
 from tpuwave.ops.operators import MatrixFreeOperator
 from tpuwave.utils.expr import Expression
@@ -35,9 +37,25 @@ __all__ = ["UnstructuredDiscretization", "make_discretization"]
 
 def make_discretization(params: Params, dtype=None) -> Discretization:
     """Factory: unstructured import when ``Mesh File Name`` was given,
-    otherwise the structured rectangle discretisation."""
+    otherwise the structured rectangle discretisation.
+
+    Imported meshes that are recognisably the structured rectangle
+    triangulation (up to renumbering and IO roundoff;
+    :func:`tpuwave.core.unstructured.detect_structured`) are renumbered
+    onto the structured engines — the class-constant stencil operators and
+    preconditioners — instead of the per-cell-geometry general path. The
+    discrete problem is identical (same triangulation), so trajectories
+    agree to solver roundoff; only the internal DoF ordering (and hence
+    VTU vertex numbering) changes.
+    """
     if params.mesh_file is not None:
-        return UnstructuredDiscretization(params, dtype=dtype)
+        mesh = read_mesh_file(params.mesh_file)
+        hit = detect_structured(mesh)
+        if hit is not None:
+            nel, geometry = hit
+            params = dataclasses.replace(params, nel=nel, geometry=geometry)
+            return Discretization(params, dtype=dtype)
+        return UnstructuredDiscretization(params, dtype=dtype, mesh=mesh)
     return Discretization(params, dtype=dtype)
 
 

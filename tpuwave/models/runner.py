@@ -107,6 +107,10 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     imported_mesh = p.mesh_file is not None
     if imported_mesh:
         pcout(f"  Mesh imported from {p.mesh_file}")
+        from tpuwave.core.mesh import StructuredTriMesh
+        if isinstance(d.mesh, StructuredTriMesh):
+            pcout(f"  Recognised as a structured {p.nel[0]}x{p.nel[1]} "
+                  "rectangle -> structured engines")
     if cfg.write_mesh and primary and not imported_mesh:
         try:
             write_mesh_vtk(mesh_file_name(cfg.mesh_root, p.nel, p.geometry),
