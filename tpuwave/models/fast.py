@@ -455,15 +455,19 @@ class FastWaveSolver:
                                coarse_tol: float = 1e-2,
                                block_rows: int = 128,
                                interpret: bool = False) -> FastState:
-        """MG-PCG stepping with the FINE multigrid level and every CG
-        matvec fused into Pallas halo-DMA passes — the production form of
-        ``run_implicit_mg`` (solve/multigrid.py::PallasGmgPreconditioner).
+        """MG-PCG stepping with the FINE multigrid level, every CG matvec,
+        the solve setup (r0 + stopping-rule norms; newmark_rhs_r0 /
+        theta_r0u / theta_r0v) and the state updates all fused into Pallas
+        halo-DMA passes — the production form of ``run_implicit_mg``
+        (solve/multigrid.py::PallasGmgPreconditioner).
 
         Falls back to ``run_implicit_mg`` when the grid is too small for
         the kernels (< 2 row blocks) or the hierarchy has a single level.
         """
         from tpuwave.ops.pallas_kernels import (
-            constrained_stencil_apply_pallas)
+            constrained_stencil_apply_pallas, newmark_rhs_r0_pallas,
+            newmark_update_pallas, theta_r0u_pallas, theta_r0v_pallas)
+        from tpuwave.solve.cheby_iter import stencil_symbol_bounds
         from tpuwave.solve.multigrid import (PallasGmgPreconditioner,
                                              gmg_for_system)
 
@@ -475,7 +479,7 @@ class FastWaveSolver:
             raise ValueError("run_implicit_mg_pallas needs newmark/theta")
         h, w = self.shape
         hp = -(-h // block_rows) * block_rows
-        wp = w if interpret else -(-w // 128) * 128
+        wp = -(-w // 128) * 128
         coef = (self.beta * self.dt * self.dt if self.scheme == "newmark"
                 else (self.theta * self.dt) ** 2)
         base = gmg_for_system(
@@ -490,10 +494,14 @@ class FastWaveSolver:
             base.levels, base.coarse_theta, base.coarse_coeffs,
             block_rows=block_rows, interpret=interpret)
         max_iter = 10000 if self.dtype == jnp.float64 else 2000
+        eta = (None if self.dtype == jnp.float64
+               else 8 * float(jnp.finfo(self.dtype).eps))
 
         ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
         interior = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
+        kw = dict(block_rows=block_rows, true_rows=h, true_cols=w,
+                  interpret=interpret)
 
         def fused_apply(op):
             st_coeffs = op.stencil
@@ -501,9 +509,16 @@ class FastWaveSolver:
 
             def apply_c(x):
                 return constrained_stencil_apply_pallas(
-                    x, stencil=st_coeffs, diag=diag, block_rows=block_rows,
-                    true_rows=h, true_cols=w, interpret=interpret)
+                    x, stencil=st_coeffs, diag=diag, **kw)
             return apply_c, 1.0 / diag
+
+        def abs_tol_of(op, bn2, xn2):
+            # backward-error floor, from the norms the setup kernel already
+            # reduced (see _solve_abs_tol for the rationale)
+            if eta is None:
+                return 1e-12
+            lam_max = stencil_symbol_bounds(op.stencil)[1]
+            return eta * (lam_max * jnp.sqrt(xn2) + jnp.sqrt(bn2))
 
         def pad(x):
             return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
@@ -512,45 +527,56 @@ class FastWaveSolver:
 
         if self.scheme == "newmark":
             apply_a, _ = fused_apply(self.system)
+            k_st, a_st = self.stiff.stencil, self.system.stencil
 
             def step(st):
                 u, v, a = st
-                z = u + dt * v + (dt * dt * (0.5 - beta)) * a
-                rhs = jnp.where(interior, -self.stiff(z), 0.0)
-                x0 = jnp.where(interior, a, 0.0)
-                res = pcg(apply_a, rhs, x0, precond_inv_diag=precond,
-                          abs_tol=self._solve_abs_tol(rhs, x0, self.system),
+                # fused setup: z, r0 = rhs - A(masked a) + norms, one pass
+                r0, z, _, bn2, xn2 = newmark_rhs_r0_pallas(
+                    u, v, a, k_stencil=k_st, a_stencil=a_st, c_zv=dt,
+                    c_za=dt * dt * (0.5 - beta), **kw)
+                # warm-started CG on A e = r0; a_new = masked(a) + e
+                res = pcg(apply_a, r0, jnp.zeros_like(r0), r0=r0,
+                          precond_inv_diag=precond,
+                          abs_tol=abs_tol_of(self.system, bn2[0, 0],
+                                             xn2[0, 0]),
                           max_iter=max_iter, reduction=self.cg_reduction)
-                a_new = res.x.astype(self.dtype)
-                u_new = z + (beta * dt * dt) * a_new
-                v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
+                u_new, v_new, a_new = newmark_update_pallas(
+                    z, v, a, res.x.astype(self.dtype),
+                    c_ua=beta * dt * dt, c_va=dt * (1.0 - gamma),
+                    c_van=dt * gamma, **kw)
                 return FastState(u=u_new, v=v_new, a=a_new)
         else:
             apply_u, _ = fused_apply(self.system)
             apply_m, prec_m = fused_apply(self.mass)
+            m_st, k_st = self.mass.stencil, self.stiff.stencil
 
             def step(st):
                 u, v, a = st
-                mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
-                rhs_u = jnp.where(
-                    interior, mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
-                    0.0)
-                x0_u = jnp.where(interior, u, 0.0)
-                res_u = pcg(apply_u, rhs_u, x0_u, precond_inv_diag=precond,
-                            abs_tol=self._solve_abs_tol(rhs_u, x0_u,
-                                                        self.system),
+                # fused setup: r0_u = rhs_u - A_u(masked u) + norms (the
+                # M u warm-start terms cancel analytically in the kernel)
+                r0u, _, bn2, xn2 = theta_r0u_pallas(
+                    u, v, m_stencil=m_st, k_stencil=k_st,
+                    c_comb=-dt * dt * th * (1.0 - th), c_r0k=-dt * dt * th,
+                    c_mv=dt, **kw)
+                res_u = pcg(apply_u, r0u, jnp.zeros_like(r0u), r0=r0u,
+                            precond_inv_diag=precond,
+                            abs_tol=abs_tol_of(self.system, bn2[0, 0],
+                                               xn2[0, 0]),
                             max_iter=max_iter, reduction=self.cg_reduction)
-                u_new = res_u.x.astype(self.dtype)
-                rhs_v = jnp.where(
-                    interior,
-                    mv - (dt * (1.0 - th)) * ku - (dt * th) * self.stiff(u_new),
-                    0.0)
-                x0_v = jnp.where(interior, v, 0.0)
-                res_v = pcg(apply_m, rhs_v, x0_v, precond_inv_diag=prec_m,
-                            abs_tol=self._solve_abs_tol(rhs_v, x0_v,
-                                                        self.mass),
+                e_u = res_u.x.astype(self.dtype)
+                # fused u update + v-solve setup in the same halo pass
+                u_new, r0v, _, bn2v, xn2v = theta_r0v_pallas(
+                    u, e_u, v, m_stencil=m_st, k_stencil=k_st,
+                    c_ku=-dt * (1.0 - th), c_kun=-dt * th, **kw)
+                res_v = pcg(apply_m, r0v, jnp.zeros_like(r0v), r0=r0v,
+                            precond_inv_diag=prec_m,
+                            abs_tol=abs_tol_of(self.mass, bn2v[0, 0],
+                                               xn2v[0, 0]),
                             max_iter=max_iter, reduction=self.cg_reduction)
-                return FastState(u=u_new, v=res_v.x.astype(self.dtype), a=a)
+                v_new = jnp.where(interior, v, 0.0) + res_v.x
+                return FastState(u=u_new.astype(self.dtype),
+                                 v=v_new.astype(self.dtype), a=a)
 
         runner = cached_scan(self, ("mgp", pre_degree, smooth_range,
                                     coarse_tol, block_rows, interpret,

@@ -37,11 +37,15 @@ class CgResult(NamedTuple):
 
 def pcg(apply_a: Callable, b, x0, *, precond_inv_diag=None,
         max_iter: int = 10000, abs_tol: float = 1e-12,
-        reduction: float = 1e-6) -> CgResult:
+        reduction: float = 1e-6, r0=None) -> CgResult:
     """Solve A x = b with (Jacobi-)preconditioned CG.
 
     ``precond_inv_diag``: elementwise inverse-diagonal array (Jacobi), a
     callable SPD preconditioner (e.g. solve/chebyshev.py), or None.
+
+    ``r0``: optional precomputed initial residual ``b - A x0`` (e.g. from
+    a fused solve-setup kernel, models/fast.py::run_implicit_mg_pallas);
+    skips the extra operator application here.
     """
     dtype = b.dtype
 
@@ -54,7 +58,8 @@ def pcg(apply_a: Callable, b, x0, *, precond_inv_diag=None,
         def precond(r):
             return precond_inv_diag * r
 
-    r0 = b - apply_a(x0)
+    if r0 is None:
+        r0 = b - apply_a(x0)
     norm0 = jnp.linalg.norm(r0)
     tol = jnp.maximum(jnp.asarray(abs_tol, dtype), reduction * norm0)
 

@@ -300,7 +300,6 @@ class PallasGmgPreconditioner(GmgPreconditioner):
         self.interpret = bool(interpret)
         h, w = self.levels[0].shape
         self._hp = -(-h // self.block_rows) * self.block_rows
-        self._wp = w if interpret else -(-w // 128) * 128
         if self._hp // self.block_rows < 2:
             raise ValueError("fine level too small for the Pallas cycle "
                              "(needs >= 2 row blocks); use the XLA "
@@ -314,8 +313,8 @@ class PallasGmgPreconditioner(GmgPreconditioner):
 
         lev = self.levels[0]
         h, w = lev.shape
-        if b.shape != (self._hp, self._wp):
-            raise ValueError(f"expected padded plane {(self._hp, self._wp)},"
+        if b.shape[0] != self._hp or b.shape[1] < w:
+            raise ValueError(f"expected a ({self._hp}, >={w}) padded plane,"
                              f" got {b.shape}")
         kw = dict(stencil=lev.stencil, block_rows=self.block_rows,
                   true_rows=h, true_cols=w, interpret=self.interpret)
