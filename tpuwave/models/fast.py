@@ -468,8 +468,7 @@ class FastWaveSolver:
             constrained_stencil_apply_pallas, newmark_rhs_r0_pallas,
             newmark_update_pallas, theta_r0u_pallas, theta_r0v_pallas)
         from tpuwave.solve.cheby_iter import stencil_symbol_bounds
-        from tpuwave.solve.multigrid import (PallasGmgPreconditioner,
-                                             gmg_for_system)
+        from tpuwave.solve.multigrid import PallasGmgPreconditioner
 
         if self.scheme == "newmark" and self.beta <= 1e-12:
             raise ValueError(
@@ -480,10 +479,7 @@ class FastWaveSolver:
         h, w = self.shape
         hp = -(-h // block_rows) * block_rows
         wp = -(-w // 128) * 128
-        coef = (self.beta * self.dt * self.dt if self.scheme == "newmark"
-                else (self.theta * self.dt) ** 2)
-        base = gmg_for_system(
-            (self.mesh.nx, self.mesh.ny), self.mesh.geometry, self.c, coef,
+        base = self.gmg_preconditioner(
             pre_degree=pre_degree, smooth_range=smooth_range,
             coarse_tol=coarse_tol)
         if len(base.levels) < 2 or hp // block_rows < 2:
@@ -532,12 +528,12 @@ class FastWaveSolver:
             def step(st):
                 u, v, a = st
                 # fused setup: z, r0 = rhs - A(masked a) + norms, one pass
-                r0, z, _, bn2, xn2 = newmark_rhs_r0_pallas(
+                r0, z, rn2, bn2, xn2 = newmark_rhs_r0_pallas(
                     u, v, a, k_stencil=k_st, a_stencil=a_st, c_zv=dt,
                     c_za=dt * dt * (0.5 - beta), **kw)
                 # warm-started CG on A e = r0; a_new = masked(a) + e
                 res = pcg(apply_a, r0, jnp.zeros_like(r0), r0=r0,
-                          precond_inv_diag=precond,
+                          norm0_sq=rn2[0, 0], precond_inv_diag=precond,
                           abs_tol=abs_tol_of(self.system, bn2[0, 0],
                                              xn2[0, 0]),
                           max_iter=max_iter, reduction=self.cg_reduction)
@@ -555,22 +551,22 @@ class FastWaveSolver:
                 u, v, a = st
                 # fused setup: r0_u = rhs_u - A_u(masked u) + norms (the
                 # M u warm-start terms cancel analytically in the kernel)
-                r0u, _, bn2, xn2 = theta_r0u_pallas(
+                r0u, rn2, bn2, xn2 = theta_r0u_pallas(
                     u, v, m_stencil=m_st, k_stencil=k_st,
                     c_comb=-dt * dt * th * (1.0 - th), c_r0k=-dt * dt * th,
                     c_mv=dt, **kw)
                 res_u = pcg(apply_u, r0u, jnp.zeros_like(r0u), r0=r0u,
-                            precond_inv_diag=precond,
+                            norm0_sq=rn2[0, 0], precond_inv_diag=precond,
                             abs_tol=abs_tol_of(self.system, bn2[0, 0],
                                                xn2[0, 0]),
                             max_iter=max_iter, reduction=self.cg_reduction)
                 e_u = res_u.x.astype(self.dtype)
                 # fused u update + v-solve setup in the same halo pass
-                u_new, r0v, _, bn2v, xn2v = theta_r0v_pallas(
+                u_new, r0v, rn2v, bn2v, xn2v = theta_r0v_pallas(
                     u, e_u, v, m_stencil=m_st, k_stencil=k_st,
                     c_ku=-dt * (1.0 - th), c_kun=-dt * th, **kw)
                 res_v = pcg(apply_m, r0v, jnp.zeros_like(r0v), r0=r0v,
-                            precond_inv_diag=prec_m,
+                            norm0_sq=rn2v[0, 0], precond_inv_diag=prec_m,
                             abs_tol=abs_tol_of(self.mass, bn2v[0, 0],
                                                xn2v[0, 0]),
                             max_iter=max_iter, reduction=self.cg_reduction)

@@ -37,15 +37,16 @@ class CgResult(NamedTuple):
 
 def pcg(apply_a: Callable, b, x0, *, precond_inv_diag=None,
         max_iter: int = 10000, abs_tol: float = 1e-12,
-        reduction: float = 1e-6, r0=None) -> CgResult:
+        reduction: float = 1e-6, r0=None, norm0_sq=None) -> CgResult:
     """Solve A x = b with (Jacobi-)preconditioned CG.
 
     ``precond_inv_diag``: elementwise inverse-diagonal array (Jacobi), a
     callable SPD preconditioner (e.g. solve/chebyshev.py), or None.
 
-    ``r0``: optional precomputed initial residual ``b - A x0`` (e.g. from
-    a fused solve-setup kernel, models/fast.py::run_implicit_mg_pallas);
-    skips the extra operator application here.
+    ``r0``/``norm0_sq``: optional precomputed initial residual
+    ``b - A x0`` and its squared norm (e.g. from a fused solve-setup
+    kernel, models/fast.py::run_implicit_mg_pallas); skip the extra
+    operator application / full-plane reduction here.
     """
     dtype = b.dtype
 
@@ -60,7 +61,8 @@ def pcg(apply_a: Callable, b, x0, *, precond_inv_diag=None,
 
     if r0 is None:
         r0 = b - apply_a(x0)
-    norm0 = jnp.linalg.norm(r0)
+    norm0 = (jnp.linalg.norm(r0) if norm0_sq is None
+             else jnp.sqrt(norm0_sq).astype(dtype))
     tol = jnp.maximum(jnp.asarray(abs_tol, dtype), reduction * norm0)
 
     z0 = precond(r0)
