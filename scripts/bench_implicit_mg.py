@@ -8,16 +8,20 @@ single-level solvers need O(dt/h) iterations (docs/ROADMAP.md). Compares
 into Pallas halo-DMA passes) on the same trajectory and reports ms/step
 and the relative end-state difference.
 
-Run on the TPU (default platform) for real numbers; runs anywhere for a
-correctness smoke (use --nel 256 --steps 5 on CPU).
+Run on the TPU (default platform) for real numbers; off-TPU pass
+--interpret (and e.g. --nel 64 --steps 3 --block-rows 16) for a
+correctness smoke.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
+from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), os.pardir,
                                    ".jax_cache"))
@@ -37,6 +41,10 @@ def parse_args():
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     p.add_argument("--schemes", nargs="+",
                    default=["theta-1.0", "theta-0.5", "newmark-0.25"])
+    p.add_argument("--interpret", action="store_true",
+                   help="run the Pallas kernels in interpret mode "
+                        "(required off-TPU; correctness smoke, not perf)")
+    p.add_argument("--block-rows", type=int, default=128)
     return p.parse_args()
 
 
@@ -70,8 +78,11 @@ def main():
                            scheme=family, dtype=dtype, **kw)
         st = s.initial_state(u0)
         t_x, out_x = measure(s.run_implicit_mg, st, args.steps, args.repeats)
-        t_p, out_p = measure(s.run_implicit_mg_pallas, st, args.steps,
-                             args.repeats)
+        t_p, out_p = measure(
+            lambda st_, n_: s.run_implicit_mg_pallas(
+                st_, n_, block_rows=args.block_rows,
+                interpret=args.interpret),
+            st, args.steps, args.repeats)
         rel = float(jnp.linalg.norm(out_x.u - out_p.u)
                     / jnp.linalg.norm(out_x.u))
         print(f"{name} nel={args.nel} dt={args.dt}: "
