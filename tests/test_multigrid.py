@@ -368,6 +368,74 @@ def test_p2_solver_mg_matches_jacobi_path():
         assert float(jnp.linalg.norm(r - g)) / denom < 1e-8
 
 
+@pytest.mark.parametrize("scheme,kw", [
+    ("newmark", {"beta": 0.25}),
+    ("theta", {"theta": 0.5}),
+])
+def test_p2canvas_mg_matches_jacobi(scheme, kw):
+    """P2CanvasSolver(precond='mg') — the shardable canvas layout —
+    reproduces the Jacobi trajectory at a CFL-breaking dt."""
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+
+    mk = lambda prec: P2CanvasSolver((16, 16), GEOM, 0.05, scheme=scheme,
+                                     dtype=jnp.float64, cg_reduction=1e-11,
+                                     precond=prec, **kw)
+    s_j, s_m = mk("jacobi"), mk("mg")
+    st = s_j.initial_state(_standing_u0)
+    ref = s_j.run_scan(st, 10)
+    got = s_m.run_scan(st, 10)
+    for name in ("u", "v"):
+        r, g = s_j.to_flat(getattr(ref, name)), s_m.to_flat(getattr(got, name))
+        denom = float(jnp.linalg.norm(r)) or 1.0
+        assert float(jnp.linalg.norm(r - g)) / denom < 1e-8
+
+
+def test_p2canvas_mg_matches_flat_cycle():
+    """The canvas V-cycle is the SAME polynomial as the flat
+    P2GmgPreconditioner — identical output on matching residuals."""
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+    from tpuwave.solve.multigrid import p2_gmg_for_system
+
+    nel, dt = 12, 0.05
+    s = P2CanvasSolver((nel, nel), GEOM, dt, scheme="newmark", beta=0.25,
+                       dtype=jnp.float64, precond="mg")
+    coef = 0.25 * dt * dt
+    flat_pre = p2_gmg_for_system((nel, nel), GEOM, 1.0, coef)
+    rng = np.random.default_rng(3)
+    b_flat = jnp.asarray(np.where(np.asarray(flat_pre.interior),
+                                  rng.standard_normal(s.n_dofs), 0.0))
+    from tpuwave.ops.stencil_p2 import flat_to_planes, planes_to_canvases
+    b_canvas = planes_to_canvases(flat_to_planes(b_flat, nel, nel), s.cshape)
+    z_flat = flat_pre(b_flat)
+    z_canvas = s.to_flat(s._sys_prec(b_canvas))
+    np.testing.assert_allclose(np.asarray(z_canvas), np.asarray(z_flat),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_p2canvas_mg_pallas_matches_xla():
+    """Canvas MG with the fused Pallas apply (interpret mode) matches the
+    XLA canvas-MG trajectory."""
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+
+    mk = lambda pallas: P2CanvasSolver(
+        (16, 16), GEOM, 0.05, scheme="newmark", beta=0.25,
+        dtype=jnp.float64, cg_reduction=1e-11, precond="mg",
+        row_multiple=8, use_pallas=pallas, pallas_block_rows=8,
+        pallas_interpret=True)
+    s_x, s_p = mk(False), mk(True)
+    ref = s_x.run_scan(s_x.initial_state(_standing_u0), 6)
+    got = s_p.run_scan(s_p.initial_state(_standing_u0), 6)
+    r, g = s_x.to_flat(ref.u), s_p.to_flat(got.u)
+    denom = float(jnp.linalg.norm(r)) or 1.0
+    assert float(jnp.linalg.norm(r - g)) / denom < 1e-9
+
+
+def test_p2canvas_unknown_precond_raises():
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+    with pytest.raises(ValueError, match="preconditioner"):
+        P2CanvasSolver((8, 8), GEOM, 0.01, precond="amg")
+
+
 def test_general_theta_p2_mg_mode():
     """ThetaSolver(precond='mg') on R=2: the flat general-path numbering
     matches the plane concatenation, so the P2 cycle drops straight in."""

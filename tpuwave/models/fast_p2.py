@@ -232,7 +232,8 @@ class P2CanvasSolver:
                  scheme: str = "newmark", theta: float = 0.5,
                  dtype=jnp.float32, sharding=None, row_multiple: int = 1,
                  use_pallas: bool = False, pallas_block_rows: int = 64,
-                 pallas_interpret: bool = False, cg_reduction: float = 1e-6):
+                 pallas_interpret: bool = False, cg_reduction: float = 1e-6,
+                 precond: str = "jacobi"):
         if scheme not in ("newmark", "theta"):
             raise ValueError(f"unknown scheme {scheme!r}")
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
@@ -276,6 +277,23 @@ class P2CanvasSolver:
             dtype=dtype).reshape(4, 1, 1)
         if sharding is not None:
             self.interior = jax.device_put(self.interior, sharding)
+        self._sys_prec = 1.0 / self._diag
+        if precond == "mg":
+            # (p+h)-multigrid for the system solves on the canvas layout:
+            # dt-independent CG iteration counts at CFL-breaking dt, with
+            # the smoothing applies running through the (optionally
+            # Pallas-fused) constrained canvas apply. The mass v-solve
+            # keeps Jacobi (mesh-independent conditioning).
+            from tpuwave.solve.multigrid import (P2CanvasGmgPreconditioner,
+                                                 p2_gmg_for_system)
+            flat_pre = p2_gmg_for_system(tuple(nel), geometry, c, sys_coef,
+                                         dtype=dtype)
+            self._sys_prec = P2CanvasGmgPreconditioner(
+                self._constrained(self.system), self.interior,
+                1.0 / self._diag, flat_pre.sm_theta, flat_pre.sm_coeffs,
+                flat_pre.p1_cycle, self.nx, self.ny, self.cshape)
+        elif precond != "jacobi":
+            raise ValueError(f"Unknown preconditioner {precond!r}")
 
     def _interior_canvas_mask(self):
         """(4, Hc, Wc) True at interior (free) DoFs, False at Dirichlet +
@@ -397,7 +415,7 @@ class P2CanvasSolver:
         rhs = self._rhs_stiff(z)
         res = pcg(self._constrained(self.system), rhs,
                   jnp.where(self.interior, a, 0.0),
-                  precond_inv_diag=1.0 / self._diag,
+                  precond_inv_diag=self._sys_prec,
                   abs_tol=self._abs_tol, max_iter=self._max_iter,
                   reduction=self.cg_reduction)
         a_new = res.x.astype(self.dtype)
@@ -422,7 +440,7 @@ class P2CanvasSolver:
                           mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
                           0.0)
         res_u = pcg(self._constrained(self.system), rhs_u, um,
-                    precond_inv_diag=1.0 / self._diag,
+                    precond_inv_diag=self._sys_prec,
                     abs_tol=abs_tol, max_iter=self._max_iter,
                   reduction=self.cg_reduction)
         u_new = res_u.x.astype(self.dtype)

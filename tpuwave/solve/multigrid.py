@@ -59,7 +59,8 @@ from tpuwave.ops.stencil import apply_stencil
 __all__ = ["prolong_p1", "restrict_p1", "MgLevel", "build_gmg_levels",
            "GmgPreconditioner", "PallasGmgPreconditioner", "gmg_for_system",
            "gmg_flat_preconditioner", "prolong_p1_to_p2", "restrict_p2_to_p1",
-           "P2GmgPreconditioner", "p2_gmg_for_system"]
+           "P2GmgPreconditioner", "P2CanvasGmgPreconditioner",
+           "p2_gmg_for_system"]
 
 
 # ----------------------------------------------------------------------
@@ -522,6 +523,56 @@ class P2GmgPreconditioner:
         x = x + corr
         r = r - self._apply_c(corr)
         x, _ = _smooth_block_jacobi(self._apply_c, self.inv_diag, x, r,
+                                    self.sm_theta, self.sm_coeffs)
+        return x
+
+
+class P2CanvasGmgPreconditioner:
+    """(p+h)-MG V-cycle on the (4, Hc, Wc) canvas layout of
+    models/fast_p2.py::P2CanvasSolver — the shardable / Pallas-fused P2
+    production path.
+
+    Same algebra as :class:`P2GmgPreconditioner` (Jacobi-scaled Chebyshev
+    smoothing on the P2 system, coarse correction through the full P1
+    h-hierarchy), but the smoothing applies run through the solver's
+    constrained CANVAS apply — the fused Pallas block-stencil kernel when
+    the solver enables it (ops/pallas_p2.py) — and the p<->h transfers go
+    canvas -> planes -> P1 grid with no flat reshuffle. A fixed SPD
+    polynomial, valid as a pcg preconditioner.
+    """
+
+    def __init__(self, apply_c, interior, inv_diag, sm_theta: float,
+                 sm_coeffs: Tuple, p1_cycle: GmgPreconditioner,
+                 nx: int, ny: int, cshape: Tuple[int, int]):
+        self.apply_c = apply_c          # constrained canvas apply
+        self.interior = interior        # (4, Hc, Wc) bool, False on pins/pads
+        self.inv_diag = inv_diag        # (4, 1, 1) plane inverse diagonals
+        self.sm_theta = float(sm_theta)
+        self.sm_coeffs = tuple(sm_coeffs)
+        self.p1_cycle = p1_cycle
+        self.nx, self.ny = int(nx), int(ny)
+        self.cshape = tuple(cshape)
+
+    def __call__(self, b: jax.Array) -> jax.Array:
+        """b: (4, Hc, Wc) canvas residual, zero on pinned/pad entries (the
+        canvas-CG invariant). Returns the canvas z = V(b)."""
+        from tpuwave.ops.stencil_p2 import (canvases_to_planes,
+                                            planes_to_canvases)
+
+        x = jnp.zeros_like(b)
+        x, r = _smooth_block_jacobi(self.apply_c, self.inv_diag, x, b,
+                                    self.sm_theta, self.sm_coeffs)
+        planes = canvases_to_planes(jnp.where(self.interior, r, 0.0),
+                                    self.nx, self.ny)
+        bc = restrict_p2_to_p1(planes)
+        grid_int = _interior((self.ny + 1, self.nx + 1))
+        bc = jnp.where(grid_int, bc, 0.0)
+        ec = jnp.where(grid_int, self.p1_cycle(bc), 0.0)
+        corr = planes_to_canvases(prolong_p1_to_p2(ec), self.cshape)
+        corr = jnp.where(self.interior, corr, 0.0)
+        x = x + corr
+        r = r - self.apply_c(corr)
+        x, _ = _smooth_block_jacobi(self.apply_c, self.inv_diag, x, r,
                                     self.sm_theta, self.sm_coeffs)
         return x
 
