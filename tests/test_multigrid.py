@@ -430,6 +430,29 @@ def test_p2canvas_mg_pallas_matches_xla():
     assert float(jnp.linalg.norm(r - g)) / denom < 1e-9
 
 
+def test_p2canvas_mg_sharded_matches_single():
+    """Canvas MG composes with row sharding: the V-cycle's transfers and
+    the P1 hierarchy lower under GSPMD, 8-device == single device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+    from tpuwave.parallel.sharding import device_mesh
+
+    mesh = device_mesh(8)
+    sh = NamedSharding(mesh, P(None, "y", None))
+    kw = dict(dtype=jnp.float64, cg_reduction=1e-11, precond="mg",
+              scheme="newmark", beta=0.25)
+    single = P2CanvasSolver((12, 12), GEOM, 0.05, **kw)
+    want = single.run_scan(single.initial_state(_standing_u0), 4)
+    sharded = P2CanvasSolver((12, 12), GEOM, 0.05, sharding=sh,
+                             row_multiple=8, **kw)
+    st = sharded.initial_state(_standing_u0)
+    assert len(st.u.sharding.device_set) == 8
+    got = sharded.run_scan(st, 4)
+    np.testing.assert_allclose(np.asarray(sharded.to_flat(got.u)),
+                               np.asarray(single.to_flat(want.u)),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_p2canvas_unknown_precond_raises():
     from tpuwave.models.fast_p2 import P2CanvasSolver
     with pytest.raises(ValueError, match="preconditioner"):
