@@ -29,10 +29,43 @@ import jax.numpy as jnp
 REFERENCE_BASELINE = 1.14e7  # DoF*steps/s, reference p=32 explicit Newmark
 
 
+def _cpu_reexec(reason: str):
+    """Relaunch this script on the local CPU backend (the axon platform
+    env must be overridden at process launch, so in-process config flips
+    are too late)."""
+    print(f"# TPU backend unavailable ({reason}); falling back to CPU",
+          file=sys.stderr)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               TPUWAVE_BENCH_CPU_FALLBACK="1")
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], env)
+
+
+def _devices_with_fallback(timeout_s: float = 600.0):
+    """jax.devices(), hardened against the remote-TPU tunnel being down:
+    a raise OR a hang beyond ``timeout_s`` re-execs the bench on CPU so
+    it still emits its one JSON line."""
+    if os.environ.get("TPUWAVE_BENCH_CPU_FALLBACK"):
+        return jax.devices()
+    import threading
+    watchdog = threading.Timer(timeout_s,
+                               _cpu_reexec, ("device init timed out",))
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        devs = jax.devices()
+    except RuntimeError as e:
+        watchdog.cancel()
+        _cpu_reexec(str(e).splitlines()[0][:120])
+        raise  # unreachable (execve), keeps type-checkers honest
+    watchdog.cancel()
+    return devs
+
+
 def main():
     from tpuwave.models.fast import FastWaveSolver
 
-    platform = jax.devices()[0].platform
+    platform = _devices_with_fallback()[0].platform
     on_accel = platform not in ("cpu",)
     nel = 4096 if on_accel else 512
     repeats = 5 if on_accel else 3
