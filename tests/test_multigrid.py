@@ -482,6 +482,44 @@ def test_general_theta_p2_mg_mode():
     assert int(info_m["iterations_1"]) < int(info_j["iterations_1"])
 
 
+@pytest.mark.parametrize("family", ["theta", "newmark"])
+def test_general_mg_time_dependent_g(family):
+    """precond='mg' under NONZERO time-dependent Dirichlet data: the
+    cycle only ever sees constrained residuals (zero on boundary rows),
+    so trajectories must match the Jacobi path — including Newmark's
+    derived acceleration BCs."""
+    from tests.test_schemes import standing_mode
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.newmark import NewmarkSolver
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.utils.params import load_params
+
+    case = standing_mode(
+        Nel="12", Dt="0.1", T="0.5",
+        U0={"Function expression": "0.0", "Variable names": "x, y"},
+        G={"Function expression": "0.2*sin(3*t)*x", "Variable names": "x, y, t"},
+        DGDT={"Function expression": "0.6*cos(3*t)*x",
+              "Variable names": "x, y, t"})
+    case.pop("Solution")
+    p = load_params(case)
+    d = Discretization(p)
+    mk = ThetaSolver if family == "theta" else NewmarkSolver
+    s_j, s_m = mk(d), mk(d, precond="mg")
+    st_j, st_m = s_j.initial_state(), s_m.initial_state()
+    t = 0.0
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        st_j, _ = s_j.step(st_j, t)
+        st_m, _ = s_m.step(st_m, t)
+    nrm = float(jnp.linalg.norm(st_j.u)) or 1.0
+    assert float(jnp.linalg.norm(st_j.u - st_m.u)) / nrm < 1e-5
+    # boundary values are pinned to g(t) exactly in both
+    bnd = np.asarray(d.boundary_mask)
+    g_t = np.asarray(d.boundary_values(p.g, t))
+    np.testing.assert_allclose(np.asarray(st_m.u)[bnd], g_t[bnd],
+                               rtol=0, atol=1e-12)
+
+
 @pytest.mark.parametrize("aspect,max_iters", [(2.0, 14), (8.0, 40)])
 def test_mg_pcg_anisotropic_mesh(aspect, max_iters):
     """Point-smoothing GMG degrades gracefully under cell anisotropy
