@@ -59,9 +59,15 @@ def main():
     def u0(x, y):
         return jnp.sin(np.pi * x) * jnp.sin(np.pi * y)
 
-    def measure(fn, state, n, repeats):
+    def measure(label, fn, state, n, repeats):
+        # progress markers: tunnel compiles at 4096^2 can take many
+        # minutes, so say what we are waiting on
+        print(f"  [{label}] compiling + warm run ...", flush=True)
+        t0 = time.perf_counter()
         out = fn(state, n)          # compile + warm
         jax.block_until_ready(out)
+        print(f"  [{label}] compile+warm {time.perf_counter() - t0:.1f} s",
+              flush=True)
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -77,8 +83,10 @@ def main():
         s = FastWaveSolver((args.nel, args.nel), geom, args.dt,
                            scheme=family, dtype=dtype, **kw)
         st = s.initial_state(u0)
-        t_x, out_x = measure(s.run_implicit_mg, st, args.steps, args.repeats)
+        t_x, out_x = measure(f"{name} xla-mg", s.run_implicit_mg,
+                             st, args.steps, args.repeats)
         t_p, out_p = measure(
+            f"{name} pallas-mg",
             lambda st_, n_: s.run_implicit_mg_pallas(
                 st_, n_, block_rows=args.block_rows,
                 interpret=args.interpret),
