@@ -78,20 +78,43 @@ _P_STENCIL = ((0.5, 0.5, 0.0),
               (0.0, 0.5, 0.5))
 
 
+def _interleave_cols(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(H, W) evens + (H, W-1) odds -> (H, 2W-1) column-interleaved."""
+    zero = jnp.asarray(0.0, a.dtype)
+    b = jax.lax.pad(b, zero, ((0, 0, 0), (0, 1, 0)))
+    h, w = a.shape
+    return jnp.stack([a, b], axis=2).reshape(h, 2 * w)[:, :2 * w - 1]
+
+
 def prolong_p1(c: jax.Array) -> jax.Array:
     """(ny+1, nx+1) coarse plane -> (2ny+1, 2nx+1) fine plane by P1
     interpolation on the nested triangulation.
 
-    Implemented as interior-dilation (zeros between nodes, one zero ring)
-    followed by one `_P_STENCIL` apply — the strided-scatter formulation
-    costs 90 ms at 2048->4096 on a v5e chip vs 7.5 ms for this one (the
-    TPU hates stride-2 scatters; `lax.pad` + the 9-point roll pass it
-    streams). The zero ring absorbs the rolls' cyclic wrap, so the result
-    is exact everywhere including boundary rows.
+    Implemented phase-by-phase (coinciding nodes = copy; horizontal /
+    vertical / diagonal edge midpoints = two-point averages) and merged
+    with stack+reshape interleaves. The earlier dilate-then-9-point-
+    stencil formulation is numerically identical (same summation order)
+    but compiles pathologically on the TPU backend: a stencil whose
+    input is an interior-dilated pad sends the fusion/tiling analysis
+    superlinear — 31 s at 1025^2 and ~20 min at 4097^2 for ONE
+    prolong(restrict(x)) round trip, vs seconds in this form (measured,
+    scripts/diag_mg_minimal.py). A strided-scatter formulation is wrong
+    on the run side instead: 90 ms vs 7.5 ms at 2048->4096 (the TPU
+    hates stride-2 scatters).
     """
+    # phase planes; 0.5*first + 0.5*second matches the old stencil-apply
+    # summation order bitwise
+    ee = c                                           # (H, W)   copies
+    eo = 0.5 * c[:, :-1] + 0.5 * c[:, 1:]            # (H, W-1) horiz mids
+    oe = 0.5 * c[:-1, :] + 0.5 * c[1:, :]            # (H-1, W) vert mids
+    oo = 0.5 * c[:-1, :-1] + 0.5 * c[1:, 1:]         # (H-1, W-1) diagonal
+    even_rows = _interleave_cols(ee, eo)             # (H,   2W-1)
+    odd_rows = _interleave_cols(oe, oo)              # (H-1, 2W-1)
     zero = jnp.asarray(0.0, c.dtype)
-    d = jax.lax.pad(c, zero, ((1, 1, 1), (1, 1, 1)))
-    return apply_stencil(d, _P_STENCIL)[1:-1, 1:-1]
+    odd_rows = jax.lax.pad(odd_rows, zero, ((0, 1, 0), (0, 0, 0)))
+    h, wf = even_rows.shape
+    fine = jnp.stack([even_rows, odd_rows], axis=1).reshape(2 * h, wf)
+    return fine[:2 * h - 1, :]
 
 
 def restrict_p1(r: jax.Array) -> jax.Array:
