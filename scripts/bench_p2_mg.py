@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Benchmark the P2 canvas solver's preconditioners at large dt.
+
+The (p+h)-multigrid on the canvas layout (P2CanvasGmgPreconditioner)
+exists for CFL-breaking dt where Jacobi-CG iteration counts blow up with
+O(dt/h). Compares precond=jacobi vs precond=mg on the same trajectory
+(implicit Newmark-AA by default) and reports ms/step + end-state diff.
+
+Run on the TPU for real numbers; off-TPU pass --interpret --block-rows 16
+with small --nel for a correctness smoke.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), os.pardir,
+                                   ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="P2 canvas MG bench")
+    p.add_argument("--nel", type=int, default=4096)
+    p.add_argument("--dt", type=float, default=1e-3)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--scheme", default="newmark",
+                   choices=["newmark", "theta"])
+    p.add_argument("--preconds", nargs="+", default=["mg", "jacobi"])
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--interpret", action="store_true")
+    p.add_argument("--block-rows", type=int, default=64)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+
+    print(jax.devices(), flush=True)
+    geom = ((0.0, 0.0), (1.0, 1.0))
+
+    def u0(x, y):
+        return jnp.sin(np.pi * x) * jnp.sin(np.pi * y)
+
+    outs = {}
+    for precond in args.preconds:
+        s = P2CanvasSolver((args.nel, args.nel), geom, args.dt,
+                           scheme=args.scheme, precond=precond,
+                           use_pallas=not args.no_pallas,
+                           pallas_block_rows=args.block_rows,
+                           pallas_interpret=args.interpret)
+        st = s.initial_state(u0)
+        print(f"  [{precond}] compiling + warm run ...", flush=True)
+        t0 = time.perf_counter()
+        out = s.run_scan(st, args.steps)
+        jax.block_until_ready(out)
+        print(f"  [{precond}] compile+warm {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = s.run_scan(st, args.steps)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / args.steps)
+        outs[precond] = out
+        dofs = s.n_dofs
+        print(f"{args.scheme} P2 nel={args.nel} dt={args.dt} "
+              f"precond={precond}: {best * 1e3:.2f} ms/step "
+              f"({dofs / best:.3e} DoF*steps/s)", flush=True)
+
+    if len(outs) == 2:
+        a, b = (outs[p].u for p in args.preconds)
+        rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+        print(f"end-state rel diff {args.preconds[0]} vs "
+              f"{args.preconds[1]}: {rel:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
