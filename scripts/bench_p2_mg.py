@@ -40,6 +40,8 @@ def parse_args():
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--interpret", action="store_true")
     p.add_argument("--block-rows", type=int, default=64)
+    p.add_argument("--mg-pre-degree", type=int, default=2)
+    p.add_argument("--mg-smooth-range", type=float, default=8.0)
     return p.parse_args()
 
 
@@ -59,7 +61,9 @@ def main():
                            scheme=args.scheme, precond=precond,
                            use_pallas=not args.no_pallas,
                            pallas_block_rows=args.block_rows,
-                           pallas_interpret=args.interpret)
+                           pallas_interpret=args.interpret,
+                           mg_pre_degree=args.mg_pre_degree,
+                           mg_smooth_range=args.mg_smooth_range)
         st = s.initial_state(u0)
         print(f"  [{precond}] compiling + warm run ...", flush=True)
         t0 = time.perf_counter()

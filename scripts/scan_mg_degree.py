@@ -2,7 +2,8 @@
 """Scan MG smoother parameters (pre_degree x smooth_range) on the P1
 Pallas MG-PCG fast path — per-step time at CFL-breaking dt.
 
-Usage: python -u scripts/scan_mg_degree.py [nel] [dt] [scheme-val]
+Usage: python -u scripts/scan_mg_degree.py [nel] [dt] [scheme-val] \
+           [degs (comma-sep)] [ranges (comma-sep)]
 """
 
 import os
@@ -24,6 +25,10 @@ from tpuwave.models.fast import FastWaveSolver
 NEL = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 DT = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3
 NAME = sys.argv[3] if len(sys.argv) > 3 else "theta-1.0"
+DEGS = ([int(d) for d in sys.argv[4].split(",")]
+        if len(sys.argv) > 4 else [1, 2, 3])
+RANGES = ([float(r) for r in sys.argv[5].split(",")]
+          if len(sys.argv) > 5 else [4.0, 8.0, 16.0])
 STEPS, REPEATS = 20, 2
 
 family, val = NAME.rsplit("-", 1)
@@ -36,8 +41,8 @@ s = FastWaveSolver((NEL, NEL), ((0.0, 0.0), (1.0, 1.0)), DT,
 st = s.initial_state(
     lambda x, y: jnp.sin(np.pi * x) * jnp.sin(np.pi * y))
 
-for pre_degree in (1, 2, 3):
-    for smooth_range in (4.0, 8.0, 16.0):
+for pre_degree in DEGS:
+    for smooth_range in RANGES:
         run = lambda st_, n: s.run_implicit_mg_pallas(
             st_, n, pre_degree=pre_degree, smooth_range=smooth_range)
         t0 = time.perf_counter()

@@ -398,9 +398,11 @@ def test_p2canvas_mg_matches_flat_cycle():
 
     nel, dt = 12, 0.05
     s = P2CanvasSolver((nel, nel), GEOM, dt, scheme="newmark", beta=0.25,
-                       dtype=jnp.float64, precond="mg")
+                       dtype=jnp.float64, precond="mg",
+                       mg_pre_degree=1, mg_smooth_range=8.0)
     coef = 0.25 * dt * dt
-    flat_pre = p2_gmg_for_system((nel, nel), GEOM, 1.0, coef)
+    flat_pre = p2_gmg_for_system((nel, nel), GEOM, 1.0, coef,
+                                 pre_degree=1, smooth_range=8.0)
     rng = np.random.default_rng(3)
     b_flat = jnp.asarray(np.where(np.asarray(flat_pre.interior),
                                   rng.standard_normal(s.n_dofs), 0.0))

@@ -413,11 +413,19 @@ class FastWaveSolver:
     # (solve/multigrid.py), replacing the reference's ML-AMG
     # (WaveTheta.cpp:276-286) with a TPU-regular geometric hierarchy.
     # ------------------------------------------------------------------
-    def gmg_preconditioner(self, *, pre_degree: int = 2,
+    def gmg_preconditioner(self, *, pre_degree: int = 1,
                            smooth_range: float = 8.0,
                            coarse_tol: float = 1e-2):
         """V-cycle preconditioner for this solver's implicit system
-        (M + beta dt^2 K for Newmark, M + (theta dt)^2 K for theta)."""
+        (M + beta dt^2 K for Newmark, M + (theta dt)^2 K for theta).
+
+        Default smoother degree 1 (vs the library builder's 2): the
+        per-step wall time on the fast paths is smoothing-dominated, and
+        the 4096^2 TPU scan (scripts/scan_mg_degree.py) measures degree 1
+        fastest at both dt=1e-3 (30.8 vs 34.8 ms/step) and dt=1e-2
+        (30.3 vs 32.2) on BE; CG's stopping rule keeps solution accuracy
+        identical, only the iteration split changes.
+        """
         from tpuwave.solve.multigrid import gmg_for_system
         coef = (self.beta * self.dt * self.dt if self.scheme == "newmark"
                 else (self.theta * self.dt) ** 2)
@@ -427,7 +435,7 @@ class FastWaveSolver:
             coarse_tol=coarse_tol)
 
     def run_implicit_mg(self, state: FastState, n_steps: int, *,
-                        pre_degree: int = 2, smooth_range: float = 8.0,
+                        pre_degree: int = 1, smooth_range: float = 8.0,
                         coarse_tol: float = 1e-2) -> FastState:
         """Newmark (beta>0) or theta stepping with MG-PCG linear solves
         (same stopping contract as the other implicit paths)."""
@@ -451,7 +459,7 @@ class FastWaveSolver:
         return runner(state)
 
     def run_implicit_mg_pallas(self, state: FastState, n_steps: int, *,
-                               pre_degree: int = 2, smooth_range: float = 8.0,
+                               pre_degree: int = 1, smooth_range: float = 8.0,
                                coarse_tol: float = 1e-2,
                                block_rows: int = 128,
                                interpret: bool = False) -> FastState:

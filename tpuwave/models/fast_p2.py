@@ -41,7 +41,8 @@ class P2FastSolver:
     def __init__(self, nel: Tuple[int, int], geometry, dt: float, *,
                  c: float = 1.0, scheme: str = "newmark", beta: float = 0.25,
                  gamma: float = 0.5, theta: float = 0.5, dtype=jnp.float32,
-                 cg_reduction: float = 1e-6, precond: str = "jacobi"):
+                 cg_reduction: float = 1e-6, precond: str = "jacobi",
+                 mg_pre_degree: int = 1, mg_smooth_range: float = 8.0):
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 2)
         self.nx, self.ny = self.mesh.nx, self.mesh.ny
@@ -77,7 +78,8 @@ class P2FastSolver:
             # The mass v-solve keeps Jacobi (mesh-independent cond).
             from tpuwave.solve.multigrid import p2_gmg_for_system
             self._sys_prec = p2_gmg_for_system(
-                tuple(nel), geometry, c, sys_coef, dtype=dtype)
+                tuple(nel), geometry, c, sys_coef, dtype=dtype,
+                pre_degree=mg_pre_degree, smooth_range=mg_smooth_range)
         elif precond != "jacobi":
             raise ValueError(f"Unknown preconditioner {precond!r}")
 
@@ -233,7 +235,8 @@ class P2CanvasSolver:
                  dtype=jnp.float32, sharding=None, row_multiple: int = 1,
                  use_pallas: bool = False, pallas_block_rows: int = 64,
                  pallas_interpret: bool = False, cg_reduction: float = 1e-6,
-                 precond: str = "jacobi"):
+                 precond: str = "jacobi", mg_pre_degree: int = 1,
+                 mg_smooth_range: float = 8.0):
         if scheme not in ("newmark", "theta"):
             raise ValueError(f"unknown scheme {scheme!r}")
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
@@ -287,7 +290,9 @@ class P2CanvasSolver:
             from tpuwave.solve.multigrid import (P2CanvasGmgPreconditioner,
                                                  p2_gmg_for_system)
             flat_pre = p2_gmg_for_system(tuple(nel), geometry, c, sys_coef,
-                                         dtype=dtype)
+                                         dtype=dtype,
+                                         pre_degree=mg_pre_degree,
+                                         smooth_range=mg_smooth_range)
             self._sys_prec = P2CanvasGmgPreconditioner(
                 self._constrained(self.system), self.interior,
                 1.0 / self._diag, flat_pre.sm_theta, flat_pre.sm_coeffs,
