@@ -602,3 +602,95 @@ def test_stepper_mg_pallas_small_grid_falls_back():
     got = s2.run_implicit_mg_pallas(st, 5, block_rows=128)
     np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
                                atol=1e-14)
+
+
+# ----------------------------------------------------------------------
+# precond='auto' (solve/multigrid.py::auto_precond)
+# ----------------------------------------------------------------------
+
+def test_auto_precond_resolution():
+    """'auto' resolves to mg exactly when the system is stiffness-
+    dominated (q = coef*c^2/(hx*hy) >= AUTO_MG_THRESHOLD) on an
+    mg-eligible discretisation, jacobi otherwise."""
+    from tests.test_schemes import standing_mode
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.newmark import NewmarkSolver
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.utils.params import load_params
+
+    # CFL-breaking dt: q = (0.5*0.5)^2 * 32^2 = 64 (theta) / 64 (newmark)
+    d_big = Discretization(load_params(standing_mode(Nel="32", Dt="0.5")))
+    assert ThetaSolver(d_big, precond="auto").precond == "mg"
+    assert NewmarkSolver(d_big, precond="auto").precond == "mg"
+    # CFL-scale dt: q = 0.0256 -> jacobi
+    d_small = Discretization(load_params(standing_mode(Nel="32", Dt="0.01")))
+    assert ThetaSolver(d_small, precond="auto").precond == "jacobi"
+    assert NewmarkSolver(d_small, precond="auto").precond == "jacobi"
+    # explicit Newmark beta=0 at any dt: the a-system is M -> jacobi
+    d_exp = Discretization(load_params(standing_mode(Nel="32", Dt="0.5",
+                                                     Beta="0")))
+    assert NewmarkSolver(d_exp, precond="auto").precond == "jacobi"
+    # explicit theta=0 (FE): the u-system is M -> jacobi
+    d_fe = Discretization(load_params(standing_mode(Nel="32", Dt="0.5",
+                                                    Theta="0")))
+    assert ThetaSolver(d_fe, precond="auto").precond == "jacobi"
+
+
+def test_auto_precond_ineligible_cases_fall_back():
+    """auto never errors where mg would: time-dependent C resolves to
+    jacobi (mg construction would raise)."""
+    from tests.test_schemes import standing_mode
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.utils.params import load_params
+
+    case = standing_mode(
+        Nel="16", Dt="0.5",
+        C={"Function expression": "1.0 + 0.1*t", "Variable names": "x, y, t"},
+        **{"Time Dependent C": "true"})
+    case.pop("Solution")
+    d = Discretization(load_params(case))
+    s = ThetaSolver(d, precond="auto")
+    assert s.precond == "jacobi"
+    # same config with explicit mg raises (matrix changes every step)
+    with pytest.raises(ValueError):
+        ThetaSolver(d, precond="mg")
+
+
+def test_auto_precond_matches_jacobi_trajectory():
+    """At large dt the auto(=mg) and jacobi solvers agree to CG tolerance
+    — preconditioning changes the path to the solution, not the
+    solution."""
+    from tests.test_schemes import standing_mode
+    from tpuwave.models.discretization import Discretization
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.utils.params import load_params
+
+    # q = (0.5*0.4)^2 * 16^2 = 10.24 >= AUTO_MG_THRESHOLD -> mg
+    p = load_params(standing_mode(Nel="16", Dt="0.4", T="1.2"))
+    d = Discretization(p)
+    s_a, s_j = ThetaSolver(d, precond="auto"), ThetaSolver(d)
+    assert s_a.precond == "mg"
+    st_a, st_j = s_a.initial_state(), s_j.initial_state()
+    t = 0.0
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        st_a, _ = s_a.step(st_a, t)
+        st_j, _ = s_j.step(st_j, t)
+    nrm = float(jnp.linalg.norm(st_j.u))
+    assert float(jnp.linalg.norm(st_a.u - st_j.u)) < 1e-4 * nrm
+
+
+def test_auto_precond_p2_solvers():
+    """The fast P2 solvers resolve 'auto' the same way."""
+    from tpuwave.models.fast_p2 import P2CanvasSolver, P2FastSolver
+
+    big = P2FastSolver((16, 16), GEOM, 0.5, dtype=jnp.float64,
+                       precond="auto")
+    assert big.precond == "mg"
+    small = P2FastSolver((16, 16), GEOM, 0.01, dtype=jnp.float64,
+                         precond="auto")
+    assert small.precond == "jacobi"
+    cbig = P2CanvasSolver((16, 16), GEOM, 0.5, dtype=jnp.float64,
+                          precond="auto")
+    assert cbig.precond == "mg"

@@ -43,13 +43,16 @@ def run_main(family: str, make_solver, argv=None) -> int:
                         help="capture a jax.profiler trace into this directory")
     parser.add_argument("--phase-timing", action="store_true",
                         help="print per-phase wall-clock breakdown")
-    parser.add_argument("--precond", choices=["jacobi", "chebyshev", "mg"],
+    parser.add_argument("--precond",
+                        choices=["jacobi", "chebyshev", "mg", "auto"],
                         default="jacobi",
                         help="CG preconditioner (chebyshev = AMG stand-in "
                              "for stiffness-dominated theta systems; mg = "
                              "geometric multigrid, dt-independent iteration "
-                             "counts at CFL-breaking dt — structured P1, "
-                             "constant C)")
+                             "counts at CFL-breaking dt — structured R=1/2, "
+                             "constant C; auto = mg when the system is "
+                             "stiffness-dominated and mg-eligible, else "
+                             "jacobi)")
     parser.add_argument("--vtu-pieces", type=int, default=1,
                         help="VTU pieces per output record, one per shard "
                              "(0 = one per local device)")

@@ -72,6 +72,11 @@ class P2FastSolver:
         self._interior = self.interior_mask()
         self._sys_prec = 1.0 / self.system.diagonal()
         self._mass_prec = 1.0 / self.mass.diagonal()
+        if precond == "auto":
+            from tpuwave.solve.multigrid import AUTO_MG_THRESHOLD
+            q = sys_coef * c * c / (self.mesh.hx * self.mesh.hy)
+            precond = "mg" if q >= AUTO_MG_THRESHOLD else "jacobi"
+        self.precond = precond
         if precond == "mg":
             # (p+h)-multigrid for the system solves: dt-independent CG
             # iteration counts at CFL-breaking dt (solve/multigrid.py).
@@ -281,6 +286,11 @@ class P2CanvasSolver:
         if sharding is not None:
             self.interior = jax.device_put(self.interior, sharding)
         self._sys_prec = 1.0 / self._diag
+        if precond == "auto":
+            from tpuwave.solve.multigrid import AUTO_MG_THRESHOLD
+            q = sys_coef * c * c / (self.mesh.hx * self.mesh.hy)
+            precond = "mg" if q >= AUTO_MG_THRESHOLD else "jacobi"
+        self.precond = precond
         if precond == "mg":
             # (p+h)-multigrid for the system solves on the canvas layout:
             # dt-independent CG iteration counts at CFL-breaking dt, with

@@ -57,6 +57,14 @@ class NewmarkSolver(ScanMixin):
         #: tpuwave extension: rebuild K(t^{n+1}) inside each step (the
         #: elastic force in Newmark acts at t^{n+1}; see theta.py note)
         self.time_dep_c = p.time_dependent_c and p.c.time_dependent
+        if precond == "auto":
+            # mg when the a-system is stiffness-dominated on an
+            # mg-eligible discretisation, jacobi otherwise (beta=0 ->
+            # the a-system is M -> always jacobi)
+            from tpuwave.solve.multigrid import auto_precond
+            precond = auto_precond(disc, p.beta * p.dt * p.dt)
+        #: resolved preconditioner choice ('jacobi'/'chebyshev'/'mg')
+        self.precond = precond
         if self.time_dep_c and precond != "jacobi":
             raise ValueError(
                 "Time Dependent C supports only the jacobi preconditioner "

@@ -52,6 +52,13 @@ class ThetaSolver(ScanMixin):
         #: (see Params.time_dependent_c). The u-system matrix then varies
         #: per step, so its diagonal/preconditioner are traced per step too.
         self.time_dep_c = p.time_dependent_c and p.c.time_dependent
+        if precond == "auto":
+            # mg when the u-system is stiffness-dominated on an
+            # mg-eligible discretisation, jacobi otherwise
+            from tpuwave.solve.multigrid import auto_precond
+            precond = auto_precond(disc, (p.theta * p.dt) ** 2)
+        #: resolved preconditioner choice ('jacobi'/'chebyshev'/'mg')
+        self.precond = precond
         if self.time_dep_c and precond != "jacobi":
             raise ValueError(
                 "Time Dependent C supports only the jacobi preconditioner "

@@ -60,7 +60,15 @@ __all__ = ["prolong_p1", "restrict_p1", "MgLevel", "build_gmg_levels",
            "GmgPreconditioner", "PallasGmgPreconditioner", "gmg_for_system",
            "gmg_flat_preconditioner", "prolong_p1_to_p2", "restrict_p2_to_p1",
            "P2GmgPreconditioner", "P2CanvasGmgPreconditioner",
-           "p2_gmg_for_system"]
+           "p2_gmg_for_system", "auto_precond", "AUTO_MG_THRESHOLD"]
+
+#: ``precond='auto'`` switches to the V-cycle once the dimensionless
+#: stiffness ratio q = stiff_coef * c^2 / (hx * hy) of the system
+#: M + stiff_coef * K crosses this value. Jacobi-CG iteration counts grow
+#: ~sqrt(q) while MG-PCG stays flat (~10): measured break-even is a few
+#: V-cycle-equivalents, q ≈ 4–16 (at q ≈ 16 Jacobi-CG already needs ~65
+#: iterations vs MG's ~10 at ~3x the per-iteration cost — RESULTS.md).
+AUTO_MG_THRESHOLD = 8.0
 
 
 # ----------------------------------------------------------------------
@@ -392,6 +400,34 @@ def gmg_for_system(nel: Tuple[int, int], geometry, c: float,
         stencil_of, nel, pre_degree=pre_degree, smooth_range=smooth_range,
         min_coarse=min_coarse, coarse_tol=coarse_tol)
     return GmgPreconditioner(levels, c_theta, c_coeffs)
+
+
+def auto_precond(disc, stiff_coef: float) -> str:
+    """Resolve ``precond='auto'`` for the system ``M + stiff_coef * K``.
+
+    Returns ``'mg'`` when the geometric V-cycle is applicable (structured
+    rectangle mesh, constant wave speed, R in {1, 2} — the
+    :func:`gmg_flat_preconditioner` eligibility set) AND the system is
+    stiffness-dominated enough that it pays (dimensionless ratio
+    q = stiff_coef * c^2 / (hx * hy) >= AUTO_MG_THRESHOLD); ``'jacobi'``
+    otherwise. The reference always pays for an AMG setup
+    (WaveTheta.cpp:276-286); 'auto' buys the equivalent robustness at
+    large dt without taxing the CFL-scale runs where Jacobi-CG already
+    converges in O(10) iterations.
+    """
+    from tpuwave.core.mesh import StructuredTriMesh
+
+    p = disc.params
+    mesh = disc.mesh
+    eligible = (type(mesh) is StructuredTriMesh
+                and p.c.constant_value is not None
+                and p.r in (1, 2)
+                and not (p.time_dependent_c and p.c.time_dependent))
+    if not eligible:
+        return "jacobi"
+    c = float(p.c.constant_value)
+    q = float(stiff_coef) * c * c / (mesh.hx * mesh.hy)
+    return "mg" if q >= AUTO_MG_THRESHOLD else "jacobi"
 
 
 def gmg_flat_preconditioner(disc, stiff_coef: float, **kw) -> Callable:
