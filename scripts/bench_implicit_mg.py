@@ -98,6 +98,23 @@ def main():
               f"Pallas MG {t_p * 1e3:.2f} ms/step ({t_x / t_p:.2f}x), "
               f"rel diff {rel:.2e}")
 
+        # displacement-form two-array path (one O(dt^2)-residual MG
+        # solve per step, no mass/velocity solve; both families)
+        lf0 = s.implicit_2term_init(st)
+
+        def run2(lf_, n_):
+            return s.run_implicit_mg_2term(
+                lf_, n_, block_rows=args.block_rows,
+                interpret=args.interpret)
+
+        t_2, out_2 = measure(f"{name} 2term-mg", run2, lf0,
+                             args.steps - 1, args.repeats)
+        rel2 = float(jnp.linalg.norm(out_x.u - out_2.u)
+                     / jnp.linalg.norm(out_x.u))
+        print(f"{name} nel={args.nel} dt={args.dt}: "
+              f"2term MG {t_2 * 1e3:.2f} ms/step "
+              f"({t_p / t_2:.2f}x vs pallas-mg), rel diff {rel2:.2e}")
+
 
 if __name__ == "__main__":
     main()

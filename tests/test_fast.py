@@ -45,6 +45,51 @@ def test_stencil_matches_flat_on_interior(op_name):
                                rtol=1e-12, atol=1e-13)
 
 
+def test_stencil_diff_matches_direct_for_stiffness():
+    """apply_stencil_diff == apply_stencil on interior nodes for
+    zero-row-sum (stiffness) stencils, in f64 where cancellation noise
+    is negligible."""
+    from tpuwave.ops.stencil import apply_stencil_diff
+    nx, ny = 9, 6
+    m, sp, mass, stiff = build_flat(nx, ny, geom=((0.0, 0.0), (1.3, 0.9)))
+    quad = gauss_simplex(2)
+    s = class_matrices_to_stencil(element_stiffness_class(sp, quad, 2.25))
+    assert abs(np.asarray(s).sum()) < 1e-12  # zero row sum (K const = 0)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(ny + 1, nx + 1)))
+    st = tuple(map(tuple, s))
+    got = np.asarray(apply_stencil_diff(u, st))
+    want = np.asarray(apply_stencil(u, st))
+    interior = ~boundary_mask_grid(sp)
+    np.testing.assert_allclose(got[interior], want[interior],
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_stencil_diff_noise_floor_f32():
+    """On a smooth field the difference form's f32 result tracks the f64
+    truth better than the direct form (the bulk of the remaining error is
+    the INPUT's f32 representation noise propagated through K, common to
+    both forms — measured ~1.4x improvement, not orders of magnitude)."""
+    from tpuwave.ops.stencil import apply_stencil_diff
+    nx = ny = 512
+    m, sp, _, _ = build_flat(nx, ny)
+    quad = gauss_simplex(2)
+    s = class_matrices_to_stencil(element_stiffness_class(sp, quad, 1.0))
+    st = tuple(map(tuple, s))
+    xs = np.linspace(0, 1, nx + 1)
+    u64 = jnp.asarray(np.sin(np.pi * xs)[None, :]
+                      * np.sin(np.pi * xs)[:, None])
+    u32 = u64.astype(jnp.float32)
+    interior = ~boundary_mask_grid(sp)
+    truth = np.asarray(apply_stencil(u64, st))[interior]
+    err_direct = np.linalg.norm(
+        np.asarray(apply_stencil(u32, st), np.float64)[interior] - truth)
+    err_diff = np.linalg.norm(
+        np.asarray(apply_stencil_diff(u32, st), np.float64)[interior]
+        - truth)
+    assert err_diff < err_direct
+
+
 def test_lumped_mass_grid_matches_rowsums():
     for nx, ny in ((4, 3), (7, 7), (2, 5)):
         m, sp, mass, _ = build_flat(nx, ny, geom=((-1.0, 0.0), (2.0, 2.0)))

@@ -605,6 +605,66 @@ def test_stepper_mg_pallas_small_grid_falls_back():
 
 
 # ----------------------------------------------------------------------
+# displacement-form (two-array) implicit Newmark
+# (FastWaveSolver.run_implicit_mg_2term)
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("scheme,kw,check_a", [
+    ("newmark", dict(beta=0.25, gamma=0.5, lumped=False), True),
+    ("newmark", dict(beta=0.25, gamma=0.6, lumped=False), True),
+    ("theta", dict(theta=0.5), False),
+    ("theta", dict(theta=1.0), False),
+    ("theta", dict(theta=0.7), False),
+])
+def test_implicit_2term_matches_3array(scheme, kw, check_a):
+    """The 3-term displacement recurrence + exact (u,u_prev)->(u,v[,a])
+    conversion reproduces the 3-array implicit trajectory for BOTH
+    families; the elimination of the auxiliary variables is
+    algebraically exact, so agreement is to the CG tolerances, not
+    O(dt). (theta carries no acceleration state, so a is not compared
+    there.)"""
+    mk = lambda: FastWaveSolver((32, 32), GEOM, 0.02, scheme=scheme,
+                                dtype=jnp.float64, cg_reduction=1e-11, **kw)
+    s1, s2 = mk(), mk()
+    st = (s1.initial_state_consistent(_standing_u0) if scheme == "newmark"
+          else s1.initial_state(_standing_u0))
+    n = 20
+    ref = s1.run_implicit_mg(st, n)
+    lf = s2.run_implicit_mg_2term(s2.implicit_2term_init(st), n - 1,
+                                  pallas=False)
+    got = s2.implicit_2term_finish(lf)
+    names = (("u", 1e-8), ("v", 1e-8)) + ((("a", 1e-5),) if check_a else ())
+    for name, tol in names:
+        # a's looser bound: CG-tolerance residuals amplified by
+        # M^{-1} (~tau/lam_min(M)) on BOTH paths' consistent-a solves
+        r, g = getattr(ref, name), getattr(got, name)
+        denom = float(jnp.linalg.norm(r)) or 1.0
+        assert float(jnp.linalg.norm(r - g)) / denom < tol, name
+
+
+def test_implicit_2term_pallas_matches_xla():
+    """Pallas-fused r0/matvec variant (interpret mode) == XLA variant."""
+    mk = lambda: FastWaveSolver((32, 32), GEOM, 0.02, scheme="newmark",
+                                beta=0.25, lumped=False, dtype=jnp.float64)
+    s1, s2 = mk(), mk()
+    st = s1.initial_state_consistent(_standing_u0)
+    lf0 = s1.implicit_2term_init(st)
+    ref = s1.run_implicit_mg_2term(lf0, 8, pallas=False)
+    got = s2.run_implicit_mg_2term(lf0, 8, pallas=True, block_rows=16,
+                                   interpret=True)
+    denom = float(jnp.linalg.norm(ref.u))
+    assert float(jnp.linalg.norm(ref.u - got.u)) / denom < 1e-11
+
+
+def test_implicit_2term_rejects_explicit_newmark():
+    s = FastWaveSolver((16, 16), GEOM, 0.02, scheme="newmark", beta=0.0)
+    st = s.initial_state(_standing_u0)
+    from tpuwave.models.fast import LeapfrogState
+    with pytest.raises(ValueError):
+        s.run_implicit_mg_2term(LeapfrogState(u=st.u, u_prev=st.u), 2)
+
+
+# ----------------------------------------------------------------------
 # precond='auto' (solve/multigrid.py::auto_precond)
 # ----------------------------------------------------------------------
 

@@ -183,6 +183,30 @@ def test_implicit_cheby_matches_roll_path(scheme, kw):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_constrained_apply_diff_matches_direct():
+    """constrained_stencil_apply_pallas(diff=True) == diff=False for a
+    zero-row-sum stencil (f64, interpret mode), pinned rows included."""
+    from tpuwave.core.mesh import FeSpace, StructuredTriMesh
+    from tpuwave.core.quadrature import gauss_simplex
+    from tpuwave.ops.assembly import element_stiffness_class
+    from tpuwave.ops.pallas_kernels import constrained_stencil_apply_pallas
+    from tpuwave.ops.stencil import class_matrices_to_stencil
+
+    sp = FeSpace(StructuredTriMesh((31, 23), ((0.0, 0.0), (1.0, 0.7))), 1)
+    s = class_matrices_to_stencil(
+        element_stiffness_class(sp, gauss_simplex(2), 1.0))
+    st = tuple(map(tuple, s))
+    rng = np.random.default_rng(3)
+    h, w = 32, 128
+    x = jnp.asarray(rng.normal(size=(h, w)))
+    kw = dict(stencil=st, diag=0.0, block_rows=16, true_rows=24,
+              true_cols=32, interpret=True)
+    want = constrained_stencil_apply_pallas(x, diff=False, **kw)
+    got = constrained_stencil_apply_pallas(x, diff=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_theta_r0_kernels_match_xla():
     """theta_r0u/theta_r0v == the XLA roll-path residual algebra on
     interior nodes (f64, interpret mode)."""

@@ -146,13 +146,22 @@ class FastWaveSolver:
         ys = y0 + self.mesh.hy * jax.lax.broadcasted_iota(self.dtype, (ny1, nx1), 0)
         return xs, ys
 
+    def _stiff_diff(self, u):
+        """K u in zero-row-sum difference form (apply_stencil_diff):
+        same algebra as self.stiff(u) with the arithmetic cancellation
+        noise removed (~1.4x lower total f32 noise on smooth fields; the
+        rest is the input's representation noise through K)."""
+        from tpuwave.ops.stencil import apply_stencil_diff
+        return apply_stencil_diff(u, self.stiff.stencil)
+
     def initial_state(self, u0_fn, v0_fn=None) -> FastState:
         """Interpolate initial data; consistent a0 from the lumped mass."""
         xs, ys = self.grid_coords()
         u0 = jnp.asarray(u0_fn(xs, ys), dtype=self.dtype)
         v0 = (jnp.zeros(self.shape, self.dtype) if v0_fn is None
               else jnp.asarray(v0_fn(xs, ys), dtype=self.dtype))
-        a0 = jnp.where(self.boundary, 0.0, -self.stiff(u0) * self.inv_lumped)
+        a0 = jnp.where(self.boundary, 0.0,
+                       -self._stiff_diff(u0) * self.inv_lumped)
         st = FastState(u=u0, v=v0, a=a0.astype(self.dtype))
         if self.sharding is not None:
             st = FastState(*(jax.device_put(x, self.sharding) for x in st))
@@ -164,14 +173,7 @@ class FastWaveSolver:
         a0|boundary = 0) — use for digit-parity runs of the implicit
         schemes instead of the lumped a0 of initial_state."""
         st = self.initial_state(u0_fn, v0_fn)
-        rhs = jnp.where(self.interior, -self.stiff(st.u), 0.0)
-        x0 = jnp.zeros_like(rhs)
-        res = pcg(self._constrained(self.mass), rhs, x0,
-                  precond_inv_diag=1.0 / self.mass.stencil[1][1],
-                  abs_tol=self._solve_abs_tol(rhs, x0, self.mass),
-                  max_iter=10000 if self.dtype == jnp.float64 else 2000,
-                  reduction=self.cg_reduction)
-        a0 = res.x.astype(self.dtype)
+        a0 = self._consistent_accel(st.u)
         if self.sharding is not None:
             a0 = jax.device_put(a0, self.sharding)
         return FastState(u=st.u, v=st.v, a=a0)
@@ -209,6 +211,16 @@ class FastWaveSolver:
         eta = 8 * float(jnp.finfo(self.dtype).eps)
         return eta * (lam_max * jnp.linalg.norm(x0) + jnp.linalg.norm(rhs))
 
+    # NOTE on warm starts for the implicit a-solve: a smooth predictor
+    # (a^n - dt M_L^{-1} K(v + dt/2 a), the second-order Taylor step of
+    # da/dt = -M^{-1} K v) was measured NOT to reduce the initial CG
+    # residual (2.4e-5 vs 2.3e-5 at 256^2, dt=1e-3, f32). Along the
+    # discrete trajectory M a^n = -K u^n holds exactly, so a must track
+    # the f32 representation noise of u amplified by M^{-1}K
+    # (~(2c/h)^2) — high-frequency content no smooth predictor can
+    # anticipate; the a-form solve is noise-floor-bound at ~3 V-cycles
+    # per step. The fix is the displacement-form path
+    # (run_implicit_mg_2term) whose unknown is u itself.
     def _implicit_newmark_step(self, state: FastState,
                                precond=None) -> FastState:
         dt, beta, gamma = self.dt, self.beta, self.gamma
@@ -246,6 +258,12 @@ class FastWaveSolver:
 
         rhs_u = jnp.where(self.interior,
                           mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv, 0.0)
+        # warm start from u^n, matching the fused-kernel path's analytic
+        # cancellation (theta_r0u_pallas) so the XLA and Pallas theta
+        # trajectories agree to the stopping tolerance. (A Taylor
+        # predictor u + dt v was measured NOT to cut iterations: the
+        # u-solve already runs at 1 V-cycle from u^n — its r0 sits at
+        # the f32 cancellation floor eps*||rhs||.)
         x0_u = jnp.where(self.interior, u, 0.0)
         res_u = pcg(self._constrained(self.system), rhs_u, x0_u,
                     precond_inv_diag=(self._inv_diag if precond is None
@@ -257,6 +275,9 @@ class FastWaveSolver:
         rhs_v = jnp.where(self.interior,
                           mv - (dt * (1.0 - th)) * ku - (dt * th) * self.stiff(u_new),
                           0.0)
+        # warm start from v^n (matches theta_r0v_pallas; a lumped-mass
+        # dv/dt predictor saves only ~1-2 of ~6 cheap mass iterations
+        # and would desynchronise the XLA and fused-kernel trajectories)
         x0_v = jnp.where(self.interior, v, 0.0)
         res_v = pcg(self._constrained(self.mass), rhs_v, x0_v,
                     precond_inv_diag=1.0 / self.mass.stencil[1][1],
@@ -589,6 +610,263 @@ class FastWaveSolver:
         return FastState(u=out.u[:h, :w], v=out.v[:h, :w], a=out.a[:h, :w])
 
     # ------------------------------------------------------------------
+    # displacement-form implicit stepping (two-array state): the
+    # implicit twin of the leapfrog path. Eliminating the auxiliary
+    # variables (v, a for Newmark using M a^n = -K u^n, exact along the
+    # discrete trajectory; v for the theta family from its two update
+    # equations) gives 3-term displacement recurrences
+    #
+    #   Newmark: (M + b dt^2 K) u^{n+1} = M (2u^n - u^{n-1})
+    #                             - dt^2 (g + 1/2 - 2b) K u^n
+    #                             - dt^2 (1/2 - g + b)  K u^{n-1}
+    #   theta:   (M + t^2 dt^2 K) u^{n+1} = M (2u^n - u^{n-1})
+    #                             - dt^2 K [2t(1-t) u^n + (1-t)^2 u^{n-1}]
+    #
+    # (b = beta, g = gamma, t = theta). The payoff on TPU: the free
+    # extrapolated warm start x0 = 2u^n - u^{n-1} leaves the
+    # O(dt^2)-small residual
+    #
+    #   Newmark: r0 = -dt^2 K [ (g + 1/2) u^n + (1/2 - g) u^{n-1} ]
+    #   theta:   r0 = -dt^2 K [ 2t u^n + (1 - 2t) u^{n-1} ]
+    #
+    # so each step costs ONE fused stencil pass for r0 plus ~1 MG-PCG
+    # iteration — no mass/velocity solve, two-array state. The 3-array
+    # forms cannot reach this: Newmark's unknown a must track the f32
+    # noise of u amplified by M^{-1}K, pinning it at ~3 V-cycles/step
+    # (see the note above _implicit_newmark_step), and theta pays a
+    # ~6-iteration mass solve for v every step. Replaces the
+    # reference's two AMG-CG solves per theta step / one per Newmark
+    # step (WaveTheta.cpp:251-339, WaveNewmark.cpp:177-262) with one
+    # near-converged solve for either family. Measured: 12.5 vs 88
+    # ms/step (NM-AA, 4096^2, dt=1e-3, f32) against the fused a-form.
+    #
+    # f32 noise characteristics (MEASURED, 4096^2, 100 steps): carrying
+    # velocity implicitly as (u^n - u^{n-1})/dt amplifies any incoherent
+    # per-step noise by ~1/(omega dt); with the state's own f32
+    # representation noise driving r0, the end-state error is ~1e-4
+    # relative vs ~3.5e-6 for the 3-array a-form (which keeps u, v, a
+    # kinematically consistent so state noise is NOT 1/(omega dt)-
+    # amplified). In the large-dt regime this path targets (dt >= ~4e-3
+    # at 4096^2) the scheme's own O((omega dt)^2) dispersion error
+    # exceeds that noise; at small dt / fine mesh in f32, or whenever
+    # noise-floor accuracy matters, use the 3-array paths or f64 (where
+    # this path is digit-clean, see test_implicit_2term_matches_3array).
+    # ------------------------------------------------------------------
+    def implicit_2term_init(self, state: FastState, *, pre_degree: int = 1,
+                            smooth_range: float = 8.0,
+                            coarse_tol: float = 1e-2) -> LeapfrogState:
+        """(u^1, u^0) from one implicit step taken in CORRECTION u-form.
+
+        The first step is solved for u^1 directly (algebraically
+        identical to the 3-array step):
+          theta:   A u^1 = M u^0 - dt^2 t(1-t) K u^0 + dt M v^0,
+                   x0 = u^0,  r0 = dt M v^0 - t dt^2 K u^0
+          Newmark: A u^1 = M z,  z = u^0 + dt v^0 + dt^2(1/2-b) a^0,
+                   x0 = z,   r0 = -b dt^2 K z
+        with K applied in difference form. The form matters at fine
+        meshes in f32: composing u^1 = z + b dt^2 a^1 from the 3-array
+        step injects the acceleration's amplified white noise into the
+        (u^1, u^0) pair, and the undamped 3-term recurrence turns any
+        incoherent u^1 - u^0 mismatch into a persistent velocity error
+        amplified by ~1/(omega dt) per mode (measured at 4096^2 f32,
+        100 steps: 1.0e-3 rel error with the composed init vs 2.4e-4
+        with this one; the residual ~1e-4 floor is the per-step
+        representation noise through the same amplification — see the
+        class block comment). For Newmark, start from
+        ``initial_state_consistent`` for exact agreement with the
+        3-array trajectory (the recurrence derivation uses
+        M a^0 = -K u^0)."""
+        precond = self.gmg_preconditioner(
+            pre_degree=pre_degree, smooth_range=smooth_range,
+            coarse_tol=coarse_tol)
+        dt = self.dt
+        u, v, a = state
+        if self.scheme == "theta":
+            th = self.theta
+            x0 = jnp.where(self.interior, u, 0.0)
+            r0 = jnp.where(self.interior,
+                           dt * self.mass(v)
+                           - (th * dt * dt) * self._stiff_diff(u), 0.0)
+            s_init = th * dt * dt
+        else:
+            beta = self.beta
+            z = u + dt * v + (dt * dt * (0.5 - beta)) * a
+            x0 = jnp.where(self.interior, z, 0.0)
+            r0 = jnp.where(self.interior,
+                           (-beta * dt * dt) * self._stiff_diff(z), 0.0)
+            s_init = beta * dt * dt
+        if self.dtype == jnp.float64:
+            abs_tol = 1e-12
+        else:
+            eps = float(jnp.finfo(self.dtype).eps)
+            s_abs = s_init * sum(abs(cc) for row in self.stiff.stencil
+                                 for cc in row)
+            abs_tol = jnp.minimum(eps * s_abs * jnp.linalg.norm(x0),
+                                  0.5 * jnp.linalg.norm(r0))
+        res = pcg(self._constrained(self.system), r0, jnp.zeros_like(r0),
+                  r0=r0, precond_inv_diag=precond, abs_tol=abs_tol,
+                  max_iter=10000 if self.dtype == jnp.float64 else 2000,
+                  reduction=self.cg_reduction)
+        u1 = (x0 + res.x).astype(self.dtype)
+        return LeapfrogState(u=u1, u_prev=state.u)
+
+    def _consistent_accel(self, u):
+        """a = -M^{-1} K u by Jacobi-CG to the fast-path tolerances (K in
+        difference form: the rhs must not be cancellation-noise-bound)."""
+        rhs = jnp.where(self.interior, -self._stiff_diff(u), 0.0)
+        x0 = jnp.zeros_like(rhs)
+        res = pcg(self._constrained(self.mass), rhs, x0,
+                  precond_inv_diag=1.0 / self.mass.stencil[1][1],
+                  abs_tol=self._solve_abs_tol(rhs, x0, self.mass),
+                  max_iter=10000 if self.dtype == jnp.float64 else 2000,
+                  reduction=self.cg_reduction)
+        return res.x.astype(self.dtype)
+
+    def implicit_2term_finish(self, state: LeapfrogState) -> FastState:
+        """Exact (u, u_prev) -> (u, v, a) conversion (one-time mass
+        solves, no approximation on top of the CG tolerances).
+
+        Newmark:  v^N = (u^N - u^{N-1})/dt
+                        + dt [ (1/2 + b - g) a^{N-1} + (g - b) a^N ]
+                  with consistent M a = -K u at both times.
+        theta:    v^N = (u^N - u^{N-1})/dt
+                        - dt (1-t) M^{-1} K [ t u^N + (1-t) u^{N-1} ]
+                  (exactly (u^N - u^{N-1})/dt for BE, t=1); a is not a
+                  theta state variable and is returned as the consistent
+                  acceleration of u^N for convenience."""
+        dt = self.dt
+        if self.scheme == "theta":
+            th = self.theta
+            a = self._consistent_accel(state.u)
+            if th == 1.0:
+                corr = 0.0
+            else:
+                combo = (th * state.u + (1.0 - th) * state.u_prev
+                         if th != 0.0 else state.u_prev)
+                # M^{-1} K combo = -consistent_accel(combo)
+                corr = dt * (1.0 - th) * self._consistent_accel(combo)
+            v = (state.u - state.u_prev) / dt + corr
+        else:
+            beta, gamma = self.beta, self.gamma
+            a_prev = self._consistent_accel(state.u_prev)
+            a = self._consistent_accel(state.u)
+            v = ((state.u - state.u_prev) / dt
+                 + dt * ((0.5 + beta - gamma) * a_prev
+                         + (gamma - beta) * a))
+        v = jnp.where(self.interior, v, 0.0).astype(self.dtype)
+        return FastState(u=state.u, v=v, a=a)
+
+    def run_implicit_mg_2term(self, state: LeapfrogState, n_steps: int, *,
+                              pre_degree: int = 1, smooth_range: float = 8.0,
+                              coarse_tol: float = 1e-2,
+                              block_rows: int = 128, pallas: bool = True,
+                              interpret: bool = False) -> LeapfrogState:
+        """Displacement-form implicit stepping for both scheme families
+        (see block comment above). ``pallas=True`` fuses the r0 stencil
+        pass, every CG matvec and the V-cycle fine level into halo-DMA
+        kernels; falls back to the XLA stencil path on small grids /
+        single-level hierarchies."""
+        if self.scheme == "newmark":
+            if self.beta <= 1e-12:
+                raise ValueError(
+                    "run_implicit_mg_2term needs beta > 0 for Newmark "
+                    "(explicit beta=0 is the leapfrog path)")
+            c_u, c_up = self.gamma + 0.5, 0.5 - self.gamma
+        elif self.scheme == "theta":
+            c_u, c_up = 2.0 * self.theta, 1.0 - 2.0 * self.theta
+        else:
+            raise ValueError("run_implicit_mg_2term needs newmark/theta")
+        h, w = self.shape
+        dt = self.dt
+        base = self.gmg_preconditioner(
+            pre_degree=pre_degree, smooth_range=smooth_range,
+            coarse_tol=coarse_tol)
+        max_iter = 10000 if self.dtype == jnp.float64 else 2000
+        eta = (None if self.dtype == jnp.float64
+               else float(jnp.finfo(self.dtype).eps))
+        # noise-anchored stopping for the correction solve: r0 is the
+        # dt^2-scaled stencil pass -dt^2 K(combo), whose own f32
+        # computation noise is ~ eps * dt^2 * sum|K coeffs| * |u|
+        # elementwise (at fine meshes K u cancels down to h^2-scale
+        # values, so r0 can sit only a few x above this floor). Stop at
+        # that floor when the signal is strong, and ALWAYS demand at
+        # least a 2x reduction (min with 0.5 ||r0||): a lam_max-based
+        # backward-error floor can exceed ||r0|| here, and 0-iteration
+        # steps silently degenerate the recurrence to pure extrapolation
+        # (measured: 3.6e-3 trajectory drift over 20 steps at 4096^2).
+        s_abs = (abs(c_u) + abs(c_up)) * dt * dt * sum(
+            abs(cc) for row in self.stiff.stencil for cc in row)
+
+        hp = -(-h // block_rows) * block_rows
+        wp = -(-w // 128) * 128
+        use_pallas = (pallas and len(base.levels) >= 2
+                      and hp // block_rows >= 2)
+
+        if use_pallas:
+            from tpuwave.ops.pallas_kernels import (
+                constrained_stencil_apply_pallas)
+            from tpuwave.solve.multigrid import PallasGmgPreconditioner
+            precond = PallasGmgPreconditioner(
+                base.levels, base.coarse_theta, base.coarse_coeffs,
+                block_rows=block_rows, interpret=interpret)
+            kw = dict(block_rows=block_rows, true_rows=h, true_cols=w,
+                      interpret=interpret)
+            a_st = self.system.stencil
+            # fold -dt^2 into the K stencil so the r0 pass emits the
+            # residual directly; diff=True evaluates the zero-row-sum
+            # stencil in difference form (r0 must not be bound by the
+            # direct form's f32 cancellation noise — see apply_stencil_diff)
+            kneg = tuple(tuple(-dt * dt * cc for cc in row)
+                         for row in self.stiff.stencil)
+
+            def apply_sys(x):
+                return constrained_stencil_apply_pallas(
+                    x, stencil=a_st, diag=a_st[1][1], **kw)
+
+            def r0_of(combo):
+                return constrained_stencil_apply_pallas(
+                    combo, stencil=kneg, diag=0.0, diff=True, **kw)
+
+            ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+            interior = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
+        else:
+            precond = base
+            apply_sys = self._constrained(self.system)
+            interior = self.interior
+
+            def r0_of(combo):
+                return jnp.where(interior,
+                                 (-dt * dt) * self._stiff_diff(combo), 0.0)
+
+        def step(c):
+            cu, cup = c
+            combo = (cu if (c_u == 1.0 and c_up == 0.0)
+                     else c_u * cu + c_up * cup)
+            r0 = r0_of(combo)
+            x0 = jnp.where(interior, 2.0 * cu - cup, 0.0)
+            rn2 = jnp.vdot(r0, r0)
+            norm_r0 = jnp.sqrt(rn2).astype(self.dtype)
+            abs_tol = (1e-12 if eta is None
+                       else jnp.minimum(
+                           eta * s_abs * jnp.linalg.norm(x0),
+                           0.5 * norm_r0))
+            res = pcg(apply_sys, r0, jnp.zeros_like(r0), r0=r0,
+                      norm0_sq=rn2, precond_inv_diag=precond,
+                      abs_tol=abs_tol, max_iter=max_iter,
+                      reduction=self.cg_reduction)
+            return ((x0 + res.x).astype(self.dtype), cu)
+
+        runner = cached_scan(self, ("mg2", pre_degree, smooth_range,
+                                    coarse_tol, block_rows, use_pallas,
+                                    interpret), step, n_steps)
+        if use_pallas:
+            def pad(x):
+                return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
+            u_fin, up_fin = runner((pad(state.u), pad(state.u_prev)))
+            return LeapfrogState(u=u_fin[:h, :w], u_prev=up_fin[:h, :w])
+        u_fin, up_fin = runner((state.u, state.u_prev))
+        return LeapfrogState(u=u_fin, u_prev=up_fin)
 
     # ------------------------------------------------------------------
     # implicit stepping with the fused pallas constrained-apply kernel

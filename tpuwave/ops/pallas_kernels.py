@@ -114,6 +114,32 @@ def _rolled_stencil(a, s, n_cols):
         + row_contrib(dn_rows, s[2])
 
 
+def _rolled_stencil_diff(a, s, n_cols):
+    """Zero-row-sum stencil in DIFFERENCE form (kernel twin of
+    ops/stencil.py::apply_stencil_diff): sum_{d != 0} s_d * (a_d - a),
+    the center coefficient implied as -sum of neighbours. Identical
+    algebra to _rolled_stencil for stiffness stencils with the
+    arithmetic cancellation noise removed — used by the
+    displacement-recurrence r0 pass (see apply_stencil_diff for the
+    measured effect)."""
+    h_tot = a.shape[0]
+    up_rows = pltpu.roll(a, shift=1, axis=0)
+    dn_rows = pltpu.roll(a, shift=h_tot - 1, axis=0)
+    out = None
+    for rows, sj in ((a, s[1]), (up_rows, s[0]), (dn_rows, s[2])):
+        for k, sh in ((0, 1), (1, 0), (2, n_cols - 1)):
+            if rows is a and sh == 0:
+                continue
+            c = sj[k]
+            if c == 0.0:
+                continue
+            shifted = rows if sh == 0 else pltpu.roll(rows, shift=sh,
+                                                      axis=1)
+            t = c * (shifted - a)
+            out = t if out is None else out + t
+    return out if out is not None else jnp.zeros_like(a)
+
+
 def _pinned_mask(row_start, shape, n_rows, true_cols):
     """Dirichlet + padding mask in global grid coordinates."""
     gr = row_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -606,9 +632,12 @@ def newmark_update_pallas(z, v, a, e, *, c_ua: float, c_va: float,
 
 def _constrained_apply_kernel(x_hbm, out_ref, scratch, sem, *, stencil,
                               diag: float, block_rows: int, n_rows: int,
-                              n_cols: int, true_cols: int):
+                              n_cols: int, true_cols: int,
+                              diff: bool = False):
     """out = interior ? Stencil(x * interior) : diag * x — the constrained
-    operator of the implicit CG path, fused into one halo-DMA pass."""
+    operator of the implicit CG path, fused into one halo-DMA pass.
+    ``diff=True`` evaluates a zero-row-sum stencil in difference form
+    (_rolled_stencil_diff)."""
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     br = block_rows
@@ -621,7 +650,8 @@ def _constrained_apply_kernel(x_hbm, out_ref, scratch, sem, *, stencil,
     a_raw = scratch[:, :]
     pinned = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
     a = jnp.where(pinned, 0.0, a_raw)
-    ku_full = _rolled_stencil(a, stencil, n_cols)
+    ku_full = (_rolled_stencil_diff(a, stencil, n_cols) if diff
+               else _rolled_stencil(a, stencil, n_cols))
     out = jnp.where(pinned[hh:hh + br, :], diag * a_raw[hh:hh + br, :],
                     ku_full[hh:hh + br, :])
     out_ref[:, :] = out.astype(out_ref.dtype)
@@ -741,18 +771,21 @@ def cheby_block_pallas(x, r, *, stencil: Tuple, theta: float, coeffs: Tuple,
 
 @functools.partial(jax.jit, static_argnames=("stencil", "diag", "block_rows",
                                              "true_rows", "true_cols",
-                                             "interpret"))
+                                             "interpret", "diff"))
 def constrained_stencil_apply_pallas(x, *, stencil: Tuple, diag: float,
                                      block_rows: int = 128,
                                      true_rows: int = None,
                                      true_cols: int = None,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     diff: bool = False):
     """Fused constrained stencil apply on a padded (H, W) grid.
 
     Equivalent to the masked operator used by the implicit fast path:
     interior rows get Stencil(interior-masked x), Dirichlet/pad rows get
     diag * x. One halo-DMA pass per apply — the hot op of every CG
-    iteration in the implicit schemes.
+    iteration in the implicit schemes. ``diff=True`` evaluates a
+    zero-row-sum stencil in difference form (low f32 cancellation
+    noise; see _rolled_stencil_diff).
     """
     h, w = x.shape
     if block_rows % _HALO != 0:
@@ -771,7 +804,7 @@ def constrained_stencil_apply_pallas(x, *, stencil: Tuple, diag: float,
     kernel = functools.partial(
         _constrained_apply_kernel, stencil=stencil, diag=float(diag),
         block_rows=block_rows, n_rows=n_rows, n_cols=w,
-        true_cols=n_cols_true)
+        true_cols=n_cols_true, diff=diff)
 
     return pl.pallas_call(
         kernel,

@@ -32,6 +32,7 @@ from tpuwave.core.mesh import FeSpace
 __all__ = [
     "class_matrices_to_stencil",
     "apply_stencil",
+    "apply_stencil_diff",
     "stencil_diag_interior",
     "lumped_mass_grid",
     "boundary_mask_grid",
@@ -84,6 +85,35 @@ def apply_stencil(u: jax.Array, s) -> jax.Array:
             shifted = jnp.roll(u, shift=(-dj, -di), axis=(0, 1))
             out = out + c * shifted
     return out
+
+
+def apply_stencil_diff(u: jax.Array, s) -> jax.Array:
+    """Zero-row-sum stencil in DIFFERENCE form:
+    y[n] = sum_{d != 0} s[d] * (u[n + d] - u[n]).
+
+    Algebraically equal to apply_stencil when the stencil rows sum to
+    zero (s[1][1] == -sum of neighbours — true for every stiffness
+    stencil: K * const = 0), and numerically quieter in f32: each
+    neighbour difference rounds at eps * |u[n+d] - u[n]| ~ eps * h|grad u|
+    instead of eps * |u|, removing the ARITHMETIC cancellation noise of
+    the direct form. Measured gain on smooth fields is ~1.4x in total
+    noise — the remaining (dominant) part is the input's f32
+    representation noise propagated through K, which no evaluation order
+    can remove. Same wrap caveat as apply_stencil; callers mask boundary
+    rows.
+    """
+    out = None
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            if (di, dj) == (0, 0):
+                continue
+            c = s[1 + dj][1 + di]
+            if c == 0.0:
+                continue
+            shifted = jnp.roll(u, shift=(-dj, -di), axis=(0, 1))
+            t = c * (shifted - u)
+            out = t if out is None else out + t
+    return out if out is not None else jnp.zeros_like(u)
 
 
 def stencil_diag_interior(s) -> float:
