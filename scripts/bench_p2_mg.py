@@ -83,6 +83,28 @@ def main():
               f"precond={precond}: {best * 1e3:.2f} ms/step "
               f"({dofs / best:.3e} DoF*steps/s)", flush=True)
 
+        # displacement-form 2-term path on the same solver/precond
+        pair0 = s.implicit_2term_init(st)
+        n2 = args.steps - 1
+        print(f"  [{precond} 2term] compiling + warm run ...", flush=True)
+        t0 = time.perf_counter()
+        out2 = s.run_implicit_2term(pair0, n2)
+        jax.block_until_ready(out2)
+        print(f"  [{precond} 2term] compile+warm "
+              f"{time.perf_counter() - t0:.1f} s", flush=True)
+        best2 = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out2 = s.run_implicit_2term(pair0, n2)
+            jax.block_until_ready(out2)
+            best2 = min(best2, (time.perf_counter() - t0) / n2)
+        rel2 = float(jnp.linalg.norm(out2.u - out.u)
+                     / jnp.linalg.norm(out.u))
+        print(f"{args.scheme} P2 nel={args.nel} dt={args.dt} "
+              f"precond={precond} 2term: {best2 * 1e3:.2f} ms/step "
+              f"({dofs / best2:.3e} DoF*steps/s, {best / best2:.2f}x, "
+              f"rel diff {rel2:.2e})", flush=True)
+
     if len(outs) == 2:
         a, b = (outs[p].u for p in args.preconds)
         rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))

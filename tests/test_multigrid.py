@@ -656,6 +656,34 @@ def test_implicit_2term_pallas_matches_xla():
     assert float(jnp.linalg.norm(ref.u - got.u)) / denom < 1e-11
 
 
+@pytest.mark.parametrize("scheme,kw,check_a", [
+    ("newmark", dict(beta=0.25, gamma=0.5), True),
+    ("theta", dict(theta=0.5), False),
+    ("theta", dict(theta=1.0), False),
+])
+def test_p2canvas_2term_matches_3array(scheme, kw, check_a):
+    """P2CanvasSolver.run_implicit_2term + exact conversions reproduce
+    the canvas 3-array trajectory (see test_implicit_2term_matches_3array
+    for the P1 version and the bound rationale)."""
+    from tpuwave.models.fast_p2 import P2CanvasSolver
+
+    mk = lambda: P2CanvasSolver((12, 12), GEOM, 0.05, scheme=scheme,
+                                dtype=jnp.float64, cg_reduction=1e-11,
+                                precond="mg", **kw)
+    s1, s2 = mk(), mk()
+    st = s1.initial_state(_standing_u0)
+    n = 12
+    ref = s1.run_scan(st, n)
+    pair = s2.run_implicit_2term(s2.implicit_2term_init(st), n - 1)
+    got = s2.implicit_2term_finish(pair)
+    names = (("u", 1e-8), ("v", 1e-8)) + ((("a", 1e-5),) if check_a else ())
+    for name, tol in names:
+        r = s1.to_flat(getattr(ref, name))
+        g = s2.to_flat(getattr(got, name))
+        denom = float(jnp.linalg.norm(r)) or 1.0
+        assert float(jnp.linalg.norm(r - g)) / denom < tol, name
+
+
 def test_implicit_2term_rejects_explicit_newmark():
     s = FastWaveSolver((16, 16), GEOM, 0.02, scheme="newmark", beta=0.0)
     st = s.initial_state(_standing_u0)

@@ -223,6 +223,13 @@ class P2CanvasState(NamedTuple):
     a: jax.Array
 
 
+class P2CanvasPair(NamedTuple):
+    """Two-array displacement state for the canvas 2-term implicit path
+    (the P2 twin of models/fast.py::LeapfrogState)."""
+    u: jax.Array       # (4, Hc, Wc)
+    u_prev: jax.Array
+
+
 class P2CanvasSolver:
     """Shardable P2 solver: state lives as four equal zero-padded canvases.
 
@@ -471,6 +478,113 @@ class P2CanvasSolver:
     def run_scan(self, state: P2CanvasState, n_steps: int) -> P2CanvasState:
         from tpuwave.models.fast import cached_scan
         return cached_scan(self, "p2canvas", self.step, n_steps)(state)
+
+    # ------------------------------------------------------------------
+    # displacement-form (two-array) implicit stepping on the canvas
+    # layout — the P2 port of FastWaveSolver.run_implicit_mg_2term (see
+    # the block comment there for the derivation, the warm-start /
+    # stopping-rule findings and the f32 noise trade). One
+    # O(dt^2)-residual system solve per step, no mass/velocity solve.
+    # ------------------------------------------------------------------
+    def _consistent_accel_canvas(self, u):
+        """a = -M^{-1} K u by Jacobi-CG on the canvases."""
+        rhs = self._rhs_stiff(jnp.where(self.interior, u, 0.0))
+        res = pcg(self._constrained(self.mass), rhs, jnp.zeros_like(u),
+                  precond_inv_diag=1.0 / self._mass_diag,
+                  abs_tol=self._abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
+        return res.x.astype(self.dtype)
+
+    def implicit_2term_init(self, state: P2CanvasState) -> P2CanvasPair:
+        """(u^1, u^0) via the first step solved in correction u-form
+        (any composed u^1 injects an incoherent (u^1, u^0) mismatch the
+        undamped recurrence amplifies by ~1/(omega dt) — see
+        FastWaveSolver.implicit_2term_init)."""
+        dt = self.dt
+        u, v, a = state
+        if self.scheme == "theta":
+            th = self.theta
+            x0 = jnp.where(self.interior, u, 0.0)
+            vm = jnp.where(self.interior, v, 0.0)
+            r0 = (jnp.where(self.interior,
+                            dt * self.mass.apply_canvases(vm), 0.0)
+                  + (th * dt * dt) * self._rhs_stiff(x0))
+        else:
+            beta = self.beta
+            z = u + dt * v + (dt * dt * (0.5 - beta)) * a
+            x0 = jnp.where(self.interior, z, 0.0)
+            r0 = (beta * dt * dt) * self._rhs_stiff(x0)
+        rn2 = jnp.vdot(r0, r0)
+        abs_tol = jnp.minimum(
+            jnp.asarray(self._abs_tol, self.dtype),
+            0.5 * jnp.sqrt(rn2).astype(self.dtype))
+        res = pcg(self._constrained(self.system), r0, jnp.zeros_like(r0),
+                  r0=r0, norm0_sq=rn2, precond_inv_diag=self._sys_prec,
+                  abs_tol=abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
+        return P2CanvasPair(u=(x0 + res.x).astype(self.dtype),
+                            u_prev=jnp.where(self.interior, u, 0.0))
+
+    def run_implicit_2term(self, pair: P2CanvasPair,
+                           n_steps: int) -> P2CanvasPair:
+        """3-term displacement recurrence: each step is one fused
+        -dt^2 K(combo) pass + ~1 MG/Jacobi-PCG iteration on the system
+        (extrapolated warm start 2u^n - u^{n-1}). The stopping rule
+        forces >= 1 CG iteration (min with 0.5 ||r0||): a floor above
+        ||r0|| silently degenerates the recurrence to extrapolation."""
+        if self.scheme == "newmark":
+            if self.beta <= 1e-12:
+                raise ValueError("run_implicit_2term needs beta > 0 for "
+                                 "Newmark")
+            c_u, c_up = self.gamma + 0.5, 0.5 - self.gamma
+        else:
+            c_u, c_up = 2.0 * self.theta, 1.0 - 2.0 * self.theta
+        dt = self.dt
+        apply_sys = self._constrained(self.system)
+        tol_cap = jnp.asarray(self._abs_tol, self.dtype)
+
+        def step(c):
+            cu, cup = c
+            combo = (cu if (c_u == 1.0 and c_up == 0.0)
+                     else c_u * cu + c_up * cup)
+            r0 = (dt * dt) * self._rhs_stiff(combo)
+            x0 = jnp.where(self.interior, 2.0 * cu - cup, 0.0)
+            rn2 = jnp.vdot(r0, r0)
+            abs_tol = jnp.minimum(tol_cap,
+                                  0.5 * jnp.sqrt(rn2).astype(self.dtype))
+            res = pcg(apply_sys, r0, jnp.zeros_like(r0), r0=r0,
+                      norm0_sq=rn2, precond_inv_diag=self._sys_prec,
+                      abs_tol=abs_tol, max_iter=self._max_iter,
+                      reduction=self.cg_reduction)
+            return ((x0 + res.x).astype(self.dtype), cu)
+
+        from tpuwave.models.fast import cached_scan
+        runner = cached_scan(self, "p2c-2term", step, n_steps)
+        u_f, up_f = runner((pair.u, pair.u_prev))
+        return P2CanvasPair(u=u_f, u_prev=up_f)
+
+    def implicit_2term_finish(self, pair: P2CanvasPair) -> P2CanvasState:
+        """Exact (u, u_prev) -> (u, v, a) conversion (one-time mass
+        solves; same identities as FastWaveSolver.implicit_2term_finish)."""
+        dt = self.dt
+        a = self._consistent_accel_canvas(pair.u)
+        if self.scheme == "theta":
+            th = self.theta
+            if th == 1.0:
+                corr = 0.0
+            else:
+                combo = (th * pair.u + (1.0 - th) * pair.u_prev
+                         if th != 0.0 else pair.u_prev)
+                corr = dt * (1.0 - th) * self._consistent_accel_canvas(combo)
+            v = (pair.u - pair.u_prev) / dt + corr
+        else:
+            beta, gamma = self.beta, self.gamma
+            a_prev = self._consistent_accel_canvas(pair.u_prev)
+            v = ((pair.u - pair.u_prev) / dt
+                 + dt * ((0.5 + beta - gamma) * a_prev
+                         + (gamma - beta) * a))
+        v = jnp.where(self.interior, v, 0.0).astype(self.dtype)
+        return P2CanvasState(u=pair.u, v=v, a=a)
 
     def to_flat(self, xc) -> jax.Array:
         return planes_to_flat(canvases_to_planes(xc, self.nx, self.ny))
