@@ -90,6 +90,34 @@ def test_stencil_diff_noise_floor_f32():
     assert err_diff < err_direct
 
 
+def test_compensated_leapfrog_beats_plain_f32():
+    """The TwoSum error-carry state (CompensatedState) tracks the f64
+    leapfrog trajectory far below the plain f32 path's rounding floor
+    (measured 160x at 512^2/800 steps; assert a conservative 10x at this
+    smaller config)."""
+    geom = ((0.0, 0.0), (1.0, 1.0))
+    n, steps = 128, 400
+    cfl_dt = 0.9 / (n * np.sqrt(2.0) * 2)
+
+    def u0f(x, y):
+        return jnp.sin(np.pi * x) * jnp.sin(np.pi * y)
+
+    s64 = FastWaveSolver((n, n), geom, cfl_dt, dtype=jnp.float64)
+    ref = s64.run_leapfrog_scan(s64.initial_leapfrog_state(u0f), steps)
+    s32 = FastWaveSolver((n, n), geom, cfl_dt, dtype=jnp.float32)
+    plain = s32.run_leapfrog_scan(s32.initial_leapfrog_state(u0f), steps)
+    comp = s32.run_leapfrog_compensated(s32.initial_compensated_state(u0f),
+                                        steps)
+    den = float(jnp.linalg.norm(ref.u))
+    ep = float(jnp.linalg.norm(plain.u.astype(jnp.float64) - ref.u)) / den
+    full = comp.u.astype(jnp.float64) + comp.u_lo.astype(jnp.float64)
+    ec = float(jnp.linalg.norm(full - ref.u)) / den
+    assert ec < ep / 10
+    # and the head alone is no worse than the plain path
+    eh = float(jnp.linalg.norm(comp.u.astype(jnp.float64) - ref.u)) / den
+    assert eh < 2 * ep
+
+
 def test_lumped_mass_grid_matches_rowsums():
     for nx, ny in ((4, 3), (7, 7), (2, 5)):
         m, sp, mass, _ = build_flat(nx, ny, geom=((-1.0, 0.0), (2.0, 2.0)))

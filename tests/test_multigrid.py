@@ -684,6 +684,42 @@ def test_p2canvas_2term_matches_3array(scheme, kw, check_a):
         assert float(jnp.linalg.norm(r - g)) / denom < tol, name
 
 
+def test_implicit_2term_compensated_beats_plain():
+    """run_implicit_mg_2term_comp with a tightened noise floor tracks the
+    f64 2-term trajectory well below the plain f32 path (the CG-leftover
+    + state-rounding kicks; measured 78x at 256^2/300 steps with
+    tol_factor=1e-3 — assert a conservative 8x here)."""
+    n, dt, steps = 128, 4e-3, 150
+    mk = lambda d: FastWaveSolver((n, n), GEOM, dt, scheme="newmark",
+                                  beta=0.25, lumped=False, dtype=d)
+    s64 = mk(jnp.float64)
+    ref = s64.run_implicit_mg_2term(
+        s64.implicit_2term_init(s64.initial_state_consistent(_standing_u0)),
+        steps - 1, pallas=False)
+    s32 = mk(jnp.float32)
+    st32 = s32.initial_state_consistent(_standing_u0)
+    plain = s32.run_implicit_mg_2term(s32.implicit_2term_init(st32),
+                                      steps - 1, pallas=False)
+    comp = s32.run_implicit_mg_2term_comp(
+        s32.implicit_2term_init_comp(st32), steps - 1, pallas=False,
+        tol_factor=1e-3)
+    den = float(jnp.linalg.norm(ref.u))
+    ep = float(jnp.linalg.norm(plain.u.astype(jnp.float64) - ref.u)) / den
+    full = comp.u.astype(jnp.float64) + comp.u_lo.astype(jnp.float64)
+    ec = float(jnp.linalg.norm(full - ref.u)) / den
+    assert ec < ep / 8
+    got = s32.implicit_2term_finish_comp(comp)
+    assert got.u.shape == ref.u.shape  # conversion path wired
+
+
+def test_implicit_2term_comp_rejects_f64():
+    s = FastWaveSolver((16, 16), GEOM, 0.02, scheme="newmark", beta=0.25,
+                       lumped=False, dtype=jnp.float64)
+    st = s.initial_state(_standing_u0)
+    with pytest.raises(ValueError):
+        s.run_implicit_mg_2term_comp(s.implicit_2term_init_comp(st), 2)
+
+
 def test_implicit_2term_rejects_explicit_newmark():
     s = FastWaveSolver((16, 16), GEOM, 0.02, scheme="newmark", beta=0.0)
     st = s.initial_state(_standing_u0)

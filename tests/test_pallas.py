@@ -207,6 +207,43 @@ def test_constrained_apply_diff_matches_direct():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_recurrence_r0_kernel_matches_xla():
+    """recurrence_r0_pallas == the XLA 2-term setup algebra (f64,
+    interpret mode): r0, x0 and the two norm partials."""
+    from tpuwave.ops.pallas_kernels import recurrence_r0_pallas
+    from tpuwave.ops.stencil import apply_stencil_diff
+
+    s = FastWaveSolver((40, 40), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                       scheme="newmark", beta=0.25, gamma=0.6,
+                       lumped=False, dtype=jnp.float64)
+    dt = s.dt
+    c_u, c_up = s.gamma + 0.5, 0.5 - s.gamma
+    rng = np.random.default_rng(7)
+    h, w = s.shape
+    hp = -(-h // 8) * 8  # pad rows to the block multiple (pinned rows)
+    ri = np.arange(hp)[:, None]
+    ci = np.arange(w)[None, :]
+    interior = jnp.asarray((ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1))
+    u = jnp.where(interior, jnp.asarray(rng.normal(size=(hp, w))), 0.0)
+    up = jnp.where(interior, jnp.asarray(rng.normal(size=(hp, w))), 0.0)
+    kneg = tuple(tuple(-dt * dt * cc for cc in row)
+                 for row in s.stiff.stencil)
+    r0, x0, rn2, xn2 = recurrence_r0_pallas(
+        u, up, k_stencil=kneg, c_u=c_u, c_up=c_up, block_rows=8,
+        true_rows=h, true_cols=w, interpret=True)
+    combo = c_u * u + c_up * up
+    want_r0 = jnp.where(interior, apply_stencil_diff(combo, kneg), 0.0)
+    want_x0 = jnp.where(interior, 2.0 * u - up, 0.0)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(want_r0),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(want_x0),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(float(rn2[0, 0]),
+                               float(jnp.vdot(want_r0, want_r0)), rtol=1e-5)
+    np.testing.assert_allclose(float(xn2[0, 0]),
+                               float(jnp.vdot(want_x0, want_x0)), rtol=1e-5)
+
+
 def test_theta_r0_kernels_match_xla():
     """theta_r0u/theta_r0v == the XLA roll-path residual algebra on
     interior nodes (f64, interpret mode)."""

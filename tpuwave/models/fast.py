@@ -60,6 +60,42 @@ class FastState(NamedTuple):
     a: jax.Array
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s = fl(a + b) and the EXACT rounding error err, so
+    a + b == s + err in exact arithmetic. Branch-free (no magnitude
+    ordering needed); 6 flops, fuses into the surrounding elementwise
+    kernel."""
+    s = a + b
+    z = s - a
+    err = (a - (s - z)) + (b - z)
+    return s, err
+
+
+def _fast_two_sum(a, b):
+    """Dekker Fast2Sum: requires |a| >= |b| (true when a is the
+    state-scale head and b the eps-scale tail). 3 flops."""
+    s = a + b
+    err = (a - s) + b
+    return s, err
+
+
+class CompensatedState(NamedTuple):
+    """f32 state with exact rounding-error carries (~f48 effective).
+
+    The displacement recurrences (leapfrog, implicit 2-term) carry
+    velocity implicitly as (u^n - u^{n-1})/dt, so every eps*|u|-level
+    rounding of the state update is an incoherent velocity kick that the
+    undamped recurrence amplifies by ~1/(omega dt) per mode (see
+    run_implicit_mg_2term). Carrying the update's exact rounding error
+    (TwoSum) in a second f32 array removes those kicks: the pair
+    (u, u_lo) represents the state to ~2^-45.
+    """
+    u: jax.Array
+    u_lo: jax.Array
+    u_prev: jax.Array
+    u_prev_lo: jax.Array
+
+
 class LeapfrogState(NamedTuple):
     """Two-array state for the explicit fast path.
 
@@ -355,6 +391,40 @@ class FastWaveSolver:
 
     def run_leapfrog_scan(self, state: LeapfrogState, n_steps: int) -> LeapfrogState:
         return cached_scan(self, "leapfrog", self.leapfrog_step, n_steps)(state)
+
+    # ------------------------------------------------------------------
+    # error-compensated leapfrog: f32 state + exact rounding-error
+    # carries (~f48 effective) — the accuracy mode of the explicit path
+    # (see CompensatedState). ~2x the arithmetic of leapfrog_step (one
+    # extra stencil apply on the eps-scale tail + TwoSum bookkeeping).
+    # ------------------------------------------------------------------
+    def initial_compensated_state(self, u0_fn, v0_fn=None) -> CompensatedState:
+        lf = self.initial_leapfrog_state(u0_fn, v0_fn)
+        zero = jnp.zeros_like(lf.u)
+        return CompensatedState(u=lf.u, u_lo=zero, u_prev=lf.u_prev,
+                                u_prev_lo=zero)
+
+    def leapfrog_step_compensated(self,
+                                  state: CompensatedState) -> CompensatedState:
+        """u_next = 2u - u_prev - dt^2 M_L^{-1} K u on the (head, tail)
+        pair: K applied to head AND tail (K is linear, the tail apply is
+        exact relative to its eps-scale), the head combination tracked
+        by TwoSum so its rounding lands in the next tail."""
+        dt2 = self.dt * self.dt
+        uh, ul, ph, pl = state
+        d = -(dt2 * self.inv_lumped) * (self._stiff_diff(uh)
+                                        + self._stiff_diff(ul))
+        t, r1 = _two_sum(2.0 * uh, -ph)      # 2*uh is exact in binary fp
+        small = (2.0 * ul - pl) + (d + r1)
+        un, un_lo = _fast_two_sum(t, small)  # |t| ~ |u| >> |small|
+        un = jnp.where(self.boundary, 0.0, un).astype(self.dtype)
+        un_lo = jnp.where(self.boundary, 0.0, un_lo).astype(self.dtype)
+        return CompensatedState(u=un, u_lo=un_lo, u_prev=uh, u_prev_lo=ul)
+
+    def run_leapfrog_compensated(self, state: CompensatedState,
+                                 n_steps: int) -> CompensatedState:
+        return cached_scan(self, "leapfrog_comp",
+                           self.leapfrog_step_compensated, n_steps)(state)
 
     # ------------------------------------------------------------------
     # fused Pallas leapfrog (ops/pallas_kernels.py): minimum-HBM-traffic
@@ -804,7 +874,7 @@ class FastWaveSolver:
 
         if use_pallas:
             from tpuwave.ops.pallas_kernels import (
-                constrained_stencil_apply_pallas)
+                constrained_stencil_apply_pallas, recurrence_r0_pallas)
             from tpuwave.solve.multigrid import PallasGmgPreconditioner
             precond = PallasGmgPreconditioner(
                 base.levels, base.coarse_theta, base.coarse_coeffs,
@@ -812,10 +882,10 @@ class FastWaveSolver:
             kw = dict(block_rows=block_rows, true_rows=h, true_cols=w,
                       interpret=interpret)
             a_st = self.system.stencil
-            # fold -dt^2 into the K stencil so the r0 pass emits the
-            # residual directly; diff=True evaluates the zero-row-sum
-            # stencil in difference form (r0 must not be bound by the
-            # direct form's f32 cancellation noise — see apply_stencil_diff)
+            # fold -dt^2 into the K stencil so the setup pass emits the
+            # residual directly; the kernel evaluates it in zero-row-sum
+            # difference form (r0 must not be bound by the direct form's
+            # f32 cancellation noise — see apply_stencil_diff)
             kneg = tuple(tuple(-dt * dt * cc for cc in row)
                          for row in self.stiff.stencil)
 
@@ -823,34 +893,32 @@ class FastWaveSolver:
                 return constrained_stencil_apply_pallas(
                     x, stencil=a_st, diag=a_st[1][1], **kw)
 
-            def r0_of(combo):
-                return constrained_stencil_apply_pallas(
-                    combo, stencil=kneg, diag=0.0, diff=True, **kw)
-
-            ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-            ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-            interior = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
+            def setup(cu, cup):
+                # fused: x0, r0 and both stopping norms in ONE halo pass
+                return recurrence_r0_pallas(cu, cup, k_stencil=kneg,
+                                            c_u=c_u, c_up=c_up, **kw)
         else:
             precond = base
             apply_sys = self._constrained(self.system)
             interior = self.interior
 
-            def r0_of(combo):
-                return jnp.where(interior,
-                                 (-dt * dt) * self._stiff_diff(combo), 0.0)
+            def setup(cu, cup):
+                combo = (cu if (c_u == 1.0 and c_up == 0.0)
+                         else c_u * cu + c_up * cup)
+                r0 = jnp.where(interior,
+                               (-dt * dt) * self._stiff_diff(combo), 0.0)
+                x0 = jnp.where(interior, 2.0 * cu - cup, 0.0)
+                return r0, x0, jnp.vdot(r0, r0), jnp.vdot(x0, x0)
 
         def step(c):
             cu, cup = c
-            combo = (cu if (c_u == 1.0 and c_up == 0.0)
-                     else c_u * cu + c_up * cup)
-            r0 = r0_of(combo)
-            x0 = jnp.where(interior, 2.0 * cu - cup, 0.0)
-            rn2 = jnp.vdot(r0, r0)
-            norm_r0 = jnp.sqrt(rn2).astype(self.dtype)
+            r0, x0, rn2, xn2 = setup(cu, cup)
+            rn2 = jnp.reshape(rn2, ())
+            xn2 = jnp.reshape(xn2, ())
             abs_tol = (1e-12 if eta is None
                        else jnp.minimum(
-                           eta * s_abs * jnp.linalg.norm(x0),
-                           0.5 * norm_r0))
+                           eta * s_abs * jnp.sqrt(xn2),
+                           0.5 * jnp.sqrt(rn2)).astype(self.dtype))
             res = pcg(apply_sys, r0, jnp.zeros_like(r0), r0=r0,
                       norm0_sq=rn2, precond_inv_diag=precond,
                       abs_tol=abs_tol, max_iter=max_iter,
@@ -867,6 +935,129 @@ class FastWaveSolver:
             return LeapfrogState(u=u_fin[:h, :w], u_prev=up_fin[:h, :w])
         u_fin, up_fin = runner((state.u, state.u_prev))
         return LeapfrogState(u=u_fin, u_prev=up_fin)
+
+    # ------------------------------------------------------------------
+    # error-compensated displacement-form stepping: the accuracy mode of
+    # run_implicit_mg_2term. Same recurrence on a (head, tail) f32 pair
+    # (CompensatedState): K applied to head AND tail in the r0 pass and
+    # the extrapolation 2u - u_prev tracked by TwoSum, so the per-step
+    # eps*|u| rounding kicks that the undamped recurrence amplifies by
+    # ~1/(omega dt) land in the tail instead of the trajectory.
+    # ------------------------------------------------------------------
+    def implicit_2term_init_comp(self, state: FastState, *,
+                                 pre_degree: int = 1,
+                                 smooth_range: float = 8.0,
+                                 coarse_tol: float = 1e-2) -> CompensatedState:
+        lf = self.implicit_2term_init(state, pre_degree=pre_degree,
+                                      smooth_range=smooth_range,
+                                      coarse_tol=coarse_tol)
+        zero = jnp.zeros_like(lf.u)
+        return CompensatedState(u=lf.u, u_lo=zero, u_prev=lf.u_prev,
+                                u_prev_lo=zero)
+
+    def implicit_2term_finish_comp(self, state: CompensatedState) -> FastState:
+        return self.implicit_2term_finish(
+            LeapfrogState(u=state.u, u_prev=state.u_prev))
+
+    def run_implicit_mg_2term_comp(self, state: CompensatedState,
+                                   n_steps: int, *, pre_degree: int = 1,
+                                   smooth_range: float = 8.0,
+                                   coarse_tol: float = 1e-2,
+                                   block_rows: int = 128,
+                                   pallas: bool = True,
+                                   tol_factor: float = 1.0,
+                                   interpret: bool = False) -> CompensatedState:
+        """Compensated variant of ``run_implicit_mg_2term`` (f32 only —
+        in f64 use the plain path). Costs one extra stencil pass (K on
+        the tail) + TwoSum bookkeeping per step; ``tol_factor`` scales
+        the noise-anchored stopping floor (smaller = more CG iterations
+        = lower solve-leftover noise)."""
+        if self.dtype == jnp.float64:
+            raise ValueError("compensated stepping is the f32 accuracy "
+                             "mode; run the plain 2-term path in f64")
+        if self.scheme == "newmark":
+            if self.beta <= 1e-12:
+                raise ValueError("needs beta > 0 for Newmark")
+            c_u, c_up = self.gamma + 0.5, 0.5 - self.gamma
+        elif self.scheme == "theta":
+            c_u, c_up = 2.0 * self.theta, 1.0 - 2.0 * self.theta
+        else:
+            raise ValueError("needs scheme newmark/theta")
+        h, w = self.shape
+        dt = self.dt
+        base = self.gmg_preconditioner(
+            pre_degree=pre_degree, smooth_range=smooth_range,
+            coarse_tol=coarse_tol)
+        max_iter = 2000
+        eta = float(jnp.finfo(self.dtype).eps) * float(tol_factor)
+        s_abs = (abs(c_u) + abs(c_up)) * dt * dt * sum(
+            abs(cc) for row in self.stiff.stencil for cc in row)
+
+        hp = -(-h // block_rows) * block_rows
+        wp = -(-w // 128) * 128
+        use_pallas = (pallas and len(base.levels) >= 2
+                      and hp // block_rows >= 2)
+        if use_pallas:
+            from tpuwave.ops.pallas_kernels import (
+                constrained_stencil_apply_pallas)
+            from tpuwave.solve.multigrid import PallasGmgPreconditioner
+            precond = PallasGmgPreconditioner(
+                base.levels, base.coarse_theta, base.coarse_coeffs,
+                block_rows=block_rows, interpret=interpret)
+            a_st = self.system.stencil
+
+            def apply_sys(x):
+                return constrained_stencil_apply_pallas(
+                    x, stencil=a_st, diag=a_st[1][1],
+                    block_rows=block_rows, true_rows=h, true_cols=w,
+                    interpret=interpret)
+
+            ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+            interior = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
+        else:
+            precond = base
+            apply_sys = self._constrained(self.system)
+            interior = self.interior
+
+        def step(c):
+            uh, ul, ph, pl = c
+            if c_u == 1.0 and c_up == 0.0:
+                combo_h, combo_l = uh, ul
+            else:
+                combo_h = c_u * uh + c_up * ph
+                combo_l = c_u * ul + c_up * pl
+            # K on head AND tail: the pair represents the state to ~2^-45,
+            # so r0 carries no eps*|u| input-representation noise
+            r0 = jnp.where(interior,
+                           (-dt * dt) * (self._stiff_diff(combo_h)
+                                         + self._stiff_diff(combo_l)),
+                           0.0)
+            rn2 = jnp.vdot(r0, r0)
+            xnorm = jnp.linalg.norm(jnp.where(interior, 2.0 * uh - ph, 0.0))
+            abs_tol = jnp.minimum(eta * s_abs * xnorm,
+                                  0.5 * jnp.sqrt(rn2)).astype(self.dtype)
+            res = pcg(apply_sys, r0, jnp.zeros_like(r0), r0=r0,
+                      norm0_sq=rn2, precond_inv_diag=precond,
+                      abs_tol=abs_tol, max_iter=max_iter,
+                      reduction=self.cg_reduction)
+            t, r1 = _two_sum(2.0 * uh, -ph)
+            small = (2.0 * ul - pl) + (res.x + r1)
+            un, un_lo = _fast_two_sum(t, small)
+            un = jnp.where(interior, un, 0.0).astype(self.dtype)
+            un_lo = jnp.where(interior, un_lo, 0.0).astype(self.dtype)
+            return CompensatedState(u=un, u_lo=un_lo, u_prev=uh,
+                                    u_prev_lo=ul)
+
+        runner = cached_scan(self, ("mg2c", pre_degree, smooth_range,
+                                    coarse_tol, block_rows, use_pallas,
+                                    tol_factor, interpret), step, n_steps)
+        if use_pallas:
+            def pad(x):
+                return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
+            out = runner(CompensatedState(*(pad(x) for x in state)))
+            return CompensatedState(*(x[:h, :w] for x in out))
+        return runner(state)
 
     # ------------------------------------------------------------------
     # implicit stepping with the fused pallas constrained-apply kernel

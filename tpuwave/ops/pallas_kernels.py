@@ -354,6 +354,113 @@ def newmark_rhs_r0_pallas(u, v, a, *, k_stencil: Tuple, a_stencil: Tuple,
     )(u, v, a)
 
 
+def _recurrence_r0_kernel(u_hbm, up_hbm, out_r0_ref, out_x0_ref, out_rn_ref,
+                          out_xn_ref, scr_u, scr_up, sem_u, sem_up, *,
+                          k_stencil, c_u: float, c_up: float,
+                          block_rows: int, n_rows: int, n_cols: int,
+                          true_cols: int):
+    """Fused displacement-recurrence solve setup (models/fast.py::
+    run_implicit_mg_2term): x0 = masked(2 u - u_prev),
+    r0 = masked(DiffStencil(kneg, c_u u + c_up u_prev)) with kneg the
+    -dt^2-scaled stiffness stencil in zero-row-sum difference form, plus
+    the ||r0||^2 / ||x0||^2 partials for the stopping rule — one halo
+    pass over (u, u_prev) instead of four XLA passes."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = _HALO
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols)
+    _halo_dma(up_hbm, scr_up, sem_up, i, n_blocks, br, n_cols)
+
+    pinned = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
+    u = scr_u[:, :]
+    up = scr_up[:, :]
+    if c_u == 1.0 and c_up == 0.0:
+        combo = u
+    else:
+        combo = c_u * u + c_up * up
+    combo = jnp.where(pinned, 0.0, combo)
+    r_full = _rolled_stencil_diff(combo, k_stencil, n_cols)
+    x0 = jnp.where(pinned, 0.0, 2.0 * u - up)
+    cen = slice(hh, hh + br)
+    r0c = jnp.where(pinned, 0.0, r_full)[cen, :]
+    x0c = x0[cen, :]
+    out_r0_ref[:, :] = r0c.astype(out_r0_ref.dtype)
+    out_x0_ref[:, :] = x0c.astype(out_x0_ref.dtype)
+
+    @pl.when(i == 0)
+    def _zero():
+        out_rn_ref[0, 0] = jnp.zeros((), jnp.float32)
+        out_xn_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    r32 = r0c.astype(jnp.float32)
+    x32 = x0c.astype(jnp.float32)
+    out_rn_ref[0, 0] += jnp.sum(r32 * r32)
+    out_xn_ref[0, 0] += jnp.sum(x32 * x32)
+
+
+@functools.partial(jax.jit, static_argnames=("k_stencil", "c_u", "c_up",
+                                             "block_rows", "true_rows",
+                                             "true_cols", "interpret"))
+def recurrence_r0_pallas(u, u_prev, *, k_stencil: Tuple, c_u: float,
+                         c_up: float, block_rows: int = 128,
+                         true_rows: int = None, true_cols: int = None,
+                         interpret: bool = False):
+    """Returns (r0, x0, ||r0||^2, ||x0||^2) for the displacement-form
+    implicit step in one fused pass. ``k_stencil`` must already carry
+    the -dt^2 scale; it is evaluated in difference form (zero row sum).
+    Same padding contract as the other kernels."""
+    h, w = u.shape
+    if block_rows % _HALO != 0:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"{_HALO}")
+    if h % block_rows != 0:
+        raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
+    if w % 128 != 0 and not interpret:
+        raise ValueError(f"cols {w} not a multiple of 128 (pad + mask)")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+    if grid < 2:
+        raise ValueError("need at least 2 row blocks; use the XLA path")
+
+    kernel = functools.partial(
+        _recurrence_r0_kernel, k_stencil=k_stencil, c_u=float(c_u),
+        c_up=float(c_up), block_rows=block_rows, n_rows=n_rows, n_cols=w,
+        true_cols=n_cols_true)
+
+    slab = (block_rows + 2 * _HALO, w)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=(
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM(slab, u.dtype), pltpu.VMEM(slab, u.dtype),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u, u_prev)
+
+
 def _theta_r0u_kernel(u_hbm, v_hbm, out_r0_ref, out_rn_ref, out_bn_ref,
                       out_xn_ref, scr_u, scr_v, sem_u, sem_v, *, m_stencil,
                       k_stencil, c_comb: float, c_r0k: float, c_mv: float,
