@@ -684,6 +684,27 @@ def test_p2canvas_2term_matches_3array(scheme, kw, check_a):
         assert float(jnp.linalg.norm(r - g)) / denom < tol, name
 
 
+def test_implicit_2term_sharded_matches_single():
+    """The XLA 2-term path under 8-way row sharding (GSPMD collective-
+    permute halos + psum'd norms) matches single-device."""
+    from tpuwave.parallel.sharding import device_mesh, grid_sharding
+    mesh = device_mesh(8)
+    sh = grid_sharding(mesh)
+    mk = lambda s: FastWaveSolver((16, 23), GEOM, 0.02, scheme="newmark",
+                                  beta=0.25, lumped=False,
+                                  dtype=jnp.float64, sharding=s)
+    single = mk(None)
+    st = single.initial_state_consistent(_standing_u0)
+    ref = single.run_implicit_mg_2term(single.implicit_2term_init(st), 10,
+                                       pallas=False)
+    sharded = mk(sh)
+    st_s = sharded.initial_state_consistent(_standing_u0)
+    got = sharded.run_implicit_mg_2term(sharded.implicit_2term_init(st_s),
+                                        10, pallas=False)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(ref.u),
+                               atol=1e-12)
+
+
 def test_implicit_2term_compensated_beats_plain():
     """run_implicit_mg_2term_comp with a tightened noise floor tracks the
     f64 2-term trajectory well below the plain f32 path (the CG-leftover
