@@ -186,3 +186,50 @@ def test_multipiece_vtu_record(tmp_path):
             assert shard[gi] == pid
             seen[gi] += 1
     assert (seen == 1).all()
+
+
+def test_per_process_piece_writing(tmp_path):
+    """Multi-host piece ownership: ``only_pieces`` writes just those piece
+    files (the record still references all), ``write_record=False``
+    suppresses the .pvtu — the union over "processes" equals a full write."""
+    from tpuwave.utils.vtu import write_vtu_record
+
+    m = StructuredTriMesh((4, 8), ((0.0, 0.0), (1.0, 1.0)))
+    u = np.arange(m.n_vertices, dtype=np.float64)
+    cy = m.vertex_coords[m.cells, 1].mean(axis=1)
+    shard = np.minimum((cy * 4).astype(np.int64), 3)
+
+    # "process 1": pieces {2, 3}, no record
+    out = write_vtu_record(tmp_path, "solution", 1, m.vertex_coords,
+                           m.cells, {"u": u}, cell_shard=shard,
+                           only_pieces=frozenset({2, 3}), write_record=False)
+    assert out is None
+    assert not (tmp_path / "solution_0001.pvtu").exists()
+    assert not (tmp_path / "solution_0001.0.vtu").exists()
+    assert not (tmp_path / "solution_0001.1.vtu").exists()
+    assert (tmp_path / "solution_0001.2.vtu").exists()
+    assert (tmp_path / "solution_0001.3.vtu").exists()
+
+    # "process 0": pieces {0, 1} + the record referencing all four
+    record = write_vtu_record(tmp_path, "solution", 1, m.vertex_coords,
+                              m.cells, {"u": u}, cell_shard=shard,
+                              only_pieces=frozenset({0, 1}), write_record=True)
+    pvtu = record.read_text()
+    for pid in range(4):
+        assert f'<Piece Source="solution_0001.{pid}.vtu"/>' in pvtu
+        assert (tmp_path / f"solution_0001.{pid}.vtu").exists()
+
+    # the union of the two partial writes is byte-identical to a full write
+    full = tmp_path / "full"
+    write_vtu_record(full, "solution", 1, m.vertex_coords, m.cells,
+                     {"u": u}, cell_shard=shard)
+    for pid in range(4):
+        assert ((full / f"solution_0001.{pid}.vtu").read_bytes()
+                == (tmp_path / f"solution_0001.{pid}.vtu").read_bytes())
+    assert (full / "solution_0001.pvtu").read_bytes() == record.read_bytes()
+
+    # single-piece path honors the same contract
+    out = write_vtu_record(tmp_path, "single", 0, m.vertex_coords, m.cells,
+                           {"u": u}, only_pieces=frozenset(),
+                           write_record=False)
+    assert out is None and not list(tmp_path.glob("single*"))

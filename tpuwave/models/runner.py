@@ -185,8 +185,27 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
         (np.maximum(cy - y0, 0.0) / max(y1 - y0, 1e-300)
          * n_pieces).astype(np.int64), n_pieces - 1)
 
+    # multi-host: each process writes only the pieces owned by its local
+    # devices (row-block shard i of n lives on jax.devices()[i] when the
+    # piece count matches the device count); process 0 writes the .pvtu
+    # referencing all of them — the reference's per-rank VTU + collective
+    # record (WaveEquationBase.cpp:363-364) without funnelling every
+    # shard's data through one host.
+    import jax as _jax
+    if _jax.process_count() > 1:
+        devs = _jax.devices()
+        me = _jax.process_index()
+        local_pieces = frozenset(
+            pid for pid in range(n_pieces)
+            if devs[min(pid * len(devs) // n_pieces,
+                        len(devs) - 1)].process_index == me)
+    else:
+        local_pieces = None  # single process writes everything
+
     def output(timestep: int, t: float):
-        if not save_solution or not primary:
+        if not save_solution:
+            return
+        if not primary and not local_pieces:
             return
         nv = d.mesh.n_vertices
         point_data = {"u": np.asarray(state.u)[:nv], "v": np.asarray(state.v)[:nv]}
@@ -194,7 +213,8 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
             ex = d.interpolate(p.solution, t)
             point_data["u_exact"] = np.asarray(ex)[:nv]
         write_vtu_record(folder, "solution", timestep, d.mesh.vertex_coords,
-                         d.mesh.cells, point_data, cell_shard=cell_shard)
+                         d.mesh.cells, point_data, cell_shard=cell_shard,
+                         only_pieces=local_pieces, write_record=primary)
 
     timestep_number = 0
     current_time = 0.0

@@ -42,7 +42,9 @@ def write_vtu_record(folder, basename: str, counter: int,
                      point_data: Dict[str, np.ndarray],
                      cell_data: Optional[Dict[str, np.ndarray]] = None,
                      n_digits: int = 4,
-                     cell_shard: Optional[np.ndarray] = None) -> Path:
+                     cell_shard: Optional[np.ndarray] = None,
+                     only_pieces=None,
+                     write_record: bool = True) -> Optional[Path]:
     """Write ``<basename>_<counter>.<p>.vtu`` piece(s) + ``.pvtu`` record.
 
     points: (N, 2) or (N, 3); cells: (E, 3) triangle connectivity.
@@ -51,6 +53,13 @@ def write_vtu_record(folder, basename: str, counter: int,
     reference's one-VTU-per-MPI-rank ``write_vtu_with_pvtu_record``,
     WaveEquationBase.cpp:330-365) and the ``partitioning`` cell field
     carries the real shard id. Returns the path of the .pvtu record.
+
+    Multi-host: ``only_pieces`` restricts which piece files THIS process
+    writes (ids outside the set are skipped, but the .pvtu still references
+    all of them), and ``write_record=False`` suppresses the .pvtu — so each
+    process emits only its local shards' pieces while process 0 also writes
+    the record, like the reference's per-rank VTU + rank-0 pvtu. Returns
+    None when the record is suppressed.
     """
     folder = Path(folder)
     folder.mkdir(parents=True, exist_ok=True)
@@ -64,6 +73,9 @@ def write_vtu_record(folder, basename: str, counter: int,
             pts2 = np.asarray(points, dtype=np.float64)
             piece_names = []
             for pid in range(n_pieces):
+                piece_names.append(f"{stem}.{pid}.vtu")
+                if only_pieces is not None and pid not in only_pieces:
+                    continue
                 mask = shard == pid
                 pc = cells[mask]
                 uniq, local = np.unique(pc, return_inverse=True)
@@ -72,16 +84,21 @@ def write_vtu_record(folder, basename: str, counter: int,
                 lcd = {k: np.asarray(v, dtype=np.float64)[mask]
                        for k, v in (cell_data or {}).items()}
                 lcd["partitioning"] = np.full(pc.shape[0], float(pid))
-                piece_names.append(_write_piece(
-                    folder, f"{stem}.{pid}.vtu", pts2[uniq],
-                    local.reshape(pc.shape).astype(np.int32), lpd, lcd))
+                _write_piece(folder, piece_names[-1], pts2[uniq],
+                             local.reshape(pc.shape).astype(np.int32),
+                             lpd, lcd)
+            if not write_record:
+                return None
             return _write_pvtu(folder, stem, piece_names, point_data,
                                dict(cell_data or {}, partitioning=None))
         cell_data = dict(cell_data or {},
                          partitioning=np.zeros(cells.shape[0]))
 
-    piece = _write_piece(folder, f"{stem}.0.vtu", points, cells,
-                         point_data, cell_data)
+    piece = f"{stem}.0.vtu"
+    if only_pieces is None or 0 in only_pieces:
+        _write_piece(folder, piece, points, cells, point_data, cell_data)
+    if not write_record:
+        return None
     return _write_pvtu(folder, stem, [piece], point_data, cell_data)
 
 
