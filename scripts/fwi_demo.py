@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Full-waveform-inversion demo: recover a buried low-velocity anomaly.
+
+Showcases the differentiable forward model (tpuwave/models/inverse.py):
+``jax.grad`` through the whole leapfrog time loop gives adjoint-state
+gradients of the receiver-data misfit wrt the per-cell squared wave speed,
+and a few dozen Adam iterations image the anomaly. The C++/MPI reference
+has no analogue of this capability.
+
+Usage:
+    python scripts/fwi_demo.py [--nel 32] [--steps 160] [--iters 60]
+                               [--out /tmp/fwi]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nel", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=160)
+    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--dt", type=float, default=0.006)
+    ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from tpuwave import config
+    config.use_x64()
+    import jax.numpy as jnp
+    import numpy as np
+    from tpuwave.models.inverse import FwiProblem
+
+    # sources/receivers around the domain edge, anomaly in the middle
+    recs = [(x, y) for x in (0.15, 0.5, 0.85) for y in (0.15, 0.85)]
+    recs += [(0.15, 0.5), (0.85, 0.5)]
+    p = FwiProblem((args.nel, args.nel), ((0.0, 0.0), (1.0, 1.0)),
+                   args.dt, args.steps, source=(0.25, 0.5), receivers=recs)
+
+    cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
+    inside = np.sum((cent - [0.6, 0.5]) ** 2, axis=1) < 0.18 ** 2
+    c2_true = jnp.asarray(np.where(inside, 0.65, 1.0))
+    print(f"mesh {args.nel}x{args.nel} ({p.n_cells} cells, "
+          f"{p.n_vertices} vertices), {args.steps} steps, "
+          f"{len(recs)} receivers")
+
+    d_obs = p.simulate(c2_true)
+    m0 = float(p.misfit(jnp.ones(p.n_cells), d_obs))
+    print(f"initial misfit (homogeneous start): {m0:.6e}")
+
+    t0 = time.perf_counter()
+    res = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=args.iters,
+                   learning_rate=args.lr, bounds=(0.3, 2.0), verbose=True)
+    dt_wall = time.perf_counter() - t0
+
+    delta = np.asarray(res.c2) - 1.0
+    print(f"\n{args.iters} Adam iterations in {dt_wall:.2f}s "
+          f"({dt_wall / args.iters * 1e3:.1f} ms/iter, forward+adjoint)")
+    print(f"misfit {m0:.3e} -> {res.misfits[-1]:.3e} "
+          f"({m0 / max(res.misfits[-1], 1e-300):.0f}x down)")
+    print(f"recovered anomaly: mean dc2 inside {delta[inside].mean():+.4f} "
+          f"(true -0.35), outside {delta[~inside].mean():+.4f} (true 0)")
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        np.savez(os.path.join(args.out, "fwi_result.npz"),
+                 c2_true=np.asarray(c2_true), c2_recovered=np.asarray(res.c2),
+                 misfits=res.misfits, centroids=cent)
+        print(f"arrays written to {args.out}/fwi_result.npz")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

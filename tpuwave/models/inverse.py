@@ -1,0 +1,216 @@
+"""Differentiable wave propagation + full-waveform inversion (FWI).
+
+A capability the C++/MPI reference cannot offer: the whole forward model
+(P1 FEM, lumped-mass leapfrog, reference scheme of WaveNewmark.cpp:24-37 at
+beta=0 with row-sum lumping) is a pure JAX function of the per-cell squared
+wave speed ``c2_cell``, so ``jax.grad`` differentiates the data misfit
+through the entire time loop — the adjoint-state method for free, compiled
+for TPU. Memory for reverse mode is kept linear-in-steps-but-small via
+``jax.checkpoint`` on the scan body (recompute-in-backward), the standard
+remat trade documented in the JAX/TPU playbooks.
+
+Forward model
+-------------
+    M_L u''  +  K(c2) u = w(t) e_src,     u|dOmega = 0,   u(0)=u0, u'(0)=0
+
+with K(c2) the P1 stiffness assembled matrix-free per element
+(gather -> scaled class matvec -> segment_sum, ops/operators.py): for P1 the
+element stiffness factorises as ``K_e = s_e * G_class`` with
+``s_e = detJ * w_sum * c2_e`` (ops/assembly.py::element_stiffness_scaled),
+so c2 enters the compiled graph only through the per-element scale — the
+gradient wrt c2 costs one extra gather/scatter in the backward pass.
+
+Leapfrog recurrence (the framework's production explicit scheme,
+models/fast.py::leapfrog_step, equivalent to reference central differences):
+
+    u^{n+1} = 2 u^n - u^{n-1} + dt^2 M_L^{-1} (w_n e_src - K u^n)
+
+with homogeneous Dirichlet rows pinned each step. Receiver traces are the
+per-step solution samples at chosen vertices; the misfit is the usual
+0.5 * sum (d_sim - d_obs)^2.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuwave.config import default_float
+from tpuwave.core.mesh import FeSpace, StructuredTriMesh
+from tpuwave.core.quadrature import gauss_simplex
+
+__all__ = ["FwiProblem", "ricker_wavelet"]
+
+
+def ricker_wavelet(times, peak_freq: float, delay: Optional[float] = None):
+    """Ricker (Mexican-hat) source wavelet w(t), the standard FWI source."""
+    times = np.asarray(times, dtype=np.float64)
+    t0 = delay if delay is not None else 1.2 / peak_freq
+    arg = (np.pi * peak_freq * (times - t0)) ** 2
+    return (1.0 - 2.0 * arg) * np.exp(-arg)
+
+
+class FwiResult(NamedTuple):
+    c2: jax.Array            # recovered per-cell squared wave speed
+    misfits: np.ndarray      # misfit value per iteration (n_iter,)
+
+
+class FwiProblem:
+    """Differentiable forward model + adjoint gradients + inversion loop.
+
+    Parameters
+    ----------
+    nel : (nx, ny) structured-rectangle resolution (2 triangles per cell,
+        reference GridGenerator::subdivided_hyper_rectangle_with_simplices,
+        WaveEquationBase.cpp:42-46).
+    geometry : ((x0, y0), (x1, y1)) bounding box.
+    dt, n_steps : time grid (t_n = n dt, n = 1..n_steps recorded).
+    source : (x, y) source location, snapped to the nearest vertex.
+    receivers : sequence of (x, y) receiver locations, snapped likewise.
+    wavelet : (n_steps,) nodal force time series at the source (default: a
+        Ricker wavelet auto-scaled to the time grid).
+    remat : checkpoint the scan body (recompute forward states in the
+        backward pass instead of storing every intermediate).
+    """
+
+    def __init__(self, nel: Tuple[int, int], geometry, dt: float,
+                 n_steps: int, *, source: Tuple[float, float],
+                 receivers: Sequence[Tuple[float, float]],
+                 wavelet: Optional[np.ndarray] = None,
+                 dtype=None, remat: bool = True):
+        self.dtype = dtype or default_float()
+        self.mesh = StructuredTriMesh(tuple(nel), geometry)
+        self.space = FeSpace(self.mesh, 1)
+        self.dt = float(dt)
+        self.n_steps = int(n_steps)
+        self.remat = bool(remat)
+
+        quad = gauss_simplex(2)  # assembly rule for r=1 (reference :82)
+        sh = self.space.shape_at(quad)
+        grads = self.space.physical_grads(sh)        # (2, Q, 3, 2)
+        # P1: q-independent physical gradients -> K_e = s_e * G_class
+        g = np.einsum("cqia,cqja->cqij", grads, grads)[:, 0]  # (2, 3, 3)
+        self._g_class = jnp.asarray(g, dtype=self.dtype)
+        self._w_sum = float(np.sum(quad.weights))    # reference-triangle area
+        self._det_j = float(self.mesh.det_j)
+
+        cells = np.asarray(self.mesh.cells, dtype=np.int32)  # (E, 3)
+        self._cells = jnp.asarray(cells)
+        self.n_cells = cells.shape[0]
+        self.n_vertices = self.mesh.n_vertices
+
+        # row-sum lumped mass (c-independent): each triangle puts detJ/6 on
+        # each of its vertices (ops/stencil.py::lumped_mass_grid, exact
+        # including boundary rows)
+        lumped = np.zeros(self.n_vertices)
+        np.add.at(lumped, cells.ravel(),
+                  np.full(cells.size, self._det_j / 6.0))
+        self._inv_lumped = jnp.asarray(1.0 / lumped, dtype=self.dtype)
+
+        self._interior = jnp.asarray(
+            ~self.mesh.boundary_vertex_mask, dtype=self.dtype)
+
+        coords = self.mesh.vertex_coords
+        self.source_vertex = int(np.argmin(
+            np.sum((coords - np.asarray(source)) ** 2, axis=1)))
+        self.receiver_vertices = jnp.asarray(
+            [int(np.argmin(np.sum((coords - np.asarray(r)) ** 2, axis=1)))
+             for r in receivers], dtype=jnp.int32)
+
+        if wavelet is None:
+            times = self.dt * np.arange(1, self.n_steps + 1)
+            wavelet = ricker_wavelet(times, peak_freq=1.0 / (20 * self.dt))
+        self.wavelet = jnp.asarray(
+            np.broadcast_to(np.asarray(wavelet), (self.n_steps,)),
+            dtype=self.dtype)
+
+    # -- forward model ------------------------------------------------------
+
+    def stiffness_apply(self, c2_cell, u):
+        """K(c2) u, matrix-free and traceable in ``c2_cell`` (n_cells,)."""
+        scale = (self._det_j * self._w_sum) * jnp.asarray(c2_cell, self.dtype)
+        ve = u[self._cells].reshape(-1, 2, 3)          # gather, class pairs
+        we = jnp.einsum("kij,ekj->eki", self._g_class, ve)
+        we = we * scale.reshape(-1, 2, 1)
+        return jax.ops.segment_sum(we.reshape(-1), self._cells.reshape(-1),
+                                   num_segments=self.n_vertices)
+
+    def simulate(self, c2_cell, u0: Optional[jax.Array] = None):
+        """Forward-propagate and return receiver traces (n_steps, n_rec).
+
+        Pure in (c2_cell, u0): safe under jit/grad/vmap. u'(0) = 0; the
+        first step is the standard second-order Taylor start
+        u^1 = u^0 + dt^2/2 M_L^{-1} (w_0 e_src - K u^0).
+        """
+        c2_cell = jnp.asarray(c2_cell, self.dtype)
+        dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
+        src = self.source_vertex
+
+        def forced_accel(u, w_n):
+            f = -self.stiffness_apply(c2_cell, u)
+            f = f.at[src].add(w_n)
+            return f * self._inv_lumped
+
+        if u0 is None:
+            u0 = jnp.zeros(self.n_vertices, self.dtype)
+        else:
+            u0 = jnp.asarray(u0, self.dtype)
+        u1 = u0 + 0.5 * dt2 * forced_accel(u0, self.wavelet[0])
+        u1 = u1 * self._interior
+
+        def body(carry, w_n):
+            u, u_prev = carry
+            u_next = 2.0 * u - u_prev + dt2 * forced_accel(u, w_n)
+            u_next = u_next * self._interior
+            return (u_next, u), u_next[self.receiver_vertices]
+
+        if self.remat:
+            body = jax.checkpoint(body)
+        first = u1[self.receiver_vertices]
+        (_, _), rest = jax.lax.scan(body, (u1, u0), self.wavelet[1:])
+        return jnp.concatenate([first[None], rest], axis=0)
+
+    # -- inversion ----------------------------------------------------------
+
+    def misfit(self, c2_cell, observed):
+        """0.5 * sum_{n,r} (d_sim - d_obs)^2 — the classic FWI objective."""
+        d = self.simulate(c2_cell) - jnp.asarray(observed, self.dtype)
+        return 0.5 * jnp.sum(d * d)
+
+    def misfit_and_grad(self, c2_cell, observed):
+        """(misfit, dmisfit/dc2_cell) via reverse-mode through the scan."""
+        return jax.value_and_grad(self.misfit)(
+            jnp.asarray(c2_cell, self.dtype), observed)
+
+    def invert(self, observed, c2_init, *, n_iter: int = 50,
+               learning_rate: float = 0.1,
+               bounds: Optional[Tuple[float, float]] = None,
+               verbose: bool = False) -> FwiResult:
+        """Adam descent on the misfit, with optional box projection on c2."""
+        import optax
+
+        observed = jnp.asarray(observed, self.dtype)
+        opt = optax.adam(learning_rate)
+        vg = jax.jit(jax.value_and_grad(self.misfit))
+
+        @jax.jit
+        def step(c2, opt_state):
+            val, g = vg(c2, observed)
+            updates, opt_state = opt.update(g, opt_state)
+            c2 = optax.apply_updates(c2, updates)
+            if bounds is not None:
+                c2 = jnp.clip(c2, bounds[0], bounds[1])
+            return c2, opt_state, val
+
+        c2 = jnp.asarray(c2_init, self.dtype)
+        opt_state = opt.init(c2)
+        misfits = np.empty(n_iter)
+        for i in range(n_iter):
+            c2, opt_state, val = step(c2, opt_state)
+            misfits[i] = float(val)
+            if verbose:
+                print(f"iter {i:3d}  misfit {misfits[i]:.6e}")
+        return FwiResult(c2=c2, misfits=misfits)
