@@ -29,6 +29,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--dt", type=float, default=0.006)
     ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--sponge", type=float, default=0.0,
+                    help="absorbing sponge layer width (0 = hard walls)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -42,7 +44,8 @@ def main() -> int:
     recs = [(x, y) for x in (0.15, 0.5, 0.85) for y in (0.15, 0.85)]
     recs += [(0.15, 0.5), (0.85, 0.5)]
     p = FwiProblem((args.nel, args.nel), ((0.0, 0.0), (1.0, 1.0)),
-                   args.dt, args.steps, source=(0.25, 0.5), receivers=recs)
+                   args.dt, args.steps, source=(0.25, 0.5), receivers=recs,
+                   sponge_width=args.sponge)
 
     cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
     inside = np.sum((cent - [0.6, 0.5]) ** 2, axis=1) < 0.18 ** 2

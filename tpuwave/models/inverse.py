@@ -74,13 +74,23 @@ class FwiProblem:
         Ricker wavelet auto-scaled to the time grid).
     remat : checkpoint the scan body (recompute forward states in the
         backward pass instead of storing every intermediate).
+    sponge_width : width (in physical units) of an absorbing sponge layer
+        along the boundary; 0 disables it (hard reflecting Dirichlet wall).
+        Inside the layer a damping sigma(x) = sponge_strength * q(x)^2 is
+        applied (q ramps 0 -> 1 toward the wall), turning the recurrence
+        into the damped leapfrog
+        (1 + s) u^{n+1} = 2 u^n - (1 - s) u^{n-1} + dt^2 M_L^{-1} (...),
+        s = sigma dt / 2 — the standard sponge/Cerjan absorbing boundary
+        for truncating open domains (seismic-imaging practice).
     """
 
     def __init__(self, nel: Tuple[int, int], geometry, dt: float,
                  n_steps: int, *, source: Tuple[float, float],
                  receivers: Sequence[Tuple[float, float]],
                  wavelet: Optional[np.ndarray] = None,
-                 dtype=None, remat: bool = True):
+                 dtype=None, remat: bool = True,
+                 sponge_width: float = 0.0,
+                 sponge_strength: float = 30.0):
         self.dtype = dtype or default_float()
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 1)
@@ -112,6 +122,25 @@ class FwiProblem:
 
         self._interior = jnp.asarray(
             ~self.mesh.boundary_vertex_mask, dtype=self.dtype)
+
+        # sponge/Cerjan damping profile sigma(x) per vertex (0 outside the
+        # layer); quadratic ramp toward the wall
+        coords_all = self.mesh.vertex_coords
+        (x0, y0), (x1, y1) = (self.mesh.origin,
+                              (self.mesh.origin[0] + self.mesh.extent[0],
+                               self.mesh.origin[1] + self.mesh.extent[1]))
+        if sponge_width > 0.0:
+            d_wall = np.minimum.reduce([coords_all[:, 0] - x0,
+                                        x1 - coords_all[:, 0],
+                                        coords_all[:, 1] - y0,
+                                        y1 - coords_all[:, 1]])
+            q = np.clip(1.0 - d_wall / float(sponge_width), 0.0, 1.0)
+            sigma = float(sponge_strength) * q * q
+        else:
+            sigma = np.zeros(self.n_vertices)
+        s_half = 0.5 * self.dt * sigma
+        self._damp_num = jnp.asarray(1.0 - s_half, dtype=self.dtype)
+        self._damp_den = jnp.asarray(1.0 / (1.0 + s_half), dtype=self.dtype)
 
         coords = self.mesh.vertex_coords
         self.source_vertex = int(np.argmin(
@@ -163,7 +192,8 @@ class FwiProblem:
 
         def body(carry, w_n):
             u, u_prev = carry
-            u_next = 2.0 * u - u_prev + dt2 * forced_accel(u, w_n)
+            u_next = (2.0 * u - self._damp_num * u_prev
+                      + dt2 * forced_accel(u, w_n)) * self._damp_den
             u_next = u_next * self._interior
             return (u_next, u), u_next[self.receiver_vertices]
 
