@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=0.02)
     ap.add_argument("--sponge", type=float, default=0.0,
                     help="absorbing sponge layer width (0 = hard walls)")
+    ap.add_argument("--shots", type=int, default=1,
+                    help=">1: multi-shot acquisition (vmapped shot axis, "
+                         "GSPMD-parallel across devices)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -54,13 +57,22 @@ def main() -> int:
           f"{p.n_vertices} vertices), {args.steps} steps, "
           f"{len(recs)} receivers")
 
-    d_obs = p.simulate(c2_true)
-    m0 = float(p.misfit(jnp.ones(p.n_cells), d_obs))
+    if args.shots > 1:
+        ring = [(0.2 + 0.6 * k / max(args.shots - 1, 1), 0.2)
+                for k in range(args.shots)]
+        srcs = p.snap_vertices(ring)
+        d_obs = p.simulate_shots(c2_true, srcs)
+        m0 = float(p.misfit_shots(jnp.ones(p.n_cells), srcs, d_obs))
+    else:
+        srcs = None
+        d_obs = p.simulate(c2_true)
+        m0 = float(p.misfit(jnp.ones(p.n_cells), d_obs))
     print(f"initial misfit (homogeneous start): {m0:.6e}")
 
     t0 = time.perf_counter()
     res = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=args.iters,
-                   learning_rate=args.lr, bounds=(0.3, 2.0), verbose=True)
+                   learning_rate=args.lr, bounds=(0.3, 2.0), sources=srcs,
+                   verbose=True)
     dt_wall = time.perf_counter() - t0
 
     delta = np.asarray(res.c2) - 1.0

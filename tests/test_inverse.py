@@ -153,3 +153,61 @@ def test_sponge_off_is_bitwise_noop():
     c2 = jnp.ones(p0.n_cells) * 1.2
     assert np.array_equal(np.asarray(p0.simulate(c2)),
                           np.asarray(p1.simulate(c2)))
+
+
+def test_multishot_vmap_matches_loop():
+    p = _problem(nel=(10, 10), n_steps=25)
+    srcs = p.snap_vertices([(0.3, 0.5), (0.7, 0.4), (0.5, 0.7)])
+    rng = np.random.default_rng(7)
+    c2 = jnp.asarray(1.0 + 0.1 * rng.random(p.n_cells))
+    wavs = jnp.asarray(rng.normal(size=(3, p.n_steps)))
+
+    batch = p.simulate_shots(c2, srcs, wavs)
+    assert batch.shape == (3, p.n_steps, 3)
+    for s in range(3):
+        one = p._propagate(c2, int(srcs[s]), wavs[s])
+        np.testing.assert_array_equal(np.asarray(batch[s]), np.asarray(one))
+
+
+def test_multishot_sharded_matches_unsharded():
+    """Shot parallelism over the 8-device virtual mesh: value and gradient
+    of the multi-shot misfit are identical with the shot axis sharded."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs 8 virtual devices")
+
+    p = _problem(nel=(10, 10), n_steps=20)
+    rng = np.random.default_rng(1)
+    pts = [(0.2 + 0.07 * i, 0.3 + 0.05 * i) for i in range(8)]
+    srcs = p.snap_vertices(pts)
+    c2 = jnp.asarray(1.0 + 0.1 * rng.random(p.n_cells))
+    obs = p.simulate_shots(jnp.ones(p.n_cells) * 1.1, srcs)
+
+    f = jax.jit(jax.value_and_grad(
+        lambda c2_, o: p.misfit_shots(c2_, srcs, o)))
+    v0, g0 = f(c2, obs)
+
+    mesh = Mesh(np.array(jax.devices()), ("s",))
+    obs_sh = jax.device_put(obs, NamedSharding(mesh, P("s")))
+    v1, g1 = f(c2, obs_sh)
+    assert float(v0) == pytest.approx(float(v1), rel=1e-13)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-12)
+
+
+def test_multishot_inversion():
+    p = _problem(nel=(12, 12), n_steps=60, dt=0.01)
+    srcs = p.snap_vertices([(0.2, 0.3), (0.2, 0.7), (0.5, 0.2)])
+    centroids = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
+    inside = np.sum((centroids - [0.5, 0.5]) ** 2, axis=1) < 0.2 ** 2
+    c2_true = jnp.asarray(np.where(inside, 0.75, 1.0))
+    obs = p.simulate_shots(c2_true, srcs)
+
+    res = p.invert(obs, jnp.ones(p.n_cells), sources=srcs, n_iter=30,
+                   learning_rate=0.02, bounds=(0.3, 2.0))
+    m0 = float(p.misfit_shots(jnp.ones(p.n_cells), srcs, obs))
+    assert res.misfits[-1] < 0.25 * m0
+    delta = np.asarray(res.c2) - 1.0
+    assert delta[inside].mean() < 0

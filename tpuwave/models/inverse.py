@@ -167,16 +167,11 @@ class FwiProblem:
         return jax.ops.segment_sum(we.reshape(-1), self._cells.reshape(-1),
                                    num_segments=self.n_vertices)
 
-    def simulate(self, c2_cell, u0: Optional[jax.Array] = None):
-        """Forward-propagate and return receiver traces (n_steps, n_rec).
-
-        Pure in (c2_cell, u0): safe under jit/grad/vmap. u'(0) = 0; the
-        first step is the standard second-order Taylor start
-        u^1 = u^0 + dt^2/2 M_L^{-1} (w_0 e_src - K u^0).
-        """
+    def _propagate(self, c2_cell, src, wavelet,
+                   u0: Optional[jax.Array] = None):
+        """Core leapfrog scan, traceable in (c2_cell, src, wavelet, u0)."""
         c2_cell = jnp.asarray(c2_cell, self.dtype)
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
-        src = self.source_vertex
 
         def forced_accel(u, w_n):
             f = -self.stiffness_apply(c2_cell, u)
@@ -187,7 +182,7 @@ class FwiProblem:
             u0 = jnp.zeros(self.n_vertices, self.dtype)
         else:
             u0 = jnp.asarray(u0, self.dtype)
-        u1 = u0 + 0.5 * dt2 * forced_accel(u0, self.wavelet[0])
+        u1 = u0 + 0.5 * dt2 * forced_accel(u0, wavelet[0])
         u1 = u1 * self._interior
 
         def body(carry, w_n):
@@ -200,8 +195,51 @@ class FwiProblem:
         if self.remat:
             body = jax.checkpoint(body)
         first = u1[self.receiver_vertices]
-        (_, _), rest = jax.lax.scan(body, (u1, u0), self.wavelet[1:])
+        (_, _), rest = jax.lax.scan(body, (u1, u0), wavelet[1:])
         return jnp.concatenate([first[None], rest], axis=0)
+
+    def simulate(self, c2_cell, u0: Optional[jax.Array] = None):
+        """Forward-propagate and return receiver traces (n_steps, n_rec).
+
+        Pure in (c2_cell, u0): safe under jit/grad/vmap. u'(0) = 0; the
+        first step is the standard second-order Taylor start
+        u^1 = u^0 + dt^2/2 M_L^{-1} (w_0 e_src - K u^0).
+        """
+        return self._propagate(c2_cell, self.source_vertex, self.wavelet, u0)
+
+    # -- multi-shot (survey-style acquisition) ------------------------------
+
+    def snap_vertices(self, points) -> jax.Array:
+        """Nearest-vertex ids for a list of (x, y) points (int32)."""
+        coords = self.mesh.vertex_coords
+        return jnp.asarray(
+            [int(np.argmin(np.sum((coords - np.asarray(p)) ** 2, axis=1)))
+             for p in points], dtype=jnp.int32)
+
+    def simulate_shots(self, c2_cell, sources, wavelets=None):
+        """Batch of independent shots via ``jax.vmap`` -> (S, n_steps, n_rec).
+
+        ``sources``: (S,) vertex ids (see :meth:`snap_vertices`);
+        ``wavelets``: (S, n_steps) per-shot source time series (default:
+        this problem's wavelet for every shot). The shot axis is
+        embarrassingly parallel — under jit with a sharded ``sources``
+        batch, GSPMD partitions it across the device mesh (shot/data
+        parallelism, the standard production-FWI scaling axis).
+        """
+        sources = jnp.asarray(sources, jnp.int32)
+        if wavelets is None:
+            wavelets = jnp.broadcast_to(self.wavelet,
+                                        (sources.shape[0], self.n_steps))
+        else:
+            wavelets = jnp.asarray(wavelets, self.dtype)
+        return jax.vmap(lambda s, w: self._propagate(c2_cell, s, w))(
+            sources, wavelets)
+
+    def misfit_shots(self, c2_cell, sources, observed, wavelets=None):
+        """0.5 * sum over shots/steps/receivers of the data residual^2."""
+        d = (self.simulate_shots(c2_cell, sources, wavelets)
+             - jnp.asarray(observed, self.dtype))
+        return 0.5 * jnp.sum(d * d)
 
     # -- inversion ----------------------------------------------------------
 
@@ -218,13 +256,26 @@ class FwiProblem:
     def invert(self, observed, c2_init, *, n_iter: int = 50,
                learning_rate: float = 0.1,
                bounds: Optional[Tuple[float, float]] = None,
+               sources=None, wavelets=None,
                verbose: bool = False) -> FwiResult:
-        """Adam descent on the misfit, with optional box projection on c2."""
+        """Adam descent on the misfit, with optional box projection on c2.
+
+        With ``sources`` given, ``observed`` is the (S, n_steps, n_rec)
+        multi-shot gather and the shot axis parallelises under GSPMD.
+        """
         import optax
 
         observed = jnp.asarray(observed, self.dtype)
+        if sources is None:
+            loss = self.misfit
+        else:
+            sources = jnp.asarray(sources, jnp.int32)
+
+            def loss(c2, obs):
+                return self.misfit_shots(c2, sources, obs, wavelets)
+
         opt = optax.adam(learning_rate)
-        vg = jax.jit(jax.value_and_grad(self.misfit))
+        vg = jax.jit(jax.value_and_grad(loss))
 
         @jax.jit
         def step(c2, opt_state):
