@@ -34,11 +34,16 @@ def main() -> int:
     ap.add_argument("--shots", type=int, default=1,
                     help=">1: multi-shot acquisition (vmapped shot axis, "
                          "GSPMD-parallel across devices)")
+    ap.add_argument("--engine", choices=("scatter", "grid"), default="grid",
+                    help="stiffness engine (grid = scatter-free TPU form)")
+    ap.add_argument("--dtype", choices=("f32", "f64"), default="f64",
+                    help="f32 for TPU-speed runs, f64 (default) for parity")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
     from tpuwave import config
-    config.use_x64()
+    if args.dtype == "f64":
+        config.use_x64()
     import jax.numpy as jnp
     import numpy as np
     from tpuwave.models.inverse import FwiProblem
@@ -48,7 +53,7 @@ def main() -> int:
     recs += [(0.15, 0.5), (0.85, 0.5)]
     p = FwiProblem((args.nel, args.nel), ((0.0, 0.0), (1.0, 1.0)),
                    args.dt, args.steps, source=(0.25, 0.5), receivers=recs,
-                   sponge_width=args.sponge)
+                   sponge_width=args.sponge, engine=args.engine)
 
     cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
     inside = np.sum((cent - [0.6, 0.5]) ** 2, axis=1) < 0.18 ** 2

@@ -211,3 +211,29 @@ def test_multishot_inversion():
     assert res.misfits[-1] < 0.25 * m0
     delta = np.asarray(res.c2) - 1.0
     assert delta[inside].mean() < 0
+
+
+def test_grid_engine_matches_scatter():
+    """The scatter-free grid-slicing stiffness engine reproduces the
+    segment_sum engine: raw K(c2) u applies, full trajectories, and
+    misfit gradients (different summation order -> tight rtol, not
+    bitwise)."""
+    rng = np.random.default_rng(11)
+    kw = dict(n_steps=30, dt=0.008)
+    ps = _problem(nel=(9, 7), engine="scatter", **kw)
+    pg = _problem(nel=(9, 7), engine="grid", **kw)
+
+    c2 = jnp.asarray(1.0 + 0.3 * rng.random(ps.n_cells))
+    u = jnp.asarray(rng.normal(size=ps.n_vertices))
+    np.testing.assert_allclose(np.asarray(ps.stiffness_apply(c2, u)),
+                               np.asarray(pg.stiffness_apply(c2, u)),
+                               rtol=1e-13, atol=1e-13)
+
+    d_obs = ps.simulate(jnp.ones(ps.n_cells) * 1.1)
+    np.testing.assert_allclose(np.asarray(pg.simulate(jnp.ones(ps.n_cells) * 1.1)),
+                               np.asarray(d_obs), rtol=1e-11, atol=1e-14)
+    vs, gs = ps.misfit_and_grad(c2, d_obs)
+    vg, gg = pg.misfit_and_grad(c2, d_obs)
+    assert float(vs) == pytest.approx(float(vg), rel=1e-11)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gg),
+                               rtol=1e-9, atol=1e-16)

@@ -82,6 +82,10 @@ class FwiProblem:
         (1 + s) u^{n+1} = 2 u^n - (1 - s) u^{n-1} + dt^2 M_L^{-1} (...),
         s = sigma dt / 2 — the standard sponge/Cerjan absorbing boundary
         for truncating open domains (seismic-imaging practice).
+    engine : "scatter" (gather -> scaled class matvec -> segment_sum, the
+        reference-parity form) or "grid" (scatter-free slab multiply-adds
+        on (ny, nx) coefficient planes — the TPU-fast form; same algebra,
+        different summation order). Both are equally differentiable.
     """
 
     def __init__(self, nel: Tuple[int, int], geometry, dt: float,
@@ -90,7 +94,11 @@ class FwiProblem:
                  wavelet: Optional[np.ndarray] = None,
                  dtype=None, remat: bool = True,
                  sponge_width: float = 0.0,
-                 sponge_strength: float = 30.0):
+                 sponge_strength: float = 30.0,
+                 engine: str = "scatter"):
+        if engine not in ("scatter", "grid"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.dtype = dtype or default_float()
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 1)
@@ -103,6 +111,7 @@ class FwiProblem:
         grads = self.space.physical_grads(sh)        # (2, Q, 3, 2)
         # P1: q-independent physical gradients -> K_e = s_e * G_class
         g = np.einsum("cqia,cqja->cqij", grads, grads)[:, 0]  # (2, 3, 3)
+        self._g_class_np = g
         self._g_class = jnp.asarray(g, dtype=self.dtype)
         self._w_sum = float(np.sum(quad.weights))    # reference-triangle area
         self._det_j = float(self.mesh.det_j)
@@ -160,12 +169,43 @@ class FwiProblem:
 
     def stiffness_apply(self, c2_cell, u):
         """K(c2) u, matrix-free and traceable in ``c2_cell`` (n_cells,)."""
+        if self.engine == "grid":
+            return self._stiffness_apply_grid(c2_cell, u)
         scale = (self._det_j * self._w_sum) * jnp.asarray(c2_cell, self.dtype)
         ve = u[self._cells].reshape(-1, 2, 3)          # gather, class pairs
         we = jnp.einsum("kij,ekj->eki", self._g_class, ve)
         we = we * scale.reshape(-1, 2, 1)
         return jax.ops.segment_sum(we.reshape(-1), self._cells.reshape(-1),
                                    num_segments=self.n_vertices)
+
+    # corner offsets (x, y) of the two triangle classes per structured grid
+    # cell (core/mesh.py::cells: lower (v00, v10, v11), upper (v00, v11, v01))
+    _CORNERS = (((0, 0), (1, 0), (1, 1)), ((0, 0), (1, 1), (0, 1)))
+
+    def _stiffness_apply_grid(self, c2_cell, u):
+        """Grid-slicing form of K(c2) u: scatter-free variable-coefficient
+        stencil — 2 classes x nonzero (i, j) pairs of slab multiply-adds on
+        (ny, nx) planes instead of gather/segment_sum. Same algebra as the
+        scatter engine (contributions grouped per (class, i, j) instead of
+        per cell), TPU/VPU-friendly, and equally traceable in c2.
+        """
+        ny, nx = self.mesh.ny, self.mesh.nx
+        s = ((self._det_j * self._w_sum)
+             * jnp.asarray(c2_cell, self.dtype).reshape(ny, nx, 2))
+        ug = u.reshape(ny + 1, nx + 1)
+        acc = jnp.zeros_like(ug)
+        for k in range(2):
+            sk = s[..., k]
+            for i in range(3):
+                oix, oiy = self._CORNERS[k][i]
+                for j in range(3):
+                    g = self._g_class_np[k, i, j]
+                    if g == 0.0:
+                        continue
+                    ojx, ojy = self._CORNERS[k][j]
+                    acc = acc.at[oiy:oiy + ny, oix:oix + nx].add(
+                        g * sk * ug[ojy:ojy + ny, ojx:ojx + nx])
+        return acc.reshape(-1)
 
     def _propagate(self, c2_cell, src, wavelet,
                    u0: Optional[jax.Array] = None):
