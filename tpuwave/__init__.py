@@ -48,4 +48,7 @@ def __getattr__(name):
     if name == "load_params":
         from tpuwave.utils.params import load_params
         return load_params
+    if name == "FwiProblem":
+        from tpuwave.models.inverse import FwiProblem
+        return FwiProblem
     raise AttributeError(f"module 'tpuwave' has no attribute {name!r}")
