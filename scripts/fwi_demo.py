@@ -34,7 +34,7 @@ def main() -> int:
     ap.add_argument("--shots", type=int, default=1,
                     help=">1: multi-shot acquisition (vmapped shot axis, "
                          "GSPMD-parallel across devices)")
-    ap.add_argument("--engine", choices=("scatter", "grid"), default="grid",
+    ap.add_argument("--engine", choices=("scatter", "grid", "stencil"), default="stencil",
                     help="stiffness engine (grid = scatter-free TPU form)")
     ap.add_argument("--dtype", choices=("f32", "f64"), default="f64",
                     help="f32 for TPU-speed runs, f64 (default) for parity")

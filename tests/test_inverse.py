@@ -222,6 +222,7 @@ def test_grid_engine_matches_scatter():
     kw = dict(n_steps=30, dt=0.008)
     ps = _problem(nel=(9, 7), engine="scatter", **kw)
     pg = _problem(nel=(9, 7), engine="grid", **kw)
+    pt = _problem(nel=(9, 7), engine="stencil", **kw)
 
     c2 = jnp.asarray(1.0 + 0.3 * rng.random(ps.n_cells))
     u = jnp.asarray(rng.normal(size=ps.n_vertices))
@@ -236,4 +237,15 @@ def test_grid_engine_matches_scatter():
     vg, gg = pg.misfit_and_grad(c2, d_obs)
     assert float(vs) == pytest.approx(float(vg), rel=1e-11)
     np.testing.assert_allclose(np.asarray(gs), np.asarray(gg),
+                               rtol=1e-9, atol=1e-16)
+
+    # assembled-stencil engine: same trajectories and gradients (its
+    # roll-based apply only differs in boundary rows, which the stepper
+    # masks)
+    np.testing.assert_allclose(
+        np.asarray(pt.simulate(jnp.ones(ps.n_cells) * 1.1)),
+        np.asarray(d_obs), rtol=1e-11, atol=1e-14)
+    vt, gt = pt.misfit_and_grad(c2, d_obs)
+    assert float(vs) == pytest.approx(float(vt), rel=1e-11)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gt),
                                rtol=1e-9, atol=1e-16)

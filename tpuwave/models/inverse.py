@@ -83,9 +83,11 @@ class FwiProblem:
         s = sigma dt / 2 — the standard sponge/Cerjan absorbing boundary
         for truncating open domains (seismic-imaging practice).
     engine : "scatter" (gather -> scaled class matvec -> segment_sum, the
-        reference-parity form) or "grid" (scatter-free slab multiply-adds
-        on (ny, nx) coefficient planes — the TPU-fast form; same algebra,
-        different summation order). Both are equally differentiable.
+        reference-parity form), "grid" (scatter-free slab multiply-adds
+        on (ny, nx) coefficient planes), or "stencil" (assembled
+        variable-coefficient 9-point stencil: coefficient planes built
+        once per trajectory, 9 multiply-roll-adds per step — the fastest
+        TPU form). All are equally differentiable in c2.
     """
 
     def __init__(self, nel: Tuple[int, int], geometry, dt: float,
@@ -96,7 +98,7 @@ class FwiProblem:
                  sponge_width: float = 0.0,
                  sponge_strength: float = 30.0,
                  engine: str = "scatter"):
-        if engine not in ("scatter", "grid"):
+        if engine not in ("scatter", "grid", "stencil"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.dtype = dtype or default_float()
@@ -168,8 +170,13 @@ class FwiProblem:
     # -- forward model ------------------------------------------------------
 
     def stiffness_apply(self, c2_cell, u):
-        """K(c2) u, matrix-free and traceable in ``c2_cell`` (n_cells,)."""
-        if self.engine == "grid":
+        """K(c2) u, matrix-free and traceable in ``c2_cell`` (n_cells,).
+
+        For raw (single) applies the ``stencil`` engine uses the grid form
+        — exact on boundary rows too; its roll-based plane apply is used
+        inside trajectories where boundary rows are masked anyway.
+        """
+        if self.engine in ("grid", "stencil"):
             return self._stiffness_apply_grid(c2_cell, u)
         scale = (self._det_j * self._w_sum) * jnp.asarray(c2_cell, self.dtype)
         ve = u[self._cells].reshape(-1, 2, 3)          # gather, class pairs
@@ -181,6 +188,47 @@ class FwiProblem:
     # corner offsets (x, y) of the two triangle classes per structured grid
     # cell (core/mesh.py::cells: lower (v00, v10, v11), upper (v00, v11, v01))
     _CORNERS = (((0, 0), (1, 0), (1, 1)), ((0, 0), (1, 1), (0, 1)))
+
+    def _assemble_stencil_planes(self, c2_cell):
+        """Assembled variable-coefficient 9-point stencil: per neighbour
+        offset d, the (ny+1, nx+1) coefficient plane w_d with
+        y[I] = sum_d w_d[I] * u[I + d]. Linear (hence differentiable) in
+        c2; built ONCE per misfit/trajectory evaluation, so each time step
+        costs 9 aligned multiply-roll-adds instead of the grid engine's 19
+        slab ops. Interior-exact; boundary rows are masked by the stepper.
+        """
+        ny, nx = self.mesh.ny, self.mesh.nx
+        s = ((self._det_j * self._w_sum)
+             * jnp.asarray(c2_cell, self.dtype).reshape(ny, nx, 2))
+        planes = {}
+        for k in range(2):
+            sk = s[..., k]
+            for i in range(3):
+                oix, oiy = self._CORNERS[k][i]
+                for j in range(3):
+                    g = self._g_class_np[k, i, j]
+                    if g == 0.0:
+                        continue
+                    ojx, ojy = self._CORNERS[k][j]
+                    d = (ojx - oix, ojy - oiy)
+                    if d not in planes:
+                        planes[d] = jnp.zeros((ny + 1, nx + 1), self.dtype)
+                    planes[d] = planes[d].at[oiy:oiy + ny,
+                                             oix:oix + nx].add(g * sk)
+        return planes
+
+    def _apply_stencil_planes(self, planes, u):
+        """y = sum_d w_d * roll(u, -d) on the vertex grid (wrap garbage on
+        boundary rows/cols only — masked by the stepper, the same caveat
+        as ops/stencil.py::apply_stencil)."""
+        ny, nx = self.mesh.ny, self.mesh.nx
+        ug = u.reshape(ny + 1, nx + 1)
+        out = planes[(0, 0)] * ug
+        for (dx, dy), w in planes.items():
+            if (dx, dy) == (0, 0):
+                continue
+            out = out + w * jnp.roll(ug, shift=(-dy, -dx), axis=(0, 1))
+        return out.reshape(-1)
 
     def _stiffness_apply_grid(self, c2_cell, u):
         """Grid-slicing form of K(c2) u: scatter-free variable-coefficient
@@ -213,8 +261,17 @@ class FwiProblem:
         c2_cell = jnp.asarray(c2_cell, self.dtype)
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
 
+        if self.engine == "stencil":
+            planes = self._assemble_stencil_planes(c2_cell)
+
+            def k_apply(u):
+                return self._apply_stencil_planes(planes, u)
+        else:
+            def k_apply(u):
+                return self.stiffness_apply(c2_cell, u)
+
         def forced_accel(u, w_n):
-            f = -self.stiffness_apply(c2_cell, u)
+            f = -k_apply(u)
             f = f.at[src].add(w_n)
             return f * self._inv_lumped
 
