@@ -36,6 +36,10 @@ def main() -> int:
                          "GSPMD-parallel across devices)")
     ap.add_argument("--engine", choices=("scatter", "grid", "stencil"), default="stencil",
                     help="stiffness engine (grid = scatter-free TPU form)")
+    ap.add_argument("--adjoint", choices=("remat", "reversal"),
+                    default="remat",
+                    help="reversal = O(1)-memory time-reversed adjoint "
+                         "(needs --engine stencil, no sponge)")
     ap.add_argument("--dtype", choices=("f32", "f64"), default="f64",
                     help="f32 for TPU-speed runs, f64 (default) for parity")
     ap.add_argument("--out", default="")
@@ -53,7 +57,8 @@ def main() -> int:
     recs += [(0.15, 0.5), (0.85, 0.5)]
     p = FwiProblem((args.nel, args.nel), ((0.0, 0.0), (1.0, 1.0)),
                    args.dt, args.steps, source=(0.25, 0.5), receivers=recs,
-                   sponge_width=args.sponge, engine=args.engine)
+                   sponge_width=args.sponge, engine=args.engine,
+                   adjoint=args.adjoint)
 
     cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
     inside = np.sum((cent - [0.6, 0.5]) ** 2, axis=1) < 0.18 ** 2

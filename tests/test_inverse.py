@@ -249,3 +249,53 @@ def test_grid_engine_matches_scatter():
     assert float(vs) == pytest.approx(float(vt), rel=1e-11)
     np.testing.assert_allclose(np.asarray(gs), np.asarray(gt),
                                rtol=1e-9, atol=1e-16)
+
+
+def test_reversal_adjoint_matches_autodiff():
+    """adjoint='reversal' (O(1)-memory time-reversed reconstruction via
+    custom_vjp) reproduces the autodiff gradient: c2 gradients, wavelet
+    gradients, and the vmapped multi-shot path."""
+    import jax
+
+    def mk(adjoint):
+        return _problem(nel=(10, 10), n_steps=30, dt=0.008,
+                        engine="stencil", adjoint=adjoint)
+
+    pr, pv = mk("remat"), mk("reversal")
+    rng = np.random.default_rng(0)
+    c2 = jnp.asarray(1.0 + 0.2 * rng.random(pr.n_cells))
+    d_obs = pr.simulate(jnp.ones(pr.n_cells) * 1.1)
+
+    # identical forward (same code path)
+    np.testing.assert_array_equal(np.asarray(pv.simulate(c2)),
+                                  np.asarray(pr.simulate(c2)))
+    _, g0 = pr.misfit_and_grad(c2, d_obs)
+    _, g1 = pv.misfit_and_grad(c2, d_obs)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-8, atol=1e-18)
+
+    # wavelet cotangents are produced too (custom_vjp covers all args)
+    gw0 = jax.grad(lambda w: pr._propagate(c2, pr.source_vertex, w).sum())(
+        pr.wavelet)
+    gw1 = jax.grad(lambda w: pv._reversal_sim(
+        c2, jnp.asarray(pv.source_vertex, jnp.int32), w).sum())(pv.wavelet)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                               rtol=1e-12, atol=1e-18)
+
+    # multi-shot (vmap over custom_vjp)
+    srcs = pv.snap_vertices([(0.3, 0.5), (0.7, 0.4)])
+    obs = pr.simulate_shots(jnp.ones(pr.n_cells) * 1.1, srcs)
+    vr, gr = jax.value_and_grad(
+        lambda c: pr.misfit_shots(c, srcs, obs))(c2)
+    vv, gv = jax.value_and_grad(
+        lambda c: pv.misfit_shots(c, srcs, obs))(c2)
+    assert float(vr) == pytest.approx(float(vv), rel=1e-13)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gr),
+                               rtol=1e-8, atol=1e-18)
+
+
+def test_reversal_adjoint_validation():
+    with pytest.raises(ValueError):
+        _problem(engine="grid", adjoint="reversal")
+    with pytest.raises(ValueError):
+        _problem(engine="stencil", adjoint="reversal", sponge_width=0.1)

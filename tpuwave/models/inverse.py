@@ -88,6 +88,14 @@ class FwiProblem:
         variable-coefficient 9-point stencil: coefficient planes built
         once per trajectory, 9 multiply-roll-adds per step — the fastest
         TPU form). All are equally differentiable in c2.
+    adjoint : "remat" (default; jax autodiff through the checkpointed
+        scan — stores two fields per step) or "reversal" (hand-written
+        adjoint-state method via jax.custom_vjp: the backward pass
+        RECONSTRUCTS forward states by running the time-reversible
+        leapfrog backwards from the final pair, so memory is O(1) in the
+        step count — the production seismic-imaging technique. Requires
+        engine="stencil", hard walls (sponge breaks reversibility), and
+        the default zero initial condition).
     """
 
     def __init__(self, nel: Tuple[int, int], geometry, dt: float,
@@ -97,10 +105,19 @@ class FwiProblem:
                  dtype=None, remat: bool = True,
                  sponge_width: float = 0.0,
                  sponge_strength: float = 30.0,
-                 engine: str = "scatter"):
+                 engine: str = "scatter",
+                 adjoint: str = "remat"):
         if engine not in ("scatter", "grid", "stencil"):
             raise ValueError(f"unknown engine {engine!r}")
+        if adjoint not in ("remat", "reversal"):
+            raise ValueError(f"unknown adjoint {adjoint!r}")
+        if adjoint == "reversal" and (engine != "stencil"
+                                      or sponge_width > 0.0):
+            raise ValueError("adjoint='reversal' needs engine='stencil' "
+                             "and no sponge (damping breaks the "
+                             "time-reversibility the reconstruction uses)")
         self.engine = engine
+        self.adjoint = adjoint
         self.dtype = dtype or default_float()
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 1)
@@ -256,7 +273,8 @@ class FwiProblem:
         return acc.reshape(-1)
 
     def _propagate(self, c2_cell, src, wavelet,
-                   u0: Optional[jax.Array] = None):
+                   u0: Optional[jax.Array] = None,
+                   return_final: bool = False):
         """Core leapfrog scan, traceable in (c2_cell, src, wavelet, u0)."""
         c2_cell = jnp.asarray(c2_cell, self.dtype)
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
@@ -292,8 +310,99 @@ class FwiProblem:
         if self.remat:
             body = jax.checkpoint(body)
         first = u1[self.receiver_vertices]
-        (_, _), rest = jax.lax.scan(body, (u1, u0), wavelet[1:])
-        return jnp.concatenate([first[None], rest], axis=0)
+        (u_last, u_prevlast), rest = jax.lax.scan(body, (u1, u0), wavelet[1:])
+        traces = jnp.concatenate([first[None], rest], axis=0)
+        if return_final:
+            return traces, (u_last, u_prevlast)
+        return traces
+
+    # -- O(1)-memory adjoint: time-reversed state reconstruction ------------
+
+    def _adjoint_backward(self, c2_cell, src, wavelet, u_last, u_prevlast,
+                          ybar):
+        """Hand-written reverse pass of :meth:`_propagate` (stencil engine,
+        hard walls, zero start): a reverse-time scan that simultaneously
+        (a) RECONSTRUCTS the forward states u_{k-1} from (u_{k+1}, u_k) —
+        the undamped leapfrog is time-reversible, so no forward state is
+        stored; (b) propagates the adjoint field lambda driven by the
+        receiver cotangents; (c) accumulates the 9 stencil-plane
+        correlations W_d = -sum_k mu_{k+1} * shift(u_k, d), which chain
+        through the (linear) plane assembly to dJ/dc2. Memory is O(1) in
+        n_steps. Returns (c2_bar, wavelet_bar).
+        """
+        c2_cell = jnp.asarray(c2_cell, self.dtype)
+        dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
+        planes, assemble_vjp = jax.vjp(self._assemble_stencil_planes, c2_cell)
+        interior = self._interior
+        inv_m = self._inv_lumped
+        rec = self.receiver_vertices
+        ny, nx = self.mesh.ny, self.mesh.nx
+
+        def K(u):
+            return self._apply_stencil_planes(planes, u)
+
+        n = self.n_steps
+        lam_n = jnp.zeros(self.n_vertices, self.dtype).at[rec].add(ybar[-1])
+        wbar0 = {d: jnp.zeros((ny + 1, nx + 1), self.dtype) for d in planes}
+        carry0 = (u_last, u_prevlast, lam_n,
+                  jnp.zeros(self.n_vertices, self.dtype), wbar0)
+        # reverse over k = n-1 .. 1: xs rows are (ybar_k, w_k) with
+        # y_k = traces[k-1] (traces[0] is u_1) and w_k = wavelet[k]
+        xs = (ybar[:-1], wavelet[1:])
+
+        def body(carry, x):
+            ybar_k, w_k = x
+            u_next, u_cur, lam_next, lam_partial, wbar = carry
+            blam = interior * lam_next
+            mu = dt2 * inv_m * blam
+            # (dF/du_k)^T lam_{k+1} = 2 B lam - dt^2 K M^-1 B lam
+            lam_cur = lam_partial + 2.0 * blam - K(mu)
+            lam_cur = lam_cur.at[rec].add(ybar_k)
+            lam_prev_partial = -blam
+            # time-reversed reconstruction of u_{k-1}
+            f = (-K(u_cur)).at[src].add(w_k)
+            u_prev = interior * (2.0 * u_cur - u_next + dt2 * inv_m * f)
+            mu_g = mu.reshape(ny + 1, nx + 1)
+            u_g = u_cur.reshape(ny + 1, nx + 1)
+            wbar = {d: wbar[d] - mu_g * jnp.roll(u_g, (-d[1], -d[0]), (0, 1))
+                    for d in wbar}
+            return ((u_cur, u_prev, lam_cur, lam_prev_partial, wbar),
+                    mu[src])
+
+        (_, _, lam_1, _, wbar), wav_bar_rest = jax.lax.scan(
+            body, carry0, xs, reverse=True)
+        # start u_1 = B(dt^2/2 M^-1 w_0 e_src): only the wavelet depends
+        wav_bar_0 = 0.5 * dt2 * (inv_m * (interior * lam_1))[src]
+        wavelet_bar = jnp.concatenate([wav_bar_0[None], wav_bar_rest])
+        return assemble_vjp(wbar)[0], wavelet_bar
+
+    @property
+    def _reversal_sim(self):
+        """custom_vjp-wrapped forward (c2, src, wavelet) -> traces with the
+        reconstruction-based backward pass. Cached per problem."""
+        sim = self.__dict__.get("_reversal_sim_cached")
+        if sim is not None:
+            return sim
+
+        @jax.custom_vjp
+        def sim(c2, src, wavelet):
+            return self._propagate(c2, src, wavelet)
+
+        def fwd(c2, src, wavelet):
+            traces, (u_last, u_prevlast) = self._propagate(
+                c2, src, wavelet, return_final=True)
+            return traces, (c2, src, wavelet, u_last, u_prevlast)
+
+        def bwd(res, ybar):
+            c2, src, wavelet, u_last, u_prevlast = res
+            c2_bar, wav_bar = self._adjoint_backward(
+                c2, src, wavelet, u_last, u_prevlast, ybar)
+            src_bar = np.zeros(np.shape(src), jax.dtypes.float0)  # int arg
+            return c2_bar, src_bar, wav_bar
+
+        sim.defvjp(fwd, bwd)
+        self.__dict__["_reversal_sim_cached"] = sim
+        return sim
 
     def simulate(self, c2_cell, u0: Optional[jax.Array] = None):
         """Forward-propagate and return receiver traces (n_steps, n_rec).
@@ -302,6 +411,10 @@ class FwiProblem:
         first step is the standard second-order Taylor start
         u^1 = u^0 + dt^2/2 M_L^{-1} (w_0 e_src - K u^0).
         """
+        if self.adjoint == "reversal" and u0 is None:
+            return self._reversal_sim(
+                jnp.asarray(c2_cell, self.dtype),
+                jnp.asarray(self.source_vertex, jnp.int32), self.wavelet)
         return self._propagate(c2_cell, self.source_vertex, self.wavelet, u0)
 
     # -- multi-shot (survey-style acquisition) ------------------------------
@@ -329,6 +442,9 @@ class FwiProblem:
                                         (sources.shape[0], self.n_steps))
         else:
             wavelets = jnp.asarray(wavelets, self.dtype)
+        if self.adjoint == "reversal":
+            return jax.vmap(lambda s, w: self._reversal_sim(
+                jnp.asarray(c2_cell, self.dtype), s, w))(sources, wavelets)
         return jax.vmap(lambda s, w: self._propagate(c2_cell, s, w))(
             sources, wavelets)
 
