@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Benchmark the FWI adjoint modes: remat autodiff vs time-reversal.
+
+Compares ``FwiProblem(adjoint="remat")`` (jax.checkpoint'd scan — XLA
+stores the two-field carry per step, so gradient memory grows linearly
+in n_steps) against ``adjoint="reversal"`` (custom_vjp backward pass
+that RECONSTRUCTS forward states by running the time-reversible
+leapfrog backwards — O(1) memory in n_steps; models/inverse.py).
+
+For each step count it reports the wall time of one jitted
+``value_and_grad(misfit)`` evaluation per mode, the gradient agreement,
+and — the headline — the step count where remat runs out of HBM while
+reversal keeps going.
+
+Run on the TPU for real numbers; ``--nel 64 --steps 20 40`` works as an
+off-TPU smoke.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), os.pardir,
+                                   ".jax_cache"))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="FWI adjoint-mode bench")
+    p.add_argument("--nel", type=int, default=1024)
+    p.add_argument("--dt", type=float, default=2e-4)
+    p.add_argument("--steps", type=int, nargs="+",
+                   default=[500, 2000, 8000])
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from tpuwave import config
+    if args.dtype == "f64":
+        config.use_x64()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpuwave.models.inverse import FwiProblem
+
+    print(jax.devices())
+    geom = ((0.0, 0.0), (1.0, 1.0))
+    recs = [(x, y) for x in (0.15, 0.5, 0.85) for y in (0.15, 0.85)]
+
+    rows = []
+    for n_steps in args.steps:
+        grads = {}
+        for adjoint in ("remat", "reversal"):
+            p = FwiProblem((args.nel, args.nel), geom, args.dt, n_steps,
+                           source=(0.25, 0.5), receivers=recs,
+                           engine="stencil", adjoint=adjoint)
+            cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(1)
+            inside = np.sum((cent - [0.6, 0.5]) ** 2, 1) < 0.18 ** 2
+            c2_true = jnp.asarray(np.where(inside, 0.65, 1.0), p.dtype)
+            c2_hom = jnp.ones(p.n_cells, p.dtype)
+            try:
+                d_obs = jax.block_until_ready(p.simulate(c2_true))
+                vg = jax.jit(jax.value_and_grad(p.misfit))
+                t0 = time.perf_counter()
+                val, g = jax.block_until_ready(vg(c2_hom, d_obs))
+                compile_s = time.perf_counter() - t0
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(vg(c2_hom, d_obs))
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 - report OOM and move on
+                kind = type(e).__name__
+                msg = str(e).splitlines()[0][:100]
+                print(f"nel={args.nel} steps={n_steps:>6} {adjoint:>8}:"
+                      f"  FAILED ({kind}: {msg})")
+                rows.append((n_steps, adjoint, None, None))
+                continue
+            grads[adjoint] = np.asarray(g)
+            print(f"nel={args.nel} steps={n_steps:>6} {adjoint:>8}:"
+                  f"  {best:8.3f} s/grad  (compile+1st {compile_s:.1f} s,"
+                  f"  misfit {float(val):.6e})")
+            rows.append((n_steps, adjoint, best, float(val)))
+        if len(grads) == 2:
+            a, b = grads["remat"], grads["reversal"]
+            na = np.linalg.norm(a)
+            if na == 0.0:
+                print("              grad agreement: both zero (wavefront "
+                      "has not reached anomaly+receivers at this t yet)")
+            else:
+                rel = np.linalg.norm(a - b) / na
+                print(f"              grad agreement remat vs reversal: "
+                      f"rel l2 diff {rel:.3e}")
+
+    print("\nsteps      remat s/grad   reversal s/grad")
+    by = {}
+    for n_steps, adj, best, _ in rows:
+        by.setdefault(n_steps, {})[adj] = best
+    for n_steps in args.steps:
+        r = by.get(n_steps, {})
+        fmt = lambda v: f"{v:12.3f}" if v is not None else "         OOM"
+        print(f"{n_steps:>6} {fmt(r.get('remat'))}   "
+              f"{fmt(r.get('reversal'))}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

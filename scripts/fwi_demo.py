@@ -42,6 +42,13 @@ def main() -> int:
                          "(needs --engine stencil, no sponge)")
     ap.add_argument("--dtype", choices=("f32", "f64"), default="f64",
                     help="f32 for TPU-speed runs, f64 (default) for parity")
+    ap.add_argument("--multiscale", type=float, nargs="*", default=None,
+                    metavar="HZ",
+                    help="frequency-continuation cutoffs (Hz, ascending); "
+                         "an unfiltered full-band stage is appended")
+    ap.add_argument("--estimate-wavelet", action="store_true",
+                    help="co-estimate the source wavelet (joint (c2, w) "
+                         "descent; single-scale only)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -80,16 +87,29 @@ def main() -> int:
     print(f"initial misfit (homogeneous start): {m0:.6e}")
 
     t0 = time.perf_counter()
-    res = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=args.iters,
-                   learning_rate=args.lr, bounds=(0.3, 2.0), sources=srcs,
-                   verbose=True)
+    if args.multiscale is not None:
+        if args.estimate_wavelet:
+            print("--estimate-wavelet is single-scale only", file=sys.stderr)
+            return 1
+        cutoffs = list(args.multiscale) + [None]
+        res = p.invert_multiscale(d_obs, jnp.ones(p.n_cells),
+                                  cutoffs=cutoffs, n_iter=args.iters,
+                                  learning_rate=args.lr, bounds=(0.3, 2.0),
+                                  sources=srcs, verbose=True)
+        n_total = args.iters * len(cutoffs)
+    else:
+        res = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=args.iters,
+                       learning_rate=args.lr, bounds=(0.3, 2.0),
+                       sources=srcs, estimate_wavelet=args.estimate_wavelet,
+                       verbose=True)
+        n_total = args.iters
     dt_wall = time.perf_counter() - t0
 
     delta = np.asarray(res.c2) - 1.0
-    print(f"\n{args.iters} Adam iterations in {dt_wall:.2f}s "
-          f"({dt_wall / args.iters * 1e3:.1f} ms/iter, forward+adjoint)")
+    print(f"\n{n_total} Adam iterations in {dt_wall:.2f}s "
+          f"({dt_wall / n_total * 1e3:.1f} ms/iter, forward+adjoint)")
     print(f"misfit {m0:.3e} -> {res.misfits[-1]:.3e} "
-          f"({m0 / max(res.misfits[-1], 1e-300):.0f}x down)")
+          f"({m0 / max(res.misfits[-1], 1e-300):.3g}x down)")
     print(f"recovered anomaly: mean dc2 inside {delta[inside].mean():+.4f} "
           f"(true -0.35), outside {delta[~inside].mean():+.4f} (true 0)")
 

@@ -42,7 +42,7 @@ from tpuwave.config import default_float
 from tpuwave.core.mesh import FeSpace, StructuredTriMesh
 from tpuwave.core.quadrature import gauss_simplex
 
-__all__ = ["FwiProblem", "ricker_wavelet"]
+__all__ = ["FwiProblem", "ricker_wavelet", "lowpass_time"]
 
 
 def ricker_wavelet(times, peak_freq: float, delay: Optional[float] = None):
@@ -53,9 +53,34 @@ def ricker_wavelet(times, peak_freq: float, delay: Optional[float] = None):
     return (1.0 - 2.0 * arg) * np.exp(-arg)
 
 
+def lowpass_time(x, dt: float, cutoff: float, axis: int = 0,
+                 rolloff: float = 0.2):
+    """Zero-phase low-pass along a time axis (host-side preprocessing).
+
+    Real-FFT filter with a raised-cosine rolloff: |H(f)| = 1 for
+    f <= (1-rolloff)*cutoff, cosine-tapers to 0 at cutoff (the taper
+    avoids the brick-wall's Gibbs ringing). Used by multiscale FWI to
+    build the per-stage data/wavelet bands.
+    """
+    x = np.asarray(x)
+    n = x.shape[axis]
+    freqs = np.fft.rfftfreq(n, d=dt)
+    f0 = (1.0 - rolloff) * cutoff
+    h = np.ones_like(freqs)
+    band = (freqs > f0) & (freqs < cutoff)
+    h[band] = 0.5 * (1.0 + np.cos(np.pi * (freqs[band] - f0)
+                                  / max(cutoff - f0, 1e-300)))
+    h[freqs >= cutoff] = 0.0
+    shape = [1] * x.ndim
+    shape[axis] = len(freqs)
+    return np.fft.irfft(np.fft.rfft(x, axis=axis) * h.reshape(shape),
+                        n=n, axis=axis)
+
+
 class FwiResult(NamedTuple):
     c2: jax.Array            # recovered per-cell squared wave speed
     misfits: np.ndarray      # misfit value per iteration (n_iter,)
+    wavelet: Optional[jax.Array] = None  # co-estimated source (if requested)
 
 
 class FwiProblem:
@@ -404,18 +429,24 @@ class FwiProblem:
         self.__dict__["_reversal_sim_cached"] = sim
         return sim
 
-    def simulate(self, c2_cell, u0: Optional[jax.Array] = None):
+    def simulate(self, c2_cell, u0: Optional[jax.Array] = None,
+                 wavelet: Optional[jax.Array] = None):
         """Forward-propagate and return receiver traces (n_steps, n_rec).
 
-        Pure in (c2_cell, u0): safe under jit/grad/vmap. u'(0) = 0; the
-        first step is the standard second-order Taylor start
+        Pure in (c2_cell, u0, wavelet): safe under jit/grad/vmap — both
+        adjoint modes produce wavelet cotangents, so the source time
+        series is an invertible parameter too (see ``invert``'s
+        ``estimate_wavelet``). u'(0) = 0; the first step is the standard
+        second-order Taylor start
         u^1 = u^0 + dt^2/2 M_L^{-1} (w_0 e_src - K u^0).
         """
+        w = self.wavelet if wavelet is None else jnp.asarray(
+            wavelet, self.dtype)
         if self.adjoint == "reversal" and u0 is None:
             return self._reversal_sim(
                 jnp.asarray(c2_cell, self.dtype),
-                jnp.asarray(self.source_vertex, jnp.int32), self.wavelet)
-        return self._propagate(c2_cell, self.source_vertex, self.wavelet, u0)
+                jnp.asarray(self.source_vertex, jnp.int32), w)
+        return self._propagate(c2_cell, self.source_vertex, w, u0)
 
     # -- multi-shot (survey-style acquisition) ------------------------------
 
@@ -456,9 +487,10 @@ class FwiProblem:
 
     # -- inversion ----------------------------------------------------------
 
-    def misfit(self, c2_cell, observed):
+    def misfit(self, c2_cell, observed, wavelet: Optional[jax.Array] = None):
         """0.5 * sum_{n,r} (d_sim - d_obs)^2 — the classic FWI objective."""
-        d = self.simulate(c2_cell) - jnp.asarray(observed, self.dtype)
+        d = (self.simulate(c2_cell, wavelet=wavelet)
+             - jnp.asarray(observed, self.dtype))
         return 0.5 * jnp.sum(d * d)
 
     def misfit_and_grad(self, c2_cell, observed):
@@ -469,42 +501,127 @@ class FwiProblem:
     def invert(self, observed, c2_init, *, n_iter: int = 50,
                learning_rate: float = 0.1,
                bounds: Optional[Tuple[float, float]] = None,
-               sources=None, wavelets=None,
+               sources=None, wavelet=None, wavelets=None,
+               estimate_wavelet: bool = False,
+               wavelet_init: Optional[jax.Array] = None,
                verbose: bool = False) -> FwiResult:
         """Adam descent on the misfit, with optional box projection on c2.
 
         With ``sources`` given, ``observed`` is the (S, n_steps, n_rec)
         multi-shot gather and the shot axis parallelises under GSPMD.
+        ``wavelet`` fixes a non-default single-shot source time series
+        (``wavelets``, (S, n_steps), is its multi-shot counterpart).
+
+        ``estimate_wavelet=True`` co-estimates the source time series
+        (the production-FWI source-estimation problem: the true w(t) is
+        rarely known): the descent runs jointly over (c2, w), starting
+        the wavelet at ``wavelet_init`` (default: this problem's
+        wavelet), with the box projection applied to c2 only. In
+        multi-shot mode the single estimated wavelet is shared across
+        shots (fixed ``wavelet``/``wavelets`` cannot be combined with
+        it).
         """
         import optax
 
         observed = jnp.asarray(observed, self.dtype)
-        if sources is None:
-            loss = self.misfit
-        else:
+        if estimate_wavelet and (wavelets is not None
+                                 or wavelet is not None):
+            raise ValueError("estimate_wavelet=True estimates one shared "
+                             "wavelet; drop the fixed `wavelet(s)` "
+                             "argument")
+        if sources is not None:
             sources = jnp.asarray(sources, jnp.int32)
 
-            def loss(c2, obs):
-                return self.misfit_shots(c2, sources, obs, wavelets)
+        def loss(params, obs):
+            c2, w = params
+            if sources is None:
+                return self.misfit(c2, obs,
+                                   wavelet=wavelet if w is None else w)
+            ws = wavelets
+            if ws is None:
+                base = w if w is not None else (
+                    self.wavelet if wavelet is None else wavelet)
+                ws = jnp.broadcast_to(base,
+                                      (sources.shape[0], self.n_steps))
+            return self.misfit_shots(c2, sources, obs, ws)
+
+        c2 = jnp.asarray(c2_init, self.dtype)
+        if estimate_wavelet:
+            w0 = (self.wavelet if wavelet_init is None
+                  else jnp.asarray(wavelet_init, self.dtype))
+            params = (c2, w0)
+        else:
+            params = (c2, None)
 
         opt = optax.adam(learning_rate)
         vg = jax.jit(jax.value_and_grad(loss))
 
         @jax.jit
-        def step(c2, opt_state):
-            val, g = vg(c2, observed)
+        def step(params, opt_state):
+            val, g = vg(params, observed)
             updates, opt_state = opt.update(g, opt_state)
-            c2 = optax.apply_updates(c2, updates)
+            params = optax.apply_updates(params, updates)
             if bounds is not None:
-                c2 = jnp.clip(c2, bounds[0], bounds[1])
-            return c2, opt_state, val
+                c2, w = params
+                params = (jnp.clip(c2, bounds[0], bounds[1]), w)
+            return params, opt_state, val
 
-        c2 = jnp.asarray(c2_init, self.dtype)
-        opt_state = opt.init(c2)
+        opt_state = opt.init(params)
         misfits = np.empty(n_iter)
         for i in range(n_iter):
-            c2, opt_state, val = step(c2, opt_state)
+            params, opt_state, val = step(params, opt_state)
             misfits[i] = float(val)
             if verbose:
                 print(f"iter {i:3d}  misfit {misfits[i]:.6e}")
-        return FwiResult(c2=c2, misfits=misfits)
+        c2, w = params
+        return FwiResult(c2=c2, misfits=misfits,
+                         wavelet=w if estimate_wavelet else None)
+
+    def invert_multiscale(self, observed, c2_init, *, cutoffs,
+                          n_iter: int = 50, learning_rate: float = 0.1,
+                          bounds: Optional[Tuple[float, float]] = None,
+                          sources=None,
+                          verbose: bool = False) -> FwiResult:
+        """Frequency-continuation FWI (Bunks et al. 1995, the production
+        cure for cycle skipping): run :meth:`invert` over a sequence of
+        low-pass ``cutoffs`` (Hz, ascending; None = unfiltered final
+        stage), filtering the observed data AND the source wavelet to
+        the same band each stage — the forward map is linear in w, so
+        filtering the source filters the synthetics consistently — and
+        warm-starting c2 from the previous stage. Long-wavelength model
+        components converge first, keeping the misfit within half a
+        cycle as the band widens.
+
+        ``n_iter`` may be a sequence (one count per stage — typically
+        fewer low-band iterations, more at full band).
+
+        Returns the final stage's model with all stages' misfit
+        histories concatenated.
+        """
+        observed = np.asarray(observed)
+        c2 = jnp.asarray(c2_init, self.dtype)
+        if isinstance(n_iter, (list, tuple)):
+            if len(n_iter) != len(cutoffs):
+                raise ValueError("need one n_iter per cutoff stage")
+            iters = list(n_iter)
+        else:
+            iters = [n_iter] * len(cutoffs)
+        histories = []
+        for k, fc in enumerate(cutoffs):
+            if fc is None:
+                d_k, w_k = observed, None
+            else:
+                d_k = lowpass_time(observed, self.dt, fc, axis=-2)
+                w_k = jnp.asarray(
+                    lowpass_time(np.asarray(self.wavelet), self.dt, fc),
+                    self.dtype)
+            if verbose:
+                print(f"stage {k}: cutoff "
+                      f"{'full band' if fc is None else f'{fc:g} Hz'}")
+            res = self.invert(d_k, c2, n_iter=iters[k],
+                              learning_rate=learning_rate, bounds=bounds,
+                              sources=sources, wavelet=w_k,
+                              wavelets=None, verbose=verbose)
+            c2 = res.c2
+            histories.append(res.misfits)
+        return FwiResult(c2=c2, misfits=np.concatenate(histories))
