@@ -49,6 +49,10 @@ def main() -> int:
     ap.add_argument("--estimate-wavelet", action="store_true",
                     help="co-estimate the source wavelet (joint (c2, w) "
                          "descent; single-scale only)")
+    ap.add_argument("--optimizer", choices=("adam", "lbfgs"),
+                    default="adam",
+                    help="lbfgs = zoom-linesearch quasi-Newton "
+                         "(fewer iterations on smooth problems)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -95,18 +99,19 @@ def main() -> int:
         res = p.invert_multiscale(d_obs, jnp.ones(p.n_cells),
                                   cutoffs=cutoffs, n_iter=args.iters,
                                   learning_rate=args.lr, bounds=(0.3, 2.0),
-                                  sources=srcs, verbose=True)
+                                  sources=srcs, optimizer=args.optimizer,
+                                  verbose=True)
         n_total = args.iters * len(cutoffs)
     else:
         res = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=args.iters,
                        learning_rate=args.lr, bounds=(0.3, 2.0),
                        sources=srcs, estimate_wavelet=args.estimate_wavelet,
-                       verbose=True)
+                       optimizer=args.optimizer, verbose=True)
         n_total = args.iters
     dt_wall = time.perf_counter() - t0
 
     delta = np.asarray(res.c2) - 1.0
-    print(f"\n{n_total} Adam iterations in {dt_wall:.2f}s "
+    print(f"\n{n_total} {args.optimizer} iterations in {dt_wall:.2f}s "
           f"({dt_wall / n_total * 1e3:.1f} ms/iter, forward+adjoint)")
     print(f"misfit {m0:.3e} -> {res.misfits[-1]:.3e} "
           f"({m0 / max(res.misfits[-1], 1e-300):.3g}x down)")

@@ -405,3 +405,27 @@ def test_multiscale_inversion():
     with pytest.raises(ValueError):
         p.invert_multiscale(d_obs, jnp.ones(p.n_cells),
                             cutoffs=[4.0, None], n_iter=[10])
+
+
+def test_lbfgs_optimizer():
+    """optimizer='lbfgs' (zoom-linesearch quasi-Newton) converges in far
+    fewer iterations than Adam on the standard anomaly problem."""
+    p = _problem(nel=(14, 14), n_steps=80, dt=0.008,
+                 receivers=[(0.8, 0.3), (0.8, 0.7), (0.5, 0.9),
+                            (0.2, 0.2)])
+    centroids = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
+    inside = np.sum((centroids - [0.6, 0.5]) ** 2, axis=1) < 0.15 ** 2
+    c2_true = jnp.asarray(np.where(inside, 0.7, 1.0))
+    d_obs = p.simulate(c2_true)
+    m0 = float(p.misfit(jnp.ones(p.n_cells), d_obs))
+
+    res = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=15,
+                   optimizer="lbfgs", bounds=(0.3, 2.0))
+    adam = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=15,
+                    learning_rate=0.02, bounds=(0.3, 2.0))
+    assert res.misfits[-1] < 0.05 * m0
+    assert res.misfits[-1] < adam.misfits[-1]
+    delta = np.asarray(res.c2) - 1.0
+    assert delta[inside].mean() < 0
+    with pytest.raises(ValueError):
+        p.invert(d_obs, jnp.ones(p.n_cells), optimizer="newton")

@@ -504,8 +504,16 @@ class FwiProblem:
                sources=None, wavelet=None, wavelets=None,
                estimate_wavelet: bool = False,
                wavelet_init: Optional[jax.Array] = None,
+               optimizer: str = "adam",
                verbose: bool = False) -> FwiResult:
-        """Adam descent on the misfit, with optional box projection on c2.
+        """Iterative descent on the misfit, with optional box projection.
+
+        ``optimizer``: "adam" (default; robust first-order, uses
+        ``learning_rate``) or "lbfgs" (optax L-BFGS with zoom
+        linesearch — the classic quasi-Newton FWI workhorse, usually
+        far fewer iterations on smooth problems; ``learning_rate`` is
+        ignored). With box ``bounds`` the update is projected after
+        each step (projected quasi-Newton).
 
         With ``sources`` given, ``observed`` is the (S, n_steps, n_rec)
         multi-shot gather and the shot axis parallelises under GSPMD.
@@ -553,18 +561,40 @@ class FwiProblem:
         else:
             params = (c2, None)
 
-        opt = optax.adam(learning_rate)
-        vg = jax.jit(jax.value_and_grad(loss))
+        if optimizer == "adam":
+            opt = optax.adam(learning_rate)
+            vg = jax.jit(jax.value_and_grad(loss))
 
-        @jax.jit
-        def step(params, opt_state):
-            val, g = vg(params, observed)
-            updates, opt_state = opt.update(g, opt_state)
-            params = optax.apply_updates(params, updates)
-            if bounds is not None:
-                c2, w = params
-                params = (jnp.clip(c2, bounds[0], bounds[1]), w)
-            return params, opt_state, val
+            @jax.jit
+            def step(params, opt_state):
+                val, g = vg(params, observed)
+                updates, opt_state = opt.update(g, opt_state)
+                params = optax.apply_updates(params, updates)
+                if bounds is not None:
+                    c2, w = params
+                    params = (jnp.clip(c2, bounds[0], bounds[1]), w)
+                return params, opt_state, val
+
+        elif optimizer == "lbfgs":
+            opt = optax.lbfgs()
+
+            def obj(prms):
+                return loss(prms, observed)
+
+            vg_state = optax.value_and_grad_from_state(obj)
+
+            @jax.jit
+            def step(params, opt_state):
+                val, g = vg_state(params, state=opt_state)
+                updates, opt_state = opt.update(
+                    g, opt_state, params, value=val, grad=g, value_fn=obj)
+                params = optax.apply_updates(params, updates)
+                if bounds is not None:
+                    c2, w = params
+                    params = (jnp.clip(c2, bounds[0], bounds[1]), w)
+                return params, opt_state, val
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
 
         opt_state = opt.init(params)
         misfits = np.empty(n_iter)
@@ -580,7 +610,7 @@ class FwiProblem:
     def invert_multiscale(self, observed, c2_init, *, cutoffs,
                           n_iter: int = 50, learning_rate: float = 0.1,
                           bounds: Optional[Tuple[float, float]] = None,
-                          sources=None,
+                          sources=None, optimizer: str = "adam",
                           verbose: bool = False) -> FwiResult:
         """Frequency-continuation FWI (Bunks et al. 1995, the production
         cure for cycle skipping): run :meth:`invert` over a sequence of
@@ -621,7 +651,8 @@ class FwiProblem:
             res = self.invert(d_k, c2, n_iter=iters[k],
                               learning_rate=learning_rate, bounds=bounds,
                               sources=sources, wavelet=w_k,
-                              wavelets=None, verbose=verbose)
+                              wavelets=None, optimizer=optimizer,
+                              verbose=verbose)
             c2 = res.c2
             histories.append(res.misfits)
         return FwiResult(c2=c2, misfits=np.concatenate(histories))
