@@ -429,3 +429,75 @@ def test_lbfgs_optimizer():
     assert delta[inside].mean() < 0
     with pytest.raises(ValueError):
         p.invert(d_obs, jnp.ones(p.n_cells), optimizer="newton")
+
+
+def test_cell_adjacency_pairs_share_edges():
+    """Every pair in _cell_adjacency shares exactly one edge (2 vertices),
+    and the count matches the structured-mesh formula."""
+    p = _problem(nel=(5, 4))
+    ia, ib = np.asarray(p._cell_adjacency)
+    nx, ny = 5, 4
+    assert ia.shape[0] == nx * ny + nx * (ny - 1) + (nx - 1) * ny
+    cells = np.asarray(p.mesh.cells)
+    for a, b in zip(ia, ib):
+        shared = set(cells[a]) & set(cells[b])
+        assert len(shared) == 2, (a, b)
+    # no duplicate pairs
+    keys = {tuple(sorted((int(a), int(b)))) for a, b in zip(ia, ib)}
+    assert len(keys) == ia.shape[0]
+
+
+def test_interp_receivers_barycentric():
+    """interp_receivers=True samples the P1 field exactly: the trace at an
+    interior point equals the barycentric combination of the traces at the
+    containing triangle's vertices, and a receiver placed on a vertex
+    reproduces the snapped trace."""
+    pt = (0.637, 0.413)           # strictly inside some triangle
+    vx = (0.5, 0.5)               # a mesh vertex for nel=(10, 10)
+    p_int = _problem(nel=(10, 10), n_steps=30, receivers=[pt, vx],
+                     interp_receivers=True)
+    cell, (xi, eta) = p_int.mesh.locate_point(pt)
+    verts = np.asarray(p_int.mesh.cells)[cell]
+    coords = p_int.mesh.vertex_coords
+    p_snap = _problem(nel=(10, 10), n_steps=30,
+                      receivers=[tuple(coords[v]) for v in verts] + [vx])
+    c2 = jnp.ones(p_int.n_cells) * 1.2
+    ti = np.asarray(p_int.simulate(c2))
+    ts = np.asarray(p_snap.simulate(c2))
+    w = np.array([1.0 - xi - eta, xi, eta])
+    np.testing.assert_allclose(ti[:, 0], ts[:, :3] @ w, rtol=1e-12,
+                               atol=1e-15)
+    np.testing.assert_array_equal(ti[:, 1], ts[:, 3])
+
+    # gradients flow, and the reversal adjoint agrees with autodiff
+    import jax
+    kw = dict(nel=(10, 10), n_steps=30, receivers=[pt, vx],
+              interp_receivers=True, engine="stencil")
+    pr = _problem(adjoint="remat", **kw)
+    pv = _problem(adjoint="reversal", **kw)
+    d_obs = pr.simulate(jnp.ones(pr.n_cells) * 1.1)
+    _, g0 = pr.misfit_and_grad(c2, d_obs)
+    _, g1 = pv.misfit_and_grad(c2, d_obs)
+    assert np.any(np.asarray(g0) != 0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-8, atol=1e-18)
+
+
+def test_regularized_inversion_is_smoother():
+    p = _problem(nel=(14, 14), n_steps=80, dt=0.008)
+    centroids = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
+    inside = np.sum((centroids - [0.6, 0.5]) ** 2, axis=1) < 0.15 ** 2
+    c2_true = jnp.asarray(np.where(inside, 0.7, 1.0))
+    d_obs = p.simulate(c2_true)
+    m0 = float(p.misfit(jnp.ones(p.n_cells), d_obs))
+
+    plain = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=30,
+                     learning_rate=0.02, bounds=(0.3, 2.0))
+    reg = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=30,
+                   learning_rate=0.02, bounds=(0.3, 2.0), reg_lambda=1e-4)
+    r_plain = float(p.roughness(plain.c2))
+    r_reg = float(p.roughness(reg.c2))
+    assert r_reg < r_plain          # smoother model
+    # the reported loss includes the lambda*roughness penalty floor
+    # (~1.8e-6 here) yet still drops well below the initial misfit
+    assert reg.misfits[-1] < 0.5 * m0

@@ -94,7 +94,9 @@ class FwiProblem:
     geometry : ((x0, y0), (x1, y1)) bounding box.
     dt, n_steps : time grid (t_n = n dt, n = 1..n_steps recorded).
     source : (x, y) source location, snapped to the nearest vertex.
-    receivers : sequence of (x, y) receiver locations, snapped likewise.
+    receivers : sequence of (x, y) receiver locations, snapped likewise —
+        or sampled at the exact locations by P1 barycentric interpolation
+        with ``interp_receivers=True`` (differentiable; both adjoints).
     wavelet : (n_steps,) nodal force time series at the source (default: a
         Ricker wavelet auto-scaled to the time grid).
     remat : checkpoint the scan body (recompute forward states in the
@@ -131,7 +133,8 @@ class FwiProblem:
                  sponge_width: float = 0.0,
                  sponge_strength: float = 30.0,
                  engine: str = "scatter",
-                 adjoint: str = "remat"):
+                 adjoint: str = "remat",
+                 interp_receivers: bool = False):
         if engine not in ("scatter", "grid", "stencil"):
             raise ValueError(f"unknown engine {engine!r}")
         if adjoint not in ("remat", "reversal"):
@@ -201,6 +204,18 @@ class FwiProblem:
         self.receiver_vertices = jnp.asarray(
             [int(np.argmin(np.sum((coords - np.asarray(r)) ** 2, axis=1)))
              for r in receivers], dtype=jnp.int32)
+        self.interp_receivers = bool(interp_receivers)
+        if interp_receivers:
+            # P1 barycentric sampling at the exact receiver locations:
+            # y_r = sum_j w_rj u[v_rj] over the containing triangle
+            # (reference point_value semantics, WaveEquationBase.cpp:170-222)
+            vr, wr = [], []
+            for r in receivers:
+                cell, (xi, eta) = self.mesh.locate_point(r)
+                vr.append(cells[cell])
+                wr.append((1.0 - xi - eta, xi, eta))
+            self._rec_tri_verts = jnp.asarray(np.asarray(vr, np.int32))
+            self._rec_tri_w = jnp.asarray(np.asarray(wr), self.dtype)
 
         if wavelet is None:
             times = self.dt * np.arange(1, self.n_steps + 1)
@@ -208,6 +223,64 @@ class FwiProblem:
         self.wavelet = jnp.asarray(
             np.broadcast_to(np.asarray(wavelet), (self.n_steps,)),
             dtype=self.dtype)
+
+    # -- receiver sampling ---------------------------------------------------
+
+    def _sample(self, u):
+        """Receiver traces from a field: nearest-vertex (default) or P1
+        barycentric interpolation at the exact locations."""
+        if self.interp_receivers:
+            return jnp.sum(u[self._rec_tri_verts] * self._rec_tri_w,
+                           axis=-1)
+        return u[self.receiver_vertices]
+
+    def _inject(self, vec, ybar_row):
+        """Adjoint of :meth:`_sample`: scatter receiver cotangents back
+        into the field (u_bar[v_rj] += w_rj * ybar_r)."""
+        if self.interp_receivers:
+            return vec.at[self._rec_tri_verts].add(
+                self._rec_tri_w * ybar_row[:, None])
+        return vec.at[self.receiver_vertices].add(ybar_row)
+
+    # -- model regularisation -------------------------------------------------
+
+    @property
+    def _cell_adjacency(self):
+        """(2, n_pairs) int32 indices of edge-sharing triangle pairs.
+
+        On the structured mesh each grid cell's lower triangle
+        (v00,v10,v11) shares its diagonal with the cell's upper triangle,
+        its bottom edge with the upper triangle of the cell below, and
+        each upper triangle shares its left edge with the lower triangle
+        of the cell to the left. Cached; built once host-side.
+        """
+        adj = self.__dict__.get("_cell_adjacency_cached")
+        if adj is not None:
+            return adj
+        nx, ny = self.mesh.nx, self.mesh.ny
+        gi = 2 * (np.arange(ny)[:, None] * nx + np.arange(nx))  # lower ids
+        pairs = [np.stack([gi.ravel(), gi.ravel() + 1])]        # diagonal
+        if ny > 1:
+            lo = gi[1:, :].ravel()           # lower(i, j), j >= 1
+            up = gi[:-1, :].ravel() + 1      # upper(i, j-1)
+            pairs.append(np.stack([lo, up]))
+        if nx > 1:
+            up = gi[:, 1:].ravel() + 1       # upper(i, j), i >= 1
+            lo = gi[:, :-1].ravel()          # lower(i-1, j)
+            pairs.append(np.stack([up, lo]))
+        # host numpy on purpose: a jnp constant materialised during a jit
+        # trace would cache an escaped tracer
+        adj = np.concatenate(pairs, axis=1).astype(np.int32)
+        self.__dict__["_cell_adjacency_cached"] = adj
+        return adj
+
+    def roughness(self, c2_cell):
+        """Sum of squared c2 jumps across all edge-sharing triangle pairs —
+        the graph-Laplacian Tikhonov functional used by ``reg_lambda``."""
+        ia, ib = self._cell_adjacency
+        d = jnp.asarray(c2_cell, self.dtype)
+        diff = d[ia] - d[ib]
+        return jnp.sum(diff * diff)
 
     # -- forward model ------------------------------------------------------
 
@@ -330,11 +403,11 @@ class FwiProblem:
             u_next = (2.0 * u - self._damp_num * u_prev
                       + dt2 * forced_accel(u, w_n)) * self._damp_den
             u_next = u_next * self._interior
-            return (u_next, u), u_next[self.receiver_vertices]
+            return (u_next, u), self._sample(u_next)
 
         if self.remat:
             body = jax.checkpoint(body)
-        first = u1[self.receiver_vertices]
+        first = self._sample(u1)
         (u_last, u_prevlast), rest = jax.lax.scan(body, (u1, u0), wavelet[1:])
         traces = jnp.concatenate([first[None], rest], axis=0)
         if return_final:
@@ -360,14 +433,14 @@ class FwiProblem:
         planes, assemble_vjp = jax.vjp(self._assemble_stencil_planes, c2_cell)
         interior = self._interior
         inv_m = self._inv_lumped
-        rec = self.receiver_vertices
         ny, nx = self.mesh.ny, self.mesh.nx
 
         def K(u):
             return self._apply_stencil_planes(planes, u)
 
         n = self.n_steps
-        lam_n = jnp.zeros(self.n_vertices, self.dtype).at[rec].add(ybar[-1])
+        lam_n = self._inject(jnp.zeros(self.n_vertices, self.dtype),
+                             ybar[-1])
         wbar0 = {d: jnp.zeros((ny + 1, nx + 1), self.dtype) for d in planes}
         carry0 = (u_last, u_prevlast, lam_n,
                   jnp.zeros(self.n_vertices, self.dtype), wbar0)
@@ -382,7 +455,7 @@ class FwiProblem:
             mu = dt2 * inv_m * blam
             # (dF/du_k)^T lam_{k+1} = 2 B lam - dt^2 K M^-1 B lam
             lam_cur = lam_partial + 2.0 * blam - K(mu)
-            lam_cur = lam_cur.at[rec].add(ybar_k)
+            lam_cur = self._inject(lam_cur, ybar_k)
             lam_prev_partial = -blam
             # time-reversed reconstruction of u_{k-1}
             f = (-K(u_cur)).at[src].add(w_k)
@@ -505,8 +578,14 @@ class FwiProblem:
                estimate_wavelet: bool = False,
                wavelet_init: Optional[jax.Array] = None,
                optimizer: str = "adam",
+               reg_lambda: float = 0.0,
                verbose: bool = False) -> FwiResult:
         """Iterative descent on the misfit, with optional box projection.
+
+        ``reg_lambda`` > 0 adds Tikhonov smoothing
+        ``reg_lambda * roughness(c2)`` (squared c2 jumps across
+        edge-sharing triangles) to the objective — the standard damping
+        of high-wavenumber artifacts in under-determined acquisitions.
 
         ``optimizer``: "adam" (default; robust first-order, uses
         ``learning_rate``) or "lbfgs" (optax L-BFGS with zoom
@@ -543,15 +622,19 @@ class FwiProblem:
         def loss(params, obs):
             c2, w = params
             if sources is None:
-                return self.misfit(c2, obs,
-                                   wavelet=wavelet if w is None else w)
-            ws = wavelets
-            if ws is None:
-                base = w if w is not None else (
-                    self.wavelet if wavelet is None else wavelet)
-                ws = jnp.broadcast_to(base,
-                                      (sources.shape[0], self.n_steps))
-            return self.misfit_shots(c2, sources, obs, ws)
+                val = self.misfit(c2, obs,
+                                  wavelet=wavelet if w is None else w)
+            else:
+                ws = wavelets
+                if ws is None:
+                    base = w if w is not None else (
+                        self.wavelet if wavelet is None else wavelet)
+                    ws = jnp.broadcast_to(base,
+                                          (sources.shape[0], self.n_steps))
+                val = self.misfit_shots(c2, sources, obs, ws)
+            if reg_lambda > 0.0:
+                val = val + reg_lambda * self.roughness(c2)
+            return val
 
         c2 = jnp.asarray(c2_init, self.dtype)
         if estimate_wavelet:
@@ -611,6 +694,7 @@ class FwiProblem:
                           n_iter: int = 50, learning_rate: float = 0.1,
                           bounds: Optional[Tuple[float, float]] = None,
                           sources=None, optimizer: str = "adam",
+                          reg_lambda: float = 0.0,
                           verbose: bool = False) -> FwiResult:
         """Frequency-continuation FWI (Bunks et al. 1995, the production
         cure for cycle skipping): run :meth:`invert` over a sequence of
@@ -652,7 +736,7 @@ class FwiProblem:
                               learning_rate=learning_rate, bounds=bounds,
                               sources=sources, wavelet=w_k,
                               wavelets=None, optimizer=optimizer,
-                              verbose=verbose)
+                              reg_lambda=reg_lambda, verbose=verbose)
             c2 = res.c2
             histories.append(res.misfits)
         return FwiResult(c2=c2, misfits=np.concatenate(histories))
