@@ -38,6 +38,13 @@ def parse_args():
                    default=[500, 2000, 8000])
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument("--modes", nargs="+",
+                   default=["remat", "reversal"],
+                   choices=["remat", "reversal", "pallas"],
+                   help="adjoint/engine variants: 'remat'/'reversal' use "
+                        "the XLA stencil-plane engine; 'pallas' is the "
+                        "fused-kernel engine with the reversal adjoint")
+    p.add_argument("--block-rows", type=int, default=128)
     return p.parse_args()
 
 
@@ -58,10 +65,13 @@ def main():
     rows = []
     for n_steps in args.steps:
         grads = {}
-        for adjoint in ("remat", "reversal"):
+        for mode in args.modes:
+            engine = "pallas" if mode == "pallas" else "stencil"
+            adjoint = "remat" if mode == "remat" else "reversal"
             p = FwiProblem((args.nel, args.nel), geom, args.dt, n_steps,
                            source=(0.25, 0.5), receivers=recs,
-                           engine="stencil", adjoint=adjoint)
+                           engine=engine, adjoint=adjoint,
+                           pallas_block_rows=args.block_rows)
             cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(1)
             inside = np.sum((cent - [0.6, 0.5]) ** 2, 1) < 0.18 ** 2
             c2_true = jnp.asarray(np.where(inside, 0.65, 1.0), p.dtype)
@@ -80,35 +90,37 @@ def main():
             except Exception as e:  # noqa: BLE001 - report OOM and move on
                 kind = type(e).__name__
                 msg = str(e).splitlines()[0][:100]
-                print(f"nel={args.nel} steps={n_steps:>6} {adjoint:>8}:"
+                print(f"nel={args.nel} steps={n_steps:>6} {mode:>8}:"
                       f"  FAILED ({kind}: {msg})")
-                rows.append((n_steps, adjoint, None, None))
+                rows.append((n_steps, mode, None, None))
                 continue
-            grads[adjoint] = np.asarray(g)
-            print(f"nel={args.nel} steps={n_steps:>6} {adjoint:>8}:"
+            grads[mode] = np.asarray(g)
+            print(f"nel={args.nel} steps={n_steps:>6} {mode:>8}:"
                   f"  {best:8.3f} s/grad  (compile+1st {compile_s:.1f} s,"
                   f"  misfit {float(val):.6e})")
-            rows.append((n_steps, adjoint, best, float(val)))
-        if len(grads) == 2:
-            a, b = grads["remat"], grads["reversal"]
+            rows.append((n_steps, mode, best, float(val)))
+        if len(grads) >= 2:
+            base_mode = next(iter(grads))
+            a = grads[base_mode]
             na = np.linalg.norm(a)
-            if na == 0.0:
-                print("              grad agreement: both zero (wavefront "
-                      "has not reached anomaly+receivers at this t yet)")
-            else:
+            for other, b in list(grads.items())[1:]:
+                if na == 0.0:
+                    print("              grad agreement: base grad is zero "
+                          "(wavefront has not reached anomaly+receivers)")
+                    break
                 rel = np.linalg.norm(a - b) / na
-                print(f"              grad agreement remat vs reversal: "
-                      f"rel l2 diff {rel:.3e}")
+                print(f"              grad agreement {base_mode} vs "
+                      f"{other}: rel l2 diff {rel:.3e}")
 
-    print("\nsteps      remat s/grad   reversal s/grad")
+    header = "".join(f"{m:>16}" for m in args.modes)
+    print(f"\nsteps  s/grad:{header}")
     by = {}
-    for n_steps, adj, best, _ in rows:
-        by.setdefault(n_steps, {})[adj] = best
+    for n_steps, mode, best, _ in rows:
+        by.setdefault(n_steps, {})[mode] = best
     for n_steps in args.steps:
         r = by.get(n_steps, {})
-        fmt = lambda v: f"{v:12.3f}" if v is not None else "         OOM"
-        print(f"{n_steps:>6} {fmt(r.get('remat'))}   "
-              f"{fmt(r.get('reversal'))}")
+        fmt = lambda v: f"{v:16.3f}" if v is not None else "             OOM"
+        print(f"{n_steps:>6} " + "".join(fmt(r.get(m)) for m in args.modes))
     return 0
 
 

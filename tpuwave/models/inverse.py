@@ -134,18 +134,28 @@ class FwiProblem:
                  sponge_strength: float = 30.0,
                  engine: str = "scatter",
                  adjoint: str = "remat",
-                 interp_receivers: bool = False):
-        if engine not in ("scatter", "grid", "stencil"):
+                 interp_receivers: bool = False,
+                 pallas_block_rows: int = 128,
+                 pallas_interpret: bool = False):
+        if engine not in ("scatter", "grid", "stencil", "pallas"):
             raise ValueError(f"unknown engine {engine!r}")
         if adjoint not in ("remat", "reversal"):
             raise ValueError(f"unknown adjoint {adjoint!r}")
-        if adjoint == "reversal" and (engine != "stencil"
+        if adjoint == "reversal" and (engine not in ("stencil", "pallas")
                                       or sponge_width > 0.0):
             raise ValueError("adjoint='reversal' needs engine='stencil' "
-                             "and no sponge (damping breaks the "
-                             "time-reversibility the reconstruction uses)")
+                             "or 'pallas' and no sponge (damping breaks "
+                             "the time-reversibility the reconstruction "
+                             "uses)")
+        if engine == "pallas" and adjoint != "reversal":
+            raise ValueError("engine='pallas' requires adjoint='reversal' "
+                             "(the fused kernels have no JAX AD rule, so "
+                             "gradients go through the hand-written "
+                             "time-reversal backward pass)")
         self.engine = engine
         self.adjoint = adjoint
+        self._pallas_br = int(pallas_block_rows)
+        self._pallas_interp = bool(pallas_interpret)
         self.dtype = dtype or default_float()
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
         self.space = FeSpace(self.mesh, 1)
@@ -370,10 +380,158 @@ class FwiProblem:
                         g * sk * ug[ojy:ojy + ny, ojx:ojx + nx])
         return acc.reshape(-1)
 
+    # -- fused Pallas engine (engine="pallas") -------------------------------
+
+    @property
+    def _pallas_layout(self):
+        """Static padded-grid layout for the fused kernels: physical
+        extents (rows, cols) = (ny+1, nx+1), Mosaic-aligned padded shape
+        (H, W), the row-block size, and padded receiver index arrays.
+        Cached host-side."""
+        lay = self.__dict__.get("_pallas_layout_cached")
+        if lay is not None:
+            return lay
+        rows, cols = self.mesh.ny + 1, self.mesh.nx + 1
+        br = self._pallas_br
+        while br > 8 and -(-rows // br) < 2:
+            br //= 2
+        # >= 2 blocks, and the (traced-even-when-untaken) middle halo-DMA
+        # branch slices br + 16 rows, so the padded height must cover it
+        n_blocks = max(-(-rows // br), 2, 1 + -(-16 // br))
+        H = n_blocks * br
+        W = -(-cols // 128) * 128
+        lay = {"rows": rows, "cols": cols, "H": H, "W": W, "br": br}
+        # host numpy on purpose: jnp constants materialised during a jit
+        # trace would cache escaped tracers (same caveat as _cell_adjacency)
+        vr = np.asarray(self._rec_tri_verts if self.interp_receivers
+                        else self.receiver_vertices)
+        lay["rec_r"] = np.asarray(vr // cols, np.int32)
+        lay["rec_c"] = np.asarray(vr % cols, np.int32)
+        self.__dict__["_pallas_layout_cached"] = lay
+        return lay
+
+    def _padded_planes(self, c2_cell):
+        """Stacked (7, H, W) coefficient planes in pallas_varcoef.OFFSETS
+        order, zero-padded to the Mosaic-aligned grid. Linear in c2 (the
+        backward pass takes jax.vjp of this to chain the accumulated
+        plane cotangents to dJ/dc2)."""
+        from ..ops.pallas_varcoef import OFFSETS
+        lay = self._pallas_layout
+        planes = self._assemble_stencil_planes(c2_cell)
+        zero = jnp.zeros((lay["rows"], lay["cols"]), self.dtype)
+        stacked = jnp.stack([planes.get(d, zero) for d in OFFSETS])
+        return jnp.zeros((7, lay["H"], lay["W"]), self.dtype).at[
+            :, :lay["rows"], :lay["cols"]].set(stacked)
+
+    def _pad_field(self, u_flat):
+        lay = self._pallas_layout
+        g = jnp.asarray(u_flat, self.dtype).reshape(lay["rows"],
+                                                    lay["cols"])
+        return jnp.zeros((lay["H"], lay["W"]), self.dtype).at[
+            :lay["rows"], :lay["cols"]].set(g)
+
+    def _sample_padded(self, u_g):
+        lay = self._pallas_layout
+        if self.interp_receivers:
+            return jnp.sum(u_g[lay["rec_r"], lay["rec_c"]]
+                           * self._rec_tri_w, axis=-1)
+        return u_g[lay["rec_r"], lay["rec_c"]]
+
+    def _inject_padded(self, vec_g, ybar_row):
+        lay = self._pallas_layout
+        if self.interp_receivers:
+            return vec_g.at[lay["rec_r"], lay["rec_c"]].add(
+                self._rec_tri_w * ybar_row[:, None])
+        return vec_g.at[lay["rec_r"], lay["rec_c"]].add(ybar_row)
+
+    def _propagate_pallas(self, c2_cell, src, wavelet, u0=None,
+                          return_final: bool = False):
+        """Forward leapfrog on the padded grid with the fused
+        variable-coefficient kernel (one HBM pass per step: u, u_prev,
+        7 coefficient planes in; u_next out). Source injection and
+        receiver sampling are O(1) index ops outside the kernel."""
+        from ..ops.pallas_varcoef import varcoef_leapfrog_step_pallas
+        lay = self._pallas_layout
+        planes = self._padded_planes(jnp.asarray(c2_cell, self.dtype))
+        coef = float(self.dt * self.dt) / self._det_j
+        cols = lay["cols"]
+        src_r, src_c = src // cols, src % cols
+        kw = dict(coef=coef, block_rows=lay["br"], true_rows=lay["rows"],
+                  true_cols=cols, interpret=self._pallas_interp)
+
+        u0_g = (jnp.zeros((lay["H"], lay["W"]), self.dtype)
+                if u0 is None else self._pad_field(u0))
+        # Taylor half-start: u1 = mask(u0 - dt²/2 M⁻¹ K u0) + dt²/2 M⁻¹ w0
+        u1 = varcoef_leapfrog_step_pallas(
+            u0_g, u0_g, planes, damp=None,
+            **{**kw, "coef": 0.5 * coef})
+        u1 = u1.at[src_r, src_c].add(0.5 * coef * wavelet[0])
+
+        def body(carry, w_n):
+            u, u_prev = carry
+            un = varcoef_leapfrog_step_pallas(u, u_prev, planes,
+                                              damp=None, **kw)
+            un = un.at[src_r, src_c].add(coef * w_n)
+            return (un, u), self._sample_padded(un)
+
+        first = self._sample_padded(u1)
+        (u_last, u_prevlast), rest = jax.lax.scan(body, (u1, u0_g),
+                                                  wavelet[1:])
+        traces = jnp.concatenate([first[None], rest], axis=0)
+        if return_final:
+            return traces, (u_last, u_prevlast)
+        return traces
+
+    def _adjoint_backward_pallas(self, c2_cell, src, wavelet, u_last,
+                                 u_prevlast, ybar):
+        """Fused-kernel twin of :meth:`_adjoint_backward`: the whole
+        backward body (state reconstruction, adjoint-field update and the
+        7-plane correlation accumulation) is ONE Pallas pass per step,
+        with the wbar accumulator donated in-place. (u_last, u_prevlast)
+        arrive as padded grids from :meth:`_propagate_pallas`."""
+        from ..ops.pallas_varcoef import varcoef_adjoint_step_pallas
+        lay = self._pallas_layout
+        c2_cell = jnp.asarray(c2_cell, self.dtype)
+        planes, assemble_vjp = jax.vjp(self._padded_planes, c2_cell)
+        coef = float(self.dt * self.dt) / self._det_j
+        cols = lay["cols"]
+        src_r, src_c = src // cols, src % cols
+        kw = dict(coef=coef, block_rows=lay["br"], true_rows=lay["rows"],
+                  true_cols=cols, interpret=self._pallas_interp)
+
+        lam_n = self._inject_padded(
+            jnp.zeros((lay["H"], lay["W"]), self.dtype), ybar[-1])
+        carry0 = (u_last, u_prevlast, lam_n,
+                  jnp.zeros((lay["H"], lay["W"]), self.dtype),
+                  jnp.zeros_like(planes))
+        xs = (ybar[:-1], wavelet[1:])
+
+        def body(carry, x):
+            ybar_k, w_k = x
+            u_next, u_cur, lam_next, lam_partial, wbar = carry
+            wav_bar_k = coef * lam_next[src_r, src_c]   # mu[src], interior
+            u_prev, lam_cur, lam_partial_new, wbar = \
+                varcoef_adjoint_step_pallas(u_next, u_cur, lam_next,
+                                            lam_partial, planes, wbar,
+                                            **kw)
+            u_prev = u_prev.at[src_r, src_c].add(coef * w_k)
+            lam_cur = self._inject_padded(lam_cur, ybar_k)
+            return ((u_cur, u_prev, lam_cur, lam_partial_new, wbar),
+                    wav_bar_k)
+
+        (_, _, lam_1, _, wbar), wav_bar_rest = jax.lax.scan(
+            body, carry0, xs, reverse=True)
+        wav_bar_0 = 0.5 * coef * lam_1[src_r, src_c]
+        wavelet_bar = jnp.concatenate([wav_bar_0[None], wav_bar_rest])
+        return assemble_vjp(wbar)[0], wavelet_bar
+
     def _propagate(self, c2_cell, src, wavelet,
                    u0: Optional[jax.Array] = None,
                    return_final: bool = False):
         """Core leapfrog scan, traceable in (c2_cell, src, wavelet, u0)."""
+        if self.engine == "pallas":
+            return self._propagate_pallas(c2_cell, src, wavelet, u0,
+                                          return_final)
         c2_cell = jnp.asarray(c2_cell, self.dtype)
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
 
@@ -493,7 +651,10 @@ class FwiProblem:
 
         def bwd(res, ybar):
             c2, src, wavelet, u_last, u_prevlast = res
-            c2_bar, wav_bar = self._adjoint_backward(
+            backward = (self._adjoint_backward_pallas
+                        if self.engine == "pallas"
+                        else self._adjoint_backward)
+            c2_bar, wav_bar = backward(
                 c2, src, wavelet, u_last, u_prevlast, ybar)
             src_bar = np.zeros(np.shape(src), jax.dtypes.float0)  # int arg
             return c2_bar, src_bar, wav_bar
