@@ -45,6 +45,12 @@ def parse_args():
                         "the XLA stencil-plane engine; 'pallas' is the "
                         "fused-kernel engine with the reversal adjoint")
     p.add_argument("--block-rows", type=int, default=128)
+    p.add_argument("--steps-per-call", type=int, default=8,
+                   help="temporal blocking for the pallas engine's "
+                        "forward pass (fused steps per kernel pass; "
+                        "1 disables)")
+    p.add_argument("--forward-only", action="store_true",
+                   help="time p.simulate instead of value_and_grad")
     return p.parse_args()
 
 
@@ -71,22 +77,39 @@ def main():
             p = FwiProblem((args.nel, args.nel), geom, args.dt, n_steps,
                            source=(0.25, 0.5), receivers=recs,
                            engine=engine, adjoint=adjoint,
-                           pallas_block_rows=args.block_rows)
+                           pallas_block_rows=args.block_rows,
+                           pallas_steps_per_call=args.steps_per_call)
+            if engine == "pallas":
+                print(f"  pallas layout: {p._pallas_layout['k']} fused "
+                      f"steps/pass, block_rows={p._pallas_layout['br']}")
             cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(1)
             inside = np.sum((cent - [0.6, 0.5]) ** 2, 1) < 0.18 ** 2
             c2_true = jnp.asarray(np.where(inside, 0.65, 1.0), p.dtype)
             c2_hom = jnp.ones(p.n_cells, p.dtype)
             try:
-                d_obs = jax.block_until_ready(p.simulate(c2_true))
-                vg = jax.jit(jax.value_and_grad(p.misfit))
-                t0 = time.perf_counter()
-                val, g = jax.block_until_ready(vg(c2_hom, d_obs))
-                compile_s = time.perf_counter() - t0
-                best = float("inf")
-                for _ in range(args.repeats):
+                if args.forward_only:
+                    fwd = jax.jit(p.simulate)
                     t0 = time.perf_counter()
-                    jax.block_until_ready(vg(c2_hom, d_obs))
-                    best = min(best, time.perf_counter() - t0)
+                    d_obs = jax.block_until_ready(fwd(c2_true))
+                    compile_s = time.perf_counter() - t0
+                    best = float("inf")
+                    for _ in range(args.repeats):
+                        t0 = time.perf_counter()
+                        jax.block_until_ready(fwd(c2_true))
+                        best = min(best, time.perf_counter() - t0)
+                    val = float(jnp.sum(d_obs * d_obs))
+                    g = jnp.zeros(1, p.dtype)
+                else:
+                    d_obs = jax.block_until_ready(p.simulate(c2_true))
+                    vg = jax.jit(jax.value_and_grad(p.misfit))
+                    t0 = time.perf_counter()
+                    val, g = jax.block_until_ready(vg(c2_hom, d_obs))
+                    compile_s = time.perf_counter() - t0
+                    best = float("inf")
+                    for _ in range(args.repeats):
+                        t0 = time.perf_counter()
+                        jax.block_until_ready(vg(c2_hom, d_obs))
+                        best = min(best, time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001 - report OOM and move on
                 kind = type(e).__name__
                 msg = str(e).splitlines()[0][:100]
@@ -99,7 +122,7 @@ def main():
                   f"  {best:8.3f} s/grad  (compile+1st {compile_s:.1f} s,"
                   f"  misfit {float(val):.6e})")
             rows.append((n_steps, mode, best, float(val)))
-        if len(grads) >= 2:
+        if len(grads) >= 2 and not args.forward_only:
             base_mode = next(iter(grads))
             a = grads[base_mode]
             na = np.linalg.norm(a)

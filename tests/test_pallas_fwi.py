@@ -122,3 +122,57 @@ def test_damped_kernel_matches_xla_sponge_step():
         block_rows=br, true_rows=rows, true_cols=cols, interpret=True)
     np.testing.assert_allclose(np.asarray(got[:rows, :cols]).ravel(),
                                np.asarray(want), rtol=1e-12, atol=1e-13)
+
+
+# --- temporal blocking (multistep kernel) ---------------------------------
+
+def _big_problem(engine, steps=20, k=8, **kw):
+    # padded rows 32 >= br + 2*halo = 24, so steps_per_call=8 activates
+    return FwiProblem((12, 26), GEOM, DT, steps, source=(0.45, 0.55),
+                      receivers=[(0.25, 0.3), (0.7, 0.65)],
+                      dtype=jnp.float64, engine=engine,
+                      adjoint="reversal", pallas_block_rows=8,
+                      pallas_steps_per_call=k,
+                      pallas_interpret=True, **kw)
+
+
+def test_multistep_layout_activates():
+    prob = _big_problem("pallas")
+    assert prob._pallas_layout["k"] == 8
+    # k=16 needs a 16-row halo > br=8: falls back to the largest fit (8)
+    wide = _big_problem("pallas", k=16)
+    assert wide._pallas_layout["k"] == 8
+    one = _big_problem("pallas", k=1)
+    assert one._pallas_layout["k"] == 1
+
+
+def test_multistep_forward_matches_stencil_engine():
+    """steps=20 -> 1 half-start + 2 fused chunks of 8 + 3 tail steps."""
+    ref = _big_problem("stencil")
+    pal = _big_problem("pallas")
+    c2 = _c2(ref, seed=5)
+    np.testing.assert_allclose(np.asarray(pal.simulate(c2)),
+                               np.asarray(ref.simulate(c2)),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_multistep_forward_interp_receivers():
+    ref = _big_problem("stencil", interp_receivers=True)
+    pal = _big_problem("pallas", interp_receivers=True)
+    c2 = _c2(ref, seed=6)
+    np.testing.assert_allclose(np.asarray(pal.simulate(c2)),
+                               np.asarray(ref.simulate(c2)),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_multistep_gradient_matches_stencil_reversal():
+    ref = _big_problem("stencil")
+    pal = _big_problem("pallas")
+    c2_true = _c2(ref, seed=7)
+    obs = ref.simulate(c2_true)
+    c2_init = jnp.ones(ref.n_cells)
+    v_ref, g_ref = jax.value_and_grad(ref.misfit)(c2_init, obs)
+    v_pal, g_pal = jax.value_and_grad(pal.misfit)(c2_init, obs)
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-14)

@@ -123,6 +123,13 @@ class FwiProblem:
         step count — the production seismic-imaging technique. Requires
         engine="stencil", hard walls (sponge breaks reversibility), and
         the default zero initial condition).
+    pallas_steps_per_call : temporal blocking for the pallas engine's
+        FORWARD pass — up to this many leapfrog steps fused into one
+        kernel pass (ops/pallas_varcoef.py::
+        varcoef_leapfrog_multistep_pallas), cutting per-step HBM traffic
+        from ~10 arrays to ~11/k + the receiver strip. Automatically
+        clamped to the largest k whose 8-aligned halo fits the block
+        layout; 1 disables blocking.
     """
 
     def __init__(self, nel: Tuple[int, int], geometry, dt: float,
@@ -136,6 +143,7 @@ class FwiProblem:
                  adjoint: str = "remat",
                  interp_receivers: bool = False,
                  pallas_block_rows: int = 128,
+                 pallas_steps_per_call: int = 8,
                  pallas_interpret: bool = False):
         if engine not in ("scatter", "grid", "stencil", "pallas"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -155,6 +163,7 @@ class FwiProblem:
         self.engine = engine
         self.adjoint = adjoint
         self._pallas_br = int(pallas_block_rows)
+        self._pallas_k = int(pallas_steps_per_call)
         self._pallas_interp = bool(pallas_interpret)
         self.dtype = dtype or default_float()
         self.mesh = StructuredTriMesh(tuple(nel), geometry)
@@ -407,6 +416,32 @@ class FwiProblem:
                         else self.receiver_vertices)
         lay["rec_r"] = np.asarray(vr // cols, np.int32)
         lay["rec_c"] = np.asarray(vr % cols, np.int32)
+        # temporal blocking: the largest k <= pallas_steps_per_call whose
+        # 8-aligned halo fits both the block and the padded height
+        k = max(1, self._pallas_k)
+        while k > 1:
+            halo = -(-k // 8) * 8
+            if br >= halo and H >= br + 2 * halo:
+                break
+            k -= 1
+        lay["k"] = k
+        # receiver grid rows for the multistep strip output (static)
+        rec_rows = tuple(sorted(set(int(r) for r in lay["rec_r"].ravel())))
+        lay["rec_rows"] = rec_rows
+        slot_of = {r: s for s, r in enumerate(rec_rows)}
+        lay["rec_slot"] = np.asarray(
+            [slot_of[int(r)] for r in lay["rec_r"].ravel()],
+            np.int32).reshape(lay["rec_r"].shape)
+        # static row-grouped injection layout for the multistep adjoint:
+        # ((row, ((col, flat_point_idx), ...)), ...) with flat index p
+        # matching the raveled (rec_r, rec_c) order — the order the
+        # caller flattens the pre-weighted cotangent values in.
+        groups: dict = {}
+        for p, (r, c) in enumerate(zip(lay["rec_r"].ravel(),
+                                       lay["rec_c"].ravel())):
+            groups.setdefault(int(r), []).append((int(c), p))
+        lay["adj_groups"] = tuple(sorted(
+            (r, tuple(pts)) for r, pts in groups.items()))
         self.__dict__["_pallas_layout_cached"] = lay
         return lay
 
@@ -444,6 +479,15 @@ class FwiProblem:
                 self._rec_tri_w * ybar_row[:, None])
         return vec_g.at[lay["rec_r"], lay["rec_c"]].add(ybar_row)
 
+    def _sample_strip(self, strip):
+        """Receiver traces from a multistep kernel's (k, R, W) strip of
+        receiver grid rows -> (k, n_rec)."""
+        lay = self._pallas_layout
+        vals = strip[:, lay["rec_slot"], lay["rec_c"]]
+        if self.interp_receivers:
+            return jnp.sum(vals * self._rec_tri_w, axis=-1)
+        return vals
+
     def _propagate_pallas(self, c2_cell, src, wavelet, u0=None,
                           return_final: bool = False):
         """Forward leapfrog on the padded grid with the fused
@@ -475,9 +519,34 @@ class FwiProblem:
             return (un, u), self._sample_padded(un)
 
         first = self._sample_padded(u1)
-        (u_last, u_prevlast), rest = jax.lax.scan(body, (u1, u0_g),
-                                                  wavelet[1:])
-        traces = jnp.concatenate([first[None], rest], axis=0)
+        w_rest = wavelet[1:]
+        k = lay["k"]
+        if k > 1:
+            from ..ops.pallas_varcoef import (
+                varcoef_leapfrog_multistep_pallas)
+            n_chunks, rem = divmod(w_rest.shape[0], k)
+            srcinfo = jnp.stack([src_r, src_c]).astype(jnp.int32)
+            mkw = dict(coef=coef, n_steps=k, rec_rows=lay["rec_rows"],
+                       block_rows=lay["br"], true_rows=lay["rows"],
+                       true_cols=cols, interpret=self._pallas_interp)
+
+            def chunk_body(carry, w_k):
+                u, u_prev = carry
+                un, upn, strip = varcoef_leapfrog_multistep_pallas(
+                    u, u_prev, planes, w_k, srcinfo, **mkw)
+                return (un, upn), self._sample_strip(strip)
+
+            (u_c, up_c), chunks = jax.lax.scan(
+                chunk_body, (u1, u0_g),
+                w_rest[:n_chunks * k].reshape(n_chunks, k))
+            mid = chunks.reshape(n_chunks * k, -1)
+            (u_last, u_prevlast), tail = jax.lax.scan(
+                body, (u_c, up_c), w_rest[n_chunks * k:])
+            traces = jnp.concatenate([first[None], mid, tail], axis=0)
+        else:
+            (u_last, u_prevlast), rest = jax.lax.scan(body, (u1, u0_g),
+                                                      w_rest)
+            traces = jnp.concatenate([first[None], rest], axis=0)
         if return_final:
             return traces, (u_last, u_prevlast)
         return traces

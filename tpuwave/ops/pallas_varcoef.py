@@ -47,7 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_kernels import _HALO, _halo_dma, _pinned_mask
 
 __all__ = ["OFFSETS", "varcoef_leapfrog_step_pallas",
-           "varcoef_adjoint_step_pallas"]
+           "varcoef_adjoint_step_pallas",
+           "varcoef_leapfrog_multistep_pallas",
+           "varcoef_adjoint_multistep_pallas"]
 
 # (dx, dy) neighbour offsets; plane j multiplies u[r + dy_j, c + dx_j]
 OFFSETS = ((0, 0), (-1, 0), (1, 0), (0, -1), (-1, -1), (0, 1), (1, 1))
@@ -190,6 +192,198 @@ def varcoef_leapfrog_step_pallas(u, u_prev, planes, *, coef: float,
     )(*args)
 
 
+def _halo_dma3(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
+               hh: int):
+    """3D variant of pallas_kernels._halo_dma for the (7, H, W) coefficient
+    planes: scratch[:, hh + r, :] = ref[:, i*br + r, :] with ``hh`` halo
+    rows above/below (zeros outside the array)."""
+    row0 = i * br
+    h_pad = n_blocks * br
+    n_planes = scratch.shape[0]
+
+    def run(dma, zero_slice):
+        dma.start()
+        if zero_slice is not None:
+            scratch[:, zero_slice, :] = jnp.zeros(
+                (n_planes, hh, n_cols), scratch.dtype)
+        dma.wait()
+
+    @pl.when(i == 0)
+    def _first():
+        run(pltpu.make_async_copy(ref_hbm.at[:, pl.ds(0, br + hh), :],
+                                  scratch.at[:, pl.ds(hh, br + hh), :],
+                                  sem),
+            slice(0, hh))
+
+    @pl.when(jnp.logical_and(i > 0, i < n_blocks - 1))
+    def _middle():
+        start = pl.multiple_of(row0 - hh, _HALO)
+        run(pltpu.make_async_copy(
+            ref_hbm.at[:, pl.ds(start, br + 2 * hh), :],
+            scratch.at[:, :, :], sem), None)
+
+    @pl.when(jnp.logical_and(i == n_blocks - 1, i > 0))
+    def _last():
+        run(pltpu.make_async_copy(
+            ref_hbm.at[:, pl.ds(h_pad - br - hh, br + hh), :],
+            scratch.at[:, pl.ds(0, br + hh), :], sem),
+            slice(br + hh, br + 2 * hh))
+
+
+def _varcoef_multistep_kernel(srcinfo_ref, wchunk_ref, u_hbm, up_hbm,
+                              planes_hbm, out_u_ref, out_up_ref,
+                              out_rec_ref, scr_u, scr_up, scr_p, sem_u,
+                              sem_up, sem_p, *, coef, n_steps: int,
+                              rec_rows: Tuple[int, ...], block_rows: int,
+                              n_rows: int, n_cols: int, true_cols: int,
+                              halo: int):
+    """Temporal blocking for the VARIABLE-coefficient leapfrog: advance
+    ``n_steps`` steps in one HBM pass. u, u_prev AND the 7 coefficient
+    planes are DMA'd with a ``halo``-row halo (validity shrinks one row
+    per inner step; the Dirichlet/pad mask is re-applied each step).
+    Per-pass HBM traffic: read 9 + write 2 slabs + the receiver strip —
+    ~(11/n_steps + strip) arrays per step instead of the single-step
+    kernel's 10.
+
+    Source injection happens in-kernel every inner step over the whole
+    slab (an iota-mask add, so a source row inside a neighbour block's
+    halo is handled too); ``srcinfo`` = (src_r, src_c) int32 in SMEM,
+    ``wchunk`` = (n_steps,) wavelet samples in SMEM. Receiver rows
+    (static ``rec_rows``, global grid rows) are written after every
+    inner step into out_rec (n_steps, len(rec_rows), W) by the block
+    owning each row (centre rows are always inside the validity
+    region).
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = halo
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols, hh=hh)
+    _halo_dma(up_hbm, scr_up, sem_up, i, n_blocks, br, n_cols, hh=hh)
+    _halo_dma3(planes_hbm, scr_p, sem_p, i, n_blocks, br, n_cols, hh=hh)
+
+    mask = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
+    planes = scr_p[:, :, :]
+
+    # slab-global source selector (handles a source inside halo rows)
+    gr = row0 - hh + jax.lax.broadcasted_iota(jnp.int32,
+                                              (h_tot, n_cols), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 1)
+    src_sel = jnp.where((gr == srcinfo_ref[0]) & (gc == srcinfo_ref[1]),
+                        jnp.asarray(coef, scr_u.dtype), 0.0)
+
+    cur = scr_u[:, :]
+    prev = scr_up[:, :]
+    for s in range(n_steps):
+        ku = _varcoef_stencil_slab(cur, planes, n_cols)
+        nxt = 2.0 * cur - prev - coef * ku
+        nxt = jnp.where(mask, 0.0, nxt) + wchunk_ref[s] * src_sel
+        prev = cur
+        cur = nxt
+        for j, rr in enumerate(rec_rows):
+            owner = rr // br
+            local = hh + rr - owner * br
+
+            @pl.when(i == owner)
+            def _write_rec(j=j, local=local, s=s, cur=cur):
+                out_rec_ref[s, j, :] = cur[local, :].astype(
+                    out_rec_ref.dtype)
+
+    out_u_ref[:, :] = cur[hh:hh + br, :].astype(out_u_ref.dtype)
+    out_up_ref[:, :] = prev[hh:hh + br, :].astype(out_up_ref.dtype)
+
+
+def _varcoef_stencil_slab(a, planes, n_cols):
+    """Full-slab variable-coefficient stencil (planes cover the same
+    halo'd slab as ``a``): out[r] = sum_d planes_d[r] * u[r + d]."""
+    h_tot = a.shape[0]
+    up = pltpu.roll(a, shift=1, axis=0)           # u[r-1, c]
+    dn = pltpu.roll(a, shift=h_tot - 1, axis=0)   # u[r+1, c]
+
+    def left(x):
+        return pltpu.roll(x, shift=1, axis=1)
+
+    def right(x):
+        return pltpu.roll(x, shift=n_cols - 1, axis=1)
+
+    return (planes[0] * a
+            + planes[1] * left(a) + planes[2] * right(a)
+            + planes[3] * up + planes[4] * left(up)
+            + planes[5] * dn + planes[6] * right(dn))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "coef", "n_steps", "rec_rows", "block_rows", "true_rows", "true_cols",
+    "interpret"))
+def varcoef_leapfrog_multistep_pallas(u, u_prev, planes, wchunk, srcinfo,
+                                      *, coef: float, n_steps: int,
+                                      rec_rows: Tuple[int, ...],
+                                      block_rows: int = 128,
+                                      true_rows: int = None,
+                                      true_cols: int = None,
+                                      interpret: bool = False):
+    """Advance ``n_steps`` fused variable-coefficient leapfrog steps in
+    ONE kernel pass (see ``_varcoef_multistep_kernel``). Returns
+    (u_new, u_prev_new, rec_strip) with rec_strip of shape
+    (n_steps, len(rec_rows), W) holding the full receiver grid rows
+    after every inner step (sample columns outside).
+
+    ``wchunk``: (n_steps,) source-wavelet samples; ``srcinfo``: (2,)
+    int32 (src_row, src_col) — both live in SMEM so they may be traced
+    values (vmapped shots)."""
+    h, w = u.shape
+    halo = -(-n_steps // _HALO) * _HALO
+    _validate(h, w, block_rows, interpret)
+    if block_rows < halo:
+        raise ValueError(f"block_rows {block_rows} must be >= the "
+                         f"{halo}-row halo for n_steps={n_steps}")
+    if h < block_rows + 2 * halo:
+        raise ValueError(f"rows {h} must be >= block_rows + 2*halo = "
+                         f"{block_rows + 2 * halo} for n_steps={n_steps}")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+
+    kernel = functools.partial(
+        _varcoef_multistep_kernel, coef=float(coef), n_steps=n_steps,
+        rec_rows=tuple(rec_rows), block_rows=block_rows, n_rows=n_rows,
+        n_cols=w, true_cols=n_cols_true, halo=halo)
+
+    block2 = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((n_steps, max(len(rec_rows), 1), w),
+                            lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    slab = (block_rows + 2 * halo, w)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # srcinfo
+                  pl.BlockSpec(memory_space=pltpu.SMEM),   # wchunk
+                  pl.BlockSpec(memory_space=pltpu.ANY),    # u
+                  pl.BlockSpec(memory_space=pltpu.ANY),    # u_prev
+                  pl.BlockSpec(memory_space=pltpu.ANY)],   # planes
+        out_specs=(block2, block2, rec_spec),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct(
+                       (n_steps, max(len(rec_rows), 1), w), u.dtype)),
+        scratch_shapes=[pltpu.VMEM(slab, u.dtype),
+                        pltpu.VMEM(slab, u.dtype),
+                        pltpu.VMEM((7,) + slab, u.dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(srcinfo, wchunk, u, u_prev, planes)
+
+
 def _adjoint_kernel(unext_ref, lpart_ref, planes_ref, wbar_ref, u_hbm,
                     lam_hbm, uprev_ref, lcur_ref, lpnew_ref, wbar_out_ref,
                     scr_u, scr_lam, sem_u, sem_lam, *, coef,
@@ -304,3 +498,198 @@ def varcoef_adjoint_step_pallas(u_next, u_cur, lam_next, lam_partial,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(u_next, lam_partial, planes, wbar, u_cur, lam_next)
+
+
+def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
+                              unext_hbm, ucur_hbm, lam_hbm, lpart_hbm,
+                              planes_hbm, unext_out_ref, ucur_out_ref,
+                              lam_out_ref, lpart_out_ref, wbar_out_ref,
+                              wavbar_out_ref, scr_a, scr_b, scr_l, scr_p,
+                              scr_pl, sem_a, sem_b, sem_l, sem_p, sem_pl,
+                              *, coef, n_steps: int,
+                              rec_groups: Tuple, block_rows: int,
+                              n_rows: int, n_cols: int, true_cols: int,
+                              halo: int):
+    """Temporal blocking for the FWI BACKWARD pass: ``n_steps`` fused
+    reverse steps per HBM pass. Each inner step (time-descending order;
+    the caller pre-reverses the per-chunk wavelet/cotangent rows) is the
+    exact ``_adjoint_kernel`` body over the shrinking-validity slab:
+
+      wavbar[s] = coef * lam[src]                     (pre-update lam)
+      blam      = mask0(lam)
+      lam'      = mask0(lpart + 2 blam - coef K(blam)) + receiver inject
+      u_prev    = mask0(2 B - A - coef K(B)) + coef w[s] at src
+      wbar_d   -= (coef blam)|int * shift(B, d)|int   (interior rows only)
+      (A, B, lam, lpart) <- (B, u_prev, lam', -blam)
+
+    Validity shrinks one row per step; ``halo`` >= n_steps keeps the
+    block interior exact for all inner steps. Source position arrives in
+    SMEM (traced, vmap-able over shots); receiver injection points are
+    static, grouped by grid row (``rec_groups`` =
+    ((row, ((col, flat_idx), ...)), ...) with inj_ref[s, flat_idx] the
+    pre-weighted cotangent) so each inner step costs one slab select per
+    distinct receiver row plus (1, W) lane work per point.
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = halo
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    _halo_dma(unext_hbm, scr_a, sem_a, i, n_blocks, br, n_cols, hh=hh)
+    _halo_dma(ucur_hbm, scr_b, sem_b, i, n_blocks, br, n_cols, hh=hh)
+    _halo_dma(lam_hbm, scr_l, sem_l, i, n_blocks, br, n_cols, hh=hh)
+    _halo_dma(lpart_hbm, scr_p, sem_p, i, n_blocks, br, n_cols, hh=hh)
+    _halo_dma3(planes_hbm, scr_pl, sem_pl, i, n_blocks, br, n_cols, hh=hh)
+
+    mask = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
+    planes = scr_pl[:, :, :]
+
+    gr = row0 - hh + jax.lax.broadcasted_iota(jnp.int32,
+                                              (h_tot, n_cols), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
+    src_r, src_c = srcinfo_ref[0], srcinfo_ref[1]
+    src_sel = jnp.where((gr == src_r) & (gc == src_c),
+                        jnp.asarray(coef, scr_b.dtype), 0.0)
+    in_owner = jnp.logical_and(src_r >= row0, src_r < row0 + br)
+    # interior-row restriction for the wavbar source read
+    int_row = (gr >= row0) & (gr < row0 + br)
+
+    a = scr_a[:, :]        # u_next
+    b = scr_b[:, :]        # u_cur
+    lam = scr_l[:, :]
+    lpart = scr_p[:, :]
+    wbar = wbar_ref[:, :, :]
+    zero = jnp.zeros((), b.dtype)
+
+    for s in range(n_steps):
+        val = coef * jnp.sum(jnp.where(
+            (gr == src_r) & (gc == src_c) & int_row, lam, zero))
+
+        @pl.when(in_owner)
+        def _write_wavbar(s=s, val=val):
+            wavbar_out_ref[0, s] = val.astype(wavbar_out_ref.dtype)
+
+        blam = jnp.where(mask, zero, lam)
+        k_blam = _varcoef_stencil_slab(blam, planes, n_cols)
+        k_b = _varcoef_stencil_slab(b, planes, n_cols)
+        lam_new = jnp.where(mask, zero, lpart + 2.0 * blam - coef * k_blam)
+        for rr, pts in rec_groups:
+            rowvec = zero[None, None]
+            for cc, p in pts:
+                rowvec = rowvec + inj_ref[s, p] * jnp.where(
+                    col_iota == cc, jnp.asarray(1.0, b.dtype), zero)
+            lam_new = lam_new + jnp.where(gr == rr, rowvec, zero)
+        u_prev = (jnp.where(mask, zero, 2.0 * b - a - coef * k_b)
+                  + wchunk_ref[s] * src_sel)
+
+        mu = coef * blam[hh:hh + br, :]
+        b_int = b[hh:hh + br, :]
+        up = pltpu.roll(b, shift=1, axis=0)[hh:hh + br, :]
+        dn = pltpu.roll(b, shift=h_tot - 1, axis=0)[hh:hh + br, :]
+
+        def left(x):
+            return pltpu.roll(x, shift=1, axis=1)
+
+        def right(x):
+            return pltpu.roll(x, shift=n_cols - 1, axis=1)
+
+        shifted = (b_int, left(b_int), right(b_int), up, left(up), dn,
+                   right(dn))
+        wbar = jnp.stack([wbar[j] - mu * shifted[j] for j in range(7)])
+
+        a, b, lam, lpart = b, u_prev, lam_new, -blam
+
+    unext_out_ref[:, :] = a[hh:hh + br, :].astype(unext_out_ref.dtype)
+    ucur_out_ref[:, :] = b[hh:hh + br, :].astype(ucur_out_ref.dtype)
+    lam_out_ref[:, :] = lam[hh:hh + br, :].astype(lam_out_ref.dtype)
+    lpart_out_ref[:, :] = lpart[hh:hh + br, :].astype(lpart_out_ref.dtype)
+    wbar_out_ref[:, :, :] = wbar.astype(wbar_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "coef", "n_steps", "rec_groups", "block_rows", "true_rows",
+    "true_cols", "interpret"))
+def varcoef_adjoint_multistep_pallas(u_next, u_cur, lam, lam_partial,
+                                     planes, wbar, wchunk, inj, srcinfo,
+                                     *, coef: float, n_steps: int,
+                                     rec_groups: Tuple,
+                                     block_rows: int = 128,
+                                     true_rows: int = None,
+                                     true_cols: int = None,
+                                     interpret: bool = False):
+    """Advance ``n_steps`` fused FWI backward steps in ONE kernel pass
+    (see ``_adjoint_multistep_kernel``). Returns (u_next', u_cur', lam',
+    lam_partial', wbar', wavbar) with wavbar of shape (n_steps,) —
+    the wavelet cotangents in the kernel's (time-descending) step order.
+    ``wbar`` is donated in-place.
+
+    wchunk : (n_steps,) wavelet samples, inj : (n_steps, P) pre-weighted
+    receiver cotangent values, srcinfo : (2,) int32 — all SMEM so they
+    may be traced (vmapped shots). ``rec_groups`` is the static
+    row-grouped injection layout ((row, ((col, flat_idx), ...)), ...).
+    """
+    h, w = u_next.shape
+    halo = -(-n_steps // _HALO) * _HALO
+    _validate(h, w, block_rows, interpret)
+    if block_rows < halo:
+        raise ValueError(f"block_rows {block_rows} must be >= the "
+                         f"{halo}-row halo for n_steps={n_steps}")
+    if h < block_rows + 2 * halo:
+        raise ValueError(f"rows {h} must be >= block_rows + 2*halo = "
+                         f"{block_rows + 2 * halo} for n_steps={n_steps}")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+
+    kernel = functools.partial(
+        _adjoint_multistep_kernel, coef=float(coef), n_steps=n_steps,
+        rec_groups=tuple(rec_groups), block_rows=block_rows,
+        n_rows=n_rows, n_cols=w, true_cols=n_cols_true, halo=halo)
+
+    block2 = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    wbar_spec = pl.BlockSpec((7, block_rows, w), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    wavbar_spec = pl.BlockSpec((1, n_steps), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
+    slab = (block_rows + 2 * halo, w)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # srcinfo
+                  pl.BlockSpec(memory_space=pltpu.SMEM),   # wchunk
+                  pl.BlockSpec(memory_space=pltpu.SMEM),   # inj
+                  wbar_spec,                               # wbar
+                  pl.BlockSpec(memory_space=pltpu.ANY),    # u_next
+                  pl.BlockSpec(memory_space=pltpu.ANY),    # u_cur
+                  pl.BlockSpec(memory_space=pltpu.ANY),    # lam
+                  pl.BlockSpec(memory_space=pltpu.ANY),    # lam_partial
+                  pl.BlockSpec(memory_space=pltpu.ANY)],   # planes
+        out_specs=(block2, block2, block2, block2, wbar_spec,
+                   wavbar_spec),
+        out_shape=(jax.ShapeDtypeStruct(u_next.shape, u_next.dtype),
+                   jax.ShapeDtypeStruct(u_next.shape, u_next.dtype),
+                   jax.ShapeDtypeStruct(u_next.shape, u_next.dtype),
+                   jax.ShapeDtypeStruct(u_next.shape, u_next.dtype),
+                   jax.ShapeDtypeStruct(planes.shape, planes.dtype),
+                   jax.ShapeDtypeStruct((1, n_steps), u_next.dtype)),
+        scratch_shapes=[pltpu.VMEM(slab, u_next.dtype),
+                        pltpu.VMEM(slab, u_next.dtype),
+                        pltpu.VMEM(slab, u_next.dtype),
+                        pltpu.VMEM(slab, u_next.dtype),
+                        pltpu.VMEM((7,) + slab, u_next.dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        input_output_aliases={3: 4},   # wbar -> wbar', in-place
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(srcinfo, wchunk, inj, wbar, u_next, u_cur, lam, lam_partial,
+      planes)
