@@ -176,3 +176,62 @@ def test_multistep_gradient_matches_stencil_reversal():
     np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                rtol=1e-9, atol=1e-14)
+
+
+def test_multistep_gradient_interp_receivers():
+    """Interp receivers spread each cotangent over 3 vertices — exercises
+    the multistep adjoint's pre-weighted point-injection layout."""
+    ref = _big_problem("stencil", interp_receivers=True)
+    pal = _big_problem("pallas", interp_receivers=True)
+    c2_true = _c2(ref, seed=8)
+    obs = ref.simulate(c2_true)
+    c2_init = jnp.ones(ref.n_cells)
+    g_ref = jax.grad(ref.misfit)(c2_init, obs)
+    g_pal = jax.grad(pal.misfit)(c2_init, obs)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-14)
+
+
+def test_multistep_wavelet_cotangent_matches():
+    """Pins the multistep adjoint's per-inner-step wavbar SMEM output
+    (chunk ordering + head/tail stitching) against the stencil engine."""
+    ref = _big_problem("stencil")
+    pal = _big_problem("pallas")
+    c2 = _c2(ref, seed=9)
+    obs = ref.simulate(1.1 * c2)
+
+    def wav_grad(p):
+        return jax.grad(lambda w: p.misfit(c2, obs, wavelet=w))(p.wavelet)
+
+    np.testing.assert_allclose(np.asarray(wav_grad(pal)),
+                               np.asarray(wav_grad(ref)),
+                               rtol=1e-9, atol=1e-14)
+
+
+def test_multistep_multishot_vmap():
+    """vmapped shots through the multistep kernels (traced src in SMEM)."""
+    ref = _big_problem("stencil")
+    pal = _big_problem("pallas")
+    srcs = pal.snap_vertices([(0.3, 0.5), (0.7, 0.4)])
+    c2 = _c2(ref, seed=11)
+    obs = ref.simulate_shots(1.1 * c2, srcs)
+    np.testing.assert_allclose(np.asarray(pal.simulate_shots(1.1 * c2,
+                                                             srcs)),
+                               np.asarray(obs), rtol=1e-12, atol=1e-13)
+    g_ref = jax.grad(lambda c: ref.misfit_shots(c, srcs, obs))(c2)
+    g_pal = jax.grad(lambda c: pal.misfit_shots(c, srcs, obs))(c2)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-14)
+
+
+def test_multistep_gradient_exact_chunking():
+    """steps such that (n_steps-1) % k == 0: no single-step head scan."""
+    ref = _big_problem("stencil", steps=17)   # m = 16 = 2 chunks of 8
+    pal = _big_problem("pallas", steps=17)
+    c2_true = _c2(ref, seed=10)
+    obs = ref.simulate(c2_true)
+    c2_init = jnp.ones(ref.n_cells)
+    g_ref = jax.grad(ref.misfit)(c2_init, obs)
+    g_pal = jax.grad(pal.misfit)(c2_init, obs)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-14)

@@ -573,7 +573,7 @@ class FwiProblem:
         carry0 = (u_last, u_prevlast, lam_n,
                   jnp.zeros((lay["H"], lay["W"]), self.dtype),
                   jnp.zeros_like(planes))
-        xs = (ybar[:-1], wavelet[1:])
+        ybar_part, w_part = ybar[:-1], wavelet[1:]
 
         def body(carry, x):
             ybar_k, w_k = x
@@ -588,8 +588,48 @@ class FwiProblem:
             return ((u_cur, u_prev, lam_cur, lam_partial_new, wbar),
                     wav_bar_k)
 
-        (_, _, lam_1, _, wbar), wav_bar_rest = jax.lax.scan(
-            body, carry0, xs, reverse=True)
+        k = lay["k"]
+        m = ybar_part.shape[0]
+        n_chunks, rem = divmod(m, k) if k > 1 else (0, m)
+        if n_chunks > 0:
+            # temporal blocking: elements [rem, m) in n_chunks fused
+            # passes (reverse chunk order; rows pre-reversed so the
+            # kernel's inner loop runs time-descending)
+            from ..ops.pallas_varcoef import varcoef_adjoint_multistep_pallas
+            srcinfo = jnp.stack([src_r, src_c]).astype(jnp.int32)
+            mkw = dict(coef=coef, n_steps=k, rec_groups=lay["adj_groups"],
+                       block_rows=lay["br"], true_rows=lay["rows"],
+                       true_cols=cols, interpret=self._pallas_interp)
+            yb_t = ybar_part[rem:].reshape(n_chunks, k, -1)
+            w_t = w_part[rem:].reshape(n_chunks, k)
+
+            def to_inj(yb_k):
+                """(k, n_rec) cotangents -> (k, P) pre-weighted point
+                values in the raveled (rec_r, rec_c) order."""
+                if self.interp_receivers:
+                    return (yb_k[:, :, None]
+                            * self._rec_tri_w[None]).reshape(k, -1)
+                return yb_k
+
+            def chunk_body(carry, x):
+                yb_k, w_k = x
+                u_next, u_cur, lam, lpart, wbar = carry
+                un, uc, lam2, lp2, wbar2, wavbar = \
+                    varcoef_adjoint_multistep_pallas(
+                        u_next, u_cur, lam, lpart, planes, wbar,
+                        w_k[::-1], to_inj(yb_k)[::-1], srcinfo, **mkw)
+                return ((un, uc, lam2, lp2, wbar2), wavbar[0, ::-1])
+
+            carry_mid, wav_mid = jax.lax.scan(chunk_body, carry0,
+                                              (yb_t, w_t), reverse=True)
+            (_, _, lam_1, _, wbar), wav_head = jax.lax.scan(
+                body, carry_mid, (ybar_part[:rem], w_part[:rem]),
+                reverse=True)
+            wav_bar_rest = jnp.concatenate(
+                [wav_head, wav_mid.reshape(n_chunks * k)])
+        else:
+            (_, _, lam_1, _, wbar), wav_bar_rest = jax.lax.scan(
+                body, carry0, (ybar_part, w_part), reverse=True)
         wav_bar_0 = 0.5 * coef * lam_1[src_r, src_c]
         wavelet_bar = jnp.concatenate([wav_bar_0[None], wav_bar_rest])
         return assemble_vjp(wbar)[0], wavelet_bar
