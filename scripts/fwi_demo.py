@@ -34,12 +34,16 @@ def main() -> int:
     ap.add_argument("--shots", type=int, default=1,
                     help=">1: multi-shot acquisition (vmapped shot axis, "
                          "GSPMD-parallel across devices)")
-    ap.add_argument("--engine", choices=("scatter", "grid", "stencil"), default="stencil",
-                    help="stiffness engine (grid = scatter-free TPU form)")
+    ap.add_argument("--engine",
+                    choices=("scatter", "grid", "stencil", "pallas"),
+                    default="stencil",
+                    help="stiffness engine (grid = scatter-free TPU form; "
+                         "pallas = fused temporally-blocked kernels, "
+                         "implies --adjoint reversal)")
     ap.add_argument("--adjoint", choices=("remat", "reversal"),
                     default="remat",
                     help="reversal = O(1)-memory time-reversed adjoint "
-                         "(needs --engine stencil, no sponge)")
+                         "(needs --engine stencil/pallas, no sponge)")
     ap.add_argument("--dtype", choices=("f32", "f64"), default="f64",
                     help="f32 for TPU-speed runs, f64 (default) for parity")
     ap.add_argument("--multiscale", type=float, nargs="*", default=None,
@@ -66,10 +70,17 @@ def main() -> int:
     # sources/receivers around the domain edge, anomaly in the middle
     recs = [(x, y) for x in (0.15, 0.5, 0.85) for y in (0.15, 0.85)]
     recs += [(0.15, 0.5), (0.85, 0.5)]
+    adjoint = "reversal" if args.engine == "pallas" else args.adjoint
+    extra = {}
+    if args.engine == "pallas":
+        import jax
+        # compiled Pallas kernels need a TPU; fall back to the (slow)
+        # interpreter so the demo still runs on the CPU backend
+        extra["pallas_interpret"] = jax.default_backend() == "cpu"
     p = FwiProblem((args.nel, args.nel), ((0.0, 0.0), (1.0, 1.0)),
                    args.dt, args.steps, source=(0.25, 0.5), receivers=recs,
                    sponge_width=args.sponge, engine=args.engine,
-                   adjoint=args.adjoint)
+                   adjoint=adjoint, **extra)
 
     cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
     inside = np.sum((cent - [0.6, 0.5]) ** 2, axis=1) < 0.18 ** 2
