@@ -46,9 +46,9 @@ def parse_args():
                         "fused-kernel engine with the reversal adjoint")
     p.add_argument("--block-rows", type=int, default=128)
     p.add_argument("--steps-per-call", type=int, default=8,
-                   help="temporal blocking for the pallas engine's "
-                        "forward pass (fused steps per kernel pass; "
-                        "1 disables)")
+                   help="temporal blocking for the pallas engine: fused "
+                        "steps per kernel pass, applied to BOTH the "
+                        "forward and the backward pass (1 disables)")
     p.add_argument("--forward-only", action="store_true",
                    help="time p.simulate instead of value_and_grad")
     return p.parse_args()
@@ -86,30 +86,30 @@ def main():
             inside = np.sum((cent - [0.6, 0.5]) ** 2, 1) < 0.18 ** 2
             c2_true = jnp.asarray(np.where(inside, 0.65, 1.0), p.dtype)
             c2_hom = jnp.ones(p.n_cells, p.dtype)
+            def time_fn(fn, *fargs):
+                """(first-call seconds, best-of-repeats seconds, result)."""
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(fn(*fargs))
+                first = time.perf_counter() - t0
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(fn(*fargs))
+                    best = min(best, time.perf_counter() - t0)
+                return first, best, out
+
             try:
                 if args.forward_only:
-                    fwd = jax.jit(p.simulate)
-                    t0 = time.perf_counter()
-                    d_obs = jax.block_until_ready(fwd(c2_true))
-                    compile_s = time.perf_counter() - t0
-                    best = float("inf")
-                    for _ in range(args.repeats):
-                        t0 = time.perf_counter()
-                        jax.block_until_ready(fwd(c2_true))
-                        best = min(best, time.perf_counter() - t0)
-                    val = float(jnp.sum(d_obs * d_obs))
+                    compile_s, best, d_obs = time_fn(jax.jit(p.simulate),
+                                                     c2_true)
+                    val = 0.5 * float(jnp.sum(d_obs * d_obs))
+                    vlabel = "obs energy"   # no residual in forward mode
                     g = jnp.zeros(1, p.dtype)
                 else:
                     d_obs = jax.block_until_ready(p.simulate(c2_true))
                     vg = jax.jit(jax.value_and_grad(p.misfit))
-                    t0 = time.perf_counter()
-                    val, g = jax.block_until_ready(vg(c2_hom, d_obs))
-                    compile_s = time.perf_counter() - t0
-                    best = float("inf")
-                    for _ in range(args.repeats):
-                        t0 = time.perf_counter()
-                        jax.block_until_ready(vg(c2_hom, d_obs))
-                        best = min(best, time.perf_counter() - t0)
+                    compile_s, best, (val, g) = time_fn(vg, c2_hom, d_obs)
+                    vlabel = "misfit"
             except Exception as e:  # noqa: BLE001 - report OOM and move on
                 kind = type(e).__name__
                 msg = str(e).splitlines()[0][:100]
@@ -118,9 +118,10 @@ def main():
                 rows.append((n_steps, mode, None, None))
                 continue
             grads[mode] = np.asarray(g)
+            unit = "s/fwd" if args.forward_only else "s/grad"
             print(f"nel={args.nel} steps={n_steps:>6} {mode:>8}:"
-                  f"  {best:8.3f} s/grad  (compile+1st {compile_s:.1f} s,"
-                  f"  misfit {float(val):.6e})")
+                  f"  {best:8.3f} {unit}  (compile+1st {compile_s:.1f} s,"
+                  f"  {vlabel} {float(val):.6e})")
             rows.append((n_steps, mode, best, float(val)))
         if len(grads) >= 2 and not args.forward_only:
             base_mode = next(iter(grads))

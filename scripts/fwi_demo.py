@@ -74,9 +74,10 @@ def main() -> int:
     extra = {}
     if args.engine == "pallas":
         import jax
-        # compiled Pallas kernels need a TPU; fall back to the (slow)
-        # interpreter so the demo still runs on the CPU backend
-        extra["pallas_interpret"] = jax.default_backend() == "cpu"
+        # compiled Pallas kernels need a TPU backend; fall back to the
+        # (slow) interpreter on everything else (cpu, gpu, ...)
+        extra["pallas_interpret"] = jax.default_backend() not in (
+            "tpu", "axon")
     p = FwiProblem((args.nel, args.nel), ((0.0, 0.0), (1.0, 1.0)),
                    args.dt, args.steps, source=(0.25, 0.5), receivers=recs,
                    sponge_width=args.sponge, engine=args.engine,

@@ -136,6 +136,22 @@ def _big_problem(engine, steps=20, k=8, **kw):
                       pallas_interpret=True, **kw)
 
 
+def test_block_rows_vmem_autoclamp():
+    """Wide grids auto-halve the row-block size so the multistep adjoint
+    fits VMEM (4096-class widths at f32: 128 -> 64)."""
+    wide = FwiProblem((4160, 128), GEOM, DT, 4, source=(0.5, 0.5),
+                      receivers=[(0.3, 0.3)], dtype=jnp.float32,
+                      engine="pallas", adjoint="reversal",
+                      pallas_block_rows=128, pallas_interpret=True)
+    assert wide._pallas_layout["W"] == 4224
+    assert wide._pallas_layout["br"] == 64
+    narrow = FwiProblem((256, 256), GEOM, DT, 4, source=(0.5, 0.5),
+                        receivers=[(0.3, 0.3)], dtype=jnp.float32,
+                        engine="pallas", adjoint="reversal",
+                        pallas_block_rows=128, pallas_interpret=True)
+    assert narrow._pallas_layout["br"] == 128
+
+
 def test_multistep_layout_activates():
     prob = _big_problem("pallas")
     assert prob._pallas_layout["k"] == 8

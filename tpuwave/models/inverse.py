@@ -123,13 +123,17 @@ class FwiProblem:
         step count — the production seismic-imaging technique. Requires
         engine="stencil", hard walls (sponge breaks reversibility), and
         the default zero initial condition).
-    pallas_steps_per_call : temporal blocking for the pallas engine's
-        FORWARD pass — up to this many leapfrog steps fused into one
-        kernel pass (ops/pallas_varcoef.py::
-        varcoef_leapfrog_multistep_pallas), cutting per-step HBM traffic
-        from ~10 arrays to ~11/k + the receiver strip. Automatically
-        clamped to the largest k whose 8-aligned halo fits the block
-        layout; 1 disables blocking.
+    pallas_steps_per_call : temporal blocking for the pallas engine, in
+        BOTH directions — up to this many steps fused into one kernel
+        pass: forward leapfrog steps (ops/pallas_varcoef.py::
+        varcoef_leapfrog_multistep_pallas) and backward
+        reconstruction+adjoint steps (varcoef_adjoint_multistep_pallas),
+        cutting per-step HBM traffic by ~k×. Automatically clamped to
+        the largest k whose 8-aligned halo fits the block layout;
+        1 disables blocking entirely.
+    pallas_block_rows : kernel row-block size. Auto-halved when the
+        per-block VMEM estimate of the multistep adjoint would exceed
+        the chip budget (wide grids: 4096² needs 64).
     """
 
     def __init__(self, nel: Tuple[int, int], geometry, dt: float,
@@ -403,6 +407,18 @@ class FwiProblem:
         rows, cols = self.mesh.ny + 1, self.mesh.nx + 1
         br = self._pallas_br
         while br > 8 and -(-rows // br) < 2:
+            br //= 2
+        W_est = -(-cols // 128) * 128
+        # clamp the block size so the multistep ADJOINT kernel (the
+        # VMEM-heaviest path: 11 halo'd scratch slabs + ~7 slab-sized
+        # shift temporaries + 14 wbar and 8 field in/out blocks) fits
+        # the per-core VMEM budget on wide grids (4096² needs br=64;
+        # measured: br=128 fails to compile at W=4224, br=64 matches
+        # br=128's per-point speed)
+        halo_max = -(-max(1, self._pallas_k) // 8) * 8
+        item = jnp.dtype(self.dtype).itemsize
+        while br > 16 and ((18 * (br + 2 * halo_max) + 22 * br)
+                           * W_est * item) > 64 * 1024 * 1024:
             br //= 2
         # >= 2 blocks, and the (traced-even-when-untaken) middle halo-DMA
         # branch slices br + 16 rows, so the padded height must cover it

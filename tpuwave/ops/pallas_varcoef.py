@@ -60,21 +60,12 @@ def _varcoef_stencil(a, planes, n_cols, hh, br):
     ((br+2hh, W)) with coefficient planes ``planes`` ((7, br, W)) in
     ``OFFSETS`` order. Wrap garbage lands only on boundary/padding
     rows/cols, which every caller masks."""
-    h_tot = a.shape[0]
-    cen = a[hh:hh + br, :]
-    up = pltpu.roll(a, shift=1, axis=0)[hh:hh + br, :]          # u[r-1, c]
-    dn = pltpu.roll(a, shift=h_tot - 1, axis=0)[hh:hh + br, :]  # u[r+1, c]
-
-    def left(x):                                   # u[., c-1]
-        return pltpu.roll(x, shift=1, axis=1)
-
-    def right(x):                                  # u[., c+1]
-        return pltpu.roll(x, shift=n_cols - 1, axis=1)
-
-    return (planes[0] * cen
-            + planes[1] * left(cen) + planes[2] * right(cen)
-            + planes[3] * up + planes[4] * left(up)
-            + planes[5] * dn + planes[6] * right(dn))
+    s = _slab_shifts(a, n_cols)
+    c = slice(hh, hh + br)
+    return (planes[0] * s[0][c] + planes[1] * s[1][c]
+            + planes[2] * s[2][c] + planes[3] * s[3][c]
+            + planes[4] * s[4][c] + planes[5] * s[5][c]
+            + planes[6] * s[6][c])
 
 
 def _varcoef_kernel(up_ref, planes_ref, u_hbm, out_ref, scratch, sem, *,
@@ -296,9 +287,9 @@ def _varcoef_multistep_kernel(srcinfo_ref, wchunk_ref, u_hbm, up_hbm,
     out_up_ref[:, :] = prev[hh:hh + br, :].astype(out_up_ref.dtype)
 
 
-def _varcoef_stencil_slab(a, planes, n_cols):
-    """Full-slab variable-coefficient stencil (planes cover the same
-    halo'd slab as ``a``): out[r] = sum_d planes_d[r] * u[r + d]."""
+def _slab_shifts(a, n_cols):
+    """The 7 OFFSETS-ordered shifted views of the full slab ``a``:
+    (cen, left(cen), right(cen), up, left(up), dn, right(dn))."""
     h_tot = a.shape[0]
     up = pltpu.roll(a, shift=1, axis=0)           # u[r-1, c]
     dn = pltpu.roll(a, shift=h_tot - 1, axis=0)   # u[r+1, c]
@@ -309,10 +300,19 @@ def _varcoef_stencil_slab(a, planes, n_cols):
     def right(x):
         return pltpu.roll(x, shift=n_cols - 1, axis=1)
 
-    return (planes[0] * a
-            + planes[1] * left(a) + planes[2] * right(a)
-            + planes[3] * up + planes[4] * left(up)
-            + planes[5] * dn + planes[6] * right(dn))
+    return (a, left(a), right(a), up, left(up), dn, right(dn))
+
+
+def _varcoef_stencil_slab(a, planes, n_cols, shifts=None):
+    """Full-slab variable-coefficient stencil (planes cover the same
+    halo'd slab as ``a``): out[r] = sum_d planes_d[r] * u[r + d].
+    ``shifts``: optionally pass precomputed ``_slab_shifts(a, n_cols)``
+    (the adjoint multistep kernel reuses them for the wbar correlation)."""
+    s = shifts if shifts is not None else _slab_shifts(a, n_cols)
+    return (planes[0] * s[0]
+            + planes[1] * s[1] + planes[2] * s[2]
+            + planes[3] * s[3] + planes[4] * s[4]
+            + planes[5] * s[5] + planes[6] * s[6])
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -574,7 +574,8 @@ def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
 
         blam = jnp.where(mask, zero, lam)
         k_blam = _varcoef_stencil_slab(blam, planes, n_cols)
-        k_b = _varcoef_stencil_slab(b, planes, n_cols)
+        b_shifts = _slab_shifts(b, n_cols)
+        k_b = _varcoef_stencil_slab(b, planes, n_cols, shifts=b_shifts)
         lam_new = jnp.where(mask, zero, lpart + 2.0 * blam - coef * k_blam)
         for rr, pts in rec_groups:
             rowvec = zero[None, None]
@@ -586,19 +587,8 @@ def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
                   + wchunk_ref[s] * src_sel)
 
         mu = coef * blam[hh:hh + br, :]
-        b_int = b[hh:hh + br, :]
-        up = pltpu.roll(b, shift=1, axis=0)[hh:hh + br, :]
-        dn = pltpu.roll(b, shift=h_tot - 1, axis=0)[hh:hh + br, :]
-
-        def left(x):
-            return pltpu.roll(x, shift=1, axis=1)
-
-        def right(x):
-            return pltpu.roll(x, shift=n_cols - 1, axis=1)
-
-        shifted = (b_int, left(b_int), right(b_int), up, left(up), dn,
-                   right(dn))
-        wbar = jnp.stack([wbar[j] - mu * shifted[j] for j in range(7)])
+        wbar = jnp.stack([wbar[j] - mu * b_shifts[j][hh:hh + br, :]
+                          for j in range(7)])
 
         a, b, lam, lpart = b, u_prev, lam_new, -blam
 
