@@ -297,8 +297,52 @@ def test_reversal_adjoint_matches_autodiff():
 def test_reversal_adjoint_validation():
     with pytest.raises(ValueError):
         _problem(engine="grid", adjoint="reversal")
-    with pytest.raises(ValueError):
-        _problem(engine="stencil", adjoint="reversal", sponge_width=0.1)
+    with pytest.raises(ValueError):  # pallas reversal has no sponge path
+        _problem(engine="pallas", adjoint="reversal", sponge_width=0.1,
+                 pallas_interpret=True)
+
+
+def test_reversal_sponge_boundary_saving_matches_remat():
+    """adjoint='reversal' with a sponge (boundary saving: the damped
+    strip is stored per step and overwritten during reconstruction;
+    lambda runs the exact damped-leapfrog transpose) reproduces the
+    remat-autodiff traces and (c2, wavelet) gradients in f64."""
+    import jax
+
+    kw = dict(nel=(14, 12), n_steps=35, dt=0.008, engine="stencil",
+              sponge_width=0.25, sponge_strength=40.0)
+    pr = _problem(adjoint="remat", **kw)
+    pv = _problem(adjoint="reversal", **kw)
+    assert pv._sponge_idx is not None and pv._sponge_idx.size > 0
+
+    rng = np.random.default_rng(7)
+    c2 = jnp.asarray(1.0 + 0.2 * rng.random(pr.n_cells))
+    d_obs = pr.simulate(jnp.ones(pr.n_cells) * 1.15)
+
+    # identical forward trajectory (same damped scan)
+    np.testing.assert_array_equal(np.asarray(pv.simulate(c2)),
+                                  np.asarray(pr.simulate(c2)))
+    v0, g0 = pr.misfit_and_grad(c2, d_obs)
+    v1, g1 = pv.misfit_and_grad(c2, d_obs)
+    assert float(v1) == pytest.approx(float(v0), rel=1e-13)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-8, atol=1e-18)
+
+    # wavelet cotangents see the damping factors too
+    gw0 = jax.grad(lambda w: pr.misfit(c2, d_obs, wavelet=w))(pr.wavelet)
+    gw1 = jax.grad(lambda w: pv.misfit(c2, d_obs, wavelet=w))(pv.wavelet)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                               rtol=1e-8, atol=1e-18)
+
+    # tiny-step-count edge (exercises the strip_xs row slicing at n=2)
+    kw2 = dict(kw, n_steps=2)
+    p2r = _problem(adjoint="remat", **kw2)
+    p2v = _problem(adjoint="reversal", **kw2)
+    d2 = p2r.simulate(jnp.ones(p2r.n_cells) * 1.15)
+    _, g2r = p2r.misfit_and_grad(c2, d2)
+    _, g2v = p2v.misfit_and_grad(c2, d2)
+    np.testing.assert_allclose(np.asarray(g2v), np.asarray(g2r),
+                               rtol=1e-10, atol=1e-18)
 
 
 def test_joint_wavelet_estimation():

@@ -121,8 +121,13 @@ class FwiProblem:
         RECONSTRUCTS forward states by running the time-reversible
         leapfrog backwards from the final pair, so memory is O(1) in the
         step count — the production seismic-imaging technique. Requires
-        engine="stencil", hard walls (sponge breaks reversibility), and
-        the default zero initial condition).
+        engine="stencil" or "pallas" and the default zero initial
+        condition. With a sponge (engine="stencil" only) the damped
+        strip is not reversible, so the forward pass saves the wavefield
+        on the sigma > 0 vertices each step and the reconstruction
+        overwrites the strip from storage ("boundary saving") — memory
+        O(|strip| * n_steps) instead of remat's O(n_vertices * n_steps),
+        with exact gradients everywhere including inside the sponge).
     pallas_steps_per_call : temporal blocking for the pallas engine, in
         BOTH directions — up to this many steps fused into one kernel
         pass: forward leapfrog steps (ops/pallas_varcoef.py::
@@ -153,12 +158,15 @@ class FwiProblem:
             raise ValueError(f"unknown engine {engine!r}")
         if adjoint not in ("remat", "reversal"):
             raise ValueError(f"unknown adjoint {adjoint!r}")
-        if adjoint == "reversal" and (engine not in ("stencil", "pallas")
-                                      or sponge_width > 0.0):
+        if adjoint == "reversal" and engine not in ("stencil", "pallas"):
             raise ValueError("adjoint='reversal' needs engine='stencil' "
-                             "or 'pallas' and no sponge (damping breaks "
-                             "the time-reversibility the reconstruction "
-                             "uses)")
+                             "or 'pallas' (the reconstruction runs on the "
+                             "assembled stencil planes)")
+        if (adjoint == "reversal" and engine == "pallas"
+                and sponge_width > 0.0):
+            raise ValueError("engine='pallas' does not support a sponge "
+                             "yet; use engine='stencil' (reversal with a "
+                             "sponge runs via boundary saving)")
         if engine == "pallas" and adjoint != "reversal":
             raise ValueError("engine='pallas' requires adjoint='reversal' "
                              "(the fused kernels have no JAX AD rule, so "
@@ -220,6 +228,18 @@ class FwiProblem:
         s_half = 0.5 * self.dt * sigma
         self._damp_num = jnp.asarray(1.0 - s_half, dtype=self.dtype)
         self._damp_den = jnp.asarray(1.0 / (1.0 + s_half), dtype=self.dtype)
+        # boundary saving for the time-reversal adjoint with a sponge: the
+        # damped strip (sigma > 0) is NOT reversible, so the forward pass
+        # stores the wavefield on exactly those vertices each step and the
+        # reconstruction overwrites them from storage — the production
+        # seismic-imaging technique (memory O(|strip| * n_steps) instead of
+        # O(n_vertices * n_steps); gradients stay exact everywhere,
+        # including inside the sponge)
+        if sponge_width > 0.0 and adjoint == "reversal":
+            self._sponge_idx = jnp.asarray(np.nonzero(sigma > 0.0)[0],
+                                           jnp.int32)
+        else:
+            self._sponge_idx = None
 
         coords = self.mesh.vertex_coords
         self.source_vertex = int(np.argmin(
@@ -681,17 +701,29 @@ class FwiProblem:
         u1 = u0 + 0.5 * dt2 * forced_accel(u0, wavelet[0])
         u1 = u1 * self._interior
 
+        # boundary saving (reversal + sponge): stream the damped-strip
+        # values out of the scan so the backward pass can reconstruct
+        save = self._sponge_idx if return_final else None
+
         def body(carry, w_n):
             u, u_prev = carry
             u_next = (2.0 * u - self._damp_num * u_prev
                       + dt2 * forced_accel(u, w_n)) * self._damp_den
             u_next = u_next * self._interior
-            return (u_next, u), self._sample(u_next)
+            out = self._sample(u_next)
+            if save is not None:
+                out = (out, u_next[save])
+            return (u_next, u), out
 
         if self.remat:
             body = jax.checkpoint(body)
         first = self._sample(u1)
         (u_last, u_prevlast), rest = jax.lax.scan(body, (u1, u0), wavelet[1:])
+        if save is not None:
+            rest, strip_rest = rest
+            strips = jnp.concatenate([u1[save][None], strip_rest], axis=0)
+            traces = jnp.concatenate([first[None], rest], axis=0)
+            return traces, (u_last, u_prevlast, strips)
         traces = jnp.concatenate([first[None], rest], axis=0)
         if return_final:
             return traces, (u_last, u_prevlast)
@@ -700,16 +732,22 @@ class FwiProblem:
     # -- O(1)-memory adjoint: time-reversed state reconstruction ------------
 
     def _adjoint_backward(self, c2_cell, src, wavelet, u_last, u_prevlast,
-                          ybar):
+                          ybar, strips=None):
         """Hand-written reverse pass of :meth:`_propagate` (stencil engine,
-        hard walls, zero start): a reverse-time scan that simultaneously
+        zero start): a reverse-time scan that simultaneously
         (a) RECONSTRUCTS the forward states u_{k-1} from (u_{k+1}, u_k) —
         the undamped leapfrog is time-reversible, so no forward state is
         stored; (b) propagates the adjoint field lambda driven by the
         receiver cotangents; (c) accumulates the 9 stencil-plane
         correlations W_d = -sum_k mu_{k+1} * shift(u_k, d), which chain
         through the (linear) plane assembly to dJ/dc2. Memory is O(1) in
-        n_steps. Returns (c2_bar, wavelet_bar).
+        n_steps with hard walls. With a sponge, the damped strip is not
+        reversible: ``strips`` carries the forward pass's saved strip
+        values (n_steps, |strip|) and the reconstruction overwrites the
+        strip from storage each step (boundary saving — memory
+        O(|strip| * n_steps)); the lambda recursion applies the exact
+        damped-leapfrog transpose so gradients stay exact everywhere.
+        Returns (c2_bar, wavelet_bar).
         """
         c2_cell = jnp.asarray(c2_cell, self.dtype)
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
@@ -717,6 +755,15 @@ class FwiProblem:
         interior = self._interior
         inv_m = self._inv_lumped
         ny, nx = self.mesh.ny, self.mesh.nx
+        sponge_idx = self._sponge_idx
+        has_sponge = strips is not None and sponge_idx is not None
+        if has_sponge:
+            # interior ⊙ Dden folded into one mask; Dnum applied to the
+            # u_prev-cotangent leg (exact transpose of the damped step)
+            bden = interior * self._damp_den
+            dnum = self._damp_num
+        else:
+            bden = interior
 
         def K(u):
             return self._apply_stencil_planes(planes, u)
@@ -728,21 +775,34 @@ class FwiProblem:
         carry0 = (u_last, u_prevlast, lam_n,
                   jnp.zeros(self.n_vertices, self.dtype), wbar0)
         # reverse over k = n-1 .. 1: xs rows are (ybar_k, w_k) with
-        # y_k = traces[k-1] (traces[0] is u_1) and w_k = wavelet[k]
+        # y_k = traces[k-1] (traces[0] is u_1) and w_k = wavelet[k];
+        # with boundary saving also the strip of u_{k-1} (row 0 is the
+        # zero initial condition, rows 1.. are the forward saves)
         xs = (ybar[:-1], wavelet[1:])
+        if has_sponge:
+            zero_row = jnp.zeros((1,) + strips.shape[1:], strips.dtype)
+            strip_xs = jnp.concatenate([zero_row, strips[:-2]],
+                                       axis=0)[:n - 1]
+            xs = xs + (strip_xs,)
 
         def body(carry, x):
-            ybar_k, w_k = x
+            if has_sponge:
+                ybar_k, w_k, strip_km1 = x
+            else:
+                ybar_k, w_k = x
             u_next, u_cur, lam_next, lam_partial, wbar = carry
-            blam = interior * lam_next
+            blam = bden * lam_next
             mu = dt2 * inv_m * blam
             # (dF/du_k)^T lam_{k+1} = 2 B lam - dt^2 K M^-1 B lam
             lam_cur = lam_partial + 2.0 * blam - K(mu)
             lam_cur = self._inject(lam_cur, ybar_k)
-            lam_prev_partial = -blam
-            # time-reversed reconstruction of u_{k-1}
+            lam_prev_partial = -(dnum * blam) if has_sponge else -blam
+            # time-reversed reconstruction of u_{k-1} (undamped formula —
+            # exact off the strip; strip values come from storage)
             f = (-K(u_cur)).at[src].add(w_k)
             u_prev = interior * (2.0 * u_cur - u_next + dt2 * inv_m * f)
+            if has_sponge:
+                u_prev = u_prev.at[sponge_idx].set(strip_km1)
             mu_g = mu.reshape(ny + 1, nx + 1)
             u_g = u_cur.reshape(ny + 1, nx + 1)
             wbar = {d: wbar[d] - mu_g * jnp.roll(u_g, (-d[1], -d[0]), (0, 1))
@@ -770,17 +830,19 @@ class FwiProblem:
             return self._propagate(c2, src, wavelet)
 
         def fwd(c2, src, wavelet):
-            traces, (u_last, u_prevlast) = self._propagate(
+            traces, final = self._propagate(
                 c2, src, wavelet, return_final=True)
-            return traces, (c2, src, wavelet, u_last, u_prevlast)
+            # final is (u_last, u_prevlast) or, with boundary saving,
+            # (u_last, u_prevlast, strips)
+            return traces, (c2, src, wavelet) + tuple(final)
 
         def bwd(res, ybar):
-            c2, src, wavelet, u_last, u_prevlast = res
+            c2, src, wavelet, u_last, u_prevlast, *rest = res
             backward = (self._adjoint_backward_pallas
                         if self.engine == "pallas"
                         else self._adjoint_backward)
             c2_bar, wav_bar = backward(
-                c2, src, wavelet, u_last, u_prevlast, ybar)
+                c2, src, wavelet, u_last, u_prevlast, ybar, *rest)
             src_bar = np.zeros(np.shape(src), jax.dtypes.float0)  # int arg
             return c2_bar, src_bar, wav_bar
 
