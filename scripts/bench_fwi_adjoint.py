@@ -51,6 +51,17 @@ def parse_args():
                         "forward and the backward pass (1 disables)")
     p.add_argument("--forward-only", action="store_true",
                    help="time p.simulate instead of value_and_grad")
+    p.add_argument("--sponge", type=float, default=0.0,
+                   help="absorbing-layer width (physical units; 0 = hard "
+                        "walls). With 'reversal' this exercises the "
+                        "boundary-saving path (damped strip stored per "
+                        "step); 'pallas' does not support it")
+    p.add_argument("--boundary-save", choices=("strip", "ring"),
+                   default="strip",
+                   help="reversal+sponge storage: every damped vertex "
+                        "(exact everywhere) or just the interface ring "
+                        "(exact on the physical region, O(perimeter) "
+                        "memory)")
     return p.parse_args()
 
 
@@ -77,8 +88,15 @@ def main():
             p = FwiProblem((args.nel, args.nel), geom, args.dt, n_steps,
                            source=(0.25, 0.5), receivers=recs,
                            engine=engine, adjoint=adjoint,
+                           sponge_width=args.sponge,
+                           boundary_save=args.boundary_save,
                            pallas_block_rows=args.block_rows,
                            pallas_steps_per_call=args.steps_per_call)
+            if args.sponge > 0.0 and p._sponge_rects is not None:
+                frac = p._sponge_saved_size / p.n_vertices
+                print(f"  boundary save ({p.boundary_save}): "
+                      f"{p._sponge_saved_size} vertices "
+                      f"({100 * frac:.1f}% of the grid) saved per step")
             if engine == "pallas":
                 print(f"  pallas layout: {p._pallas_layout['k']} fused "
                       f"steps/pass, block_rows={p._pallas_layout['br']}")

@@ -43,7 +43,14 @@ def main() -> int:
     ap.add_argument("--adjoint", choices=("remat", "reversal"),
                     default="remat",
                     help="reversal = O(1)-memory time-reversed adjoint "
-                         "(needs --engine stencil/pallas, no sponge)")
+                         "(needs --engine stencil/pallas; with a sponge "
+                         "it switches to boundary saving)")
+    ap.add_argument("--boundary-save", choices=("strip", "ring"),
+                    default="strip",
+                    help="reversal+sponge storage: every damped vertex "
+                         "(exact everywhere) or just the interface ring "
+                         "(O(perimeter) memory, exact on the physical "
+                         "region; required for --engine pallas)")
     ap.add_argument("--dtype", choices=("f32", "f64"), default="f64",
                     help="f32 for TPU-speed runs, f64 (default) for parity")
     ap.add_argument("--multiscale", type=float, nargs="*", default=None,
@@ -78,6 +85,10 @@ def main() -> int:
         # (slow) interpreter on everything else (cpu, gpu, ...)
         extra["pallas_interpret"] = jax.default_backend() not in (
             "tpu", "axon")
+        if args.sponge > 0.0:
+            args.boundary_save = "ring"   # the only fused-path flavour
+    if args.sponge > 0.0 and adjoint == "reversal":
+        extra["boundary_save"] = args.boundary_save
     p = FwiProblem((args.nel, args.nel), ((0.0, 0.0), (1.0, 1.0)),
                    args.dt, args.steps, source=(0.25, 0.5), receivers=recs,
                    sponge_width=args.sponge, engine=args.engine,

@@ -313,7 +313,13 @@ def test_reversal_sponge_boundary_saving_matches_remat():
               sponge_width=0.25, sponge_strength=40.0)
     pr = _problem(adjoint="remat", **kw)
     pv = _problem(adjoint="reversal", **kw)
-    assert pv._sponge_idx is not None and pv._sponge_idx.size > 0
+    assert pv._sponge_rects is not None and pv._sponge_saved_size > 0
+    # the strip rectangles cover exactly the damped vertices
+    cover = np.zeros(pv.n_vertices, bool).reshape(pv.mesh.ny + 1,
+                                                  pv.mesh.nx + 1)
+    for (a, b, c, d) in pv._sponge_rects:
+        cover[a:b, c:d] = True
+    np.testing.assert_array_equal(cover.reshape(-1), pv._sigma_np > 0.0)
 
     rng = np.random.default_rng(7)
     c2 = jnp.asarray(1.0 + 0.2 * rng.random(pr.n_cells))
@@ -343,6 +349,46 @@ def test_reversal_sponge_boundary_saving_matches_remat():
     _, g2v = p2v.misfit_and_grad(c2, d2)
     np.testing.assert_allclose(np.asarray(g2v), np.asarray(g2r),
                                rtol=1e-10, atol=1e-18)
+
+
+def test_reversal_sponge_ring_mode():
+    """boundary_save='ring' stores only the interface ring (O(perimeter)
+    per step) and zeroes the deeper sponge during reconstruction:
+    traces stay exact, the wavelet gradient stays exact (the adjoint
+    field is propagated, not reconstructed), and the c2 gradient is
+    exact on every physical cell (sponge_interior_cell_mask) while
+    deviating inside the sponge."""
+    import jax
+
+    kw = dict(nel=(18, 16), n_steps=45, dt=0.008, engine="stencil",
+              sponge_width=0.22, sponge_strength=40.0)
+    pr = _problem(adjoint="remat", **kw)
+    pg = _problem(adjoint="reversal", boundary_save="ring", **kw)
+    ps = _problem(adjoint="reversal", **kw)  # strip (exact) reference
+    assert pg._sponge_saved_size < ps._sponge_saved_size
+
+    rng = np.random.default_rng(11)
+    c2 = jnp.asarray(1.0 + 0.2 * rng.random(pr.n_cells))
+    d_obs = pr.simulate(jnp.ones(pr.n_cells) * 1.15)
+
+    np.testing.assert_array_equal(np.asarray(pg.simulate(c2)),
+                                  np.asarray(pr.simulate(c2)))
+    v0, g0 = pr.misfit_and_grad(c2, d_obs)
+    v1, g1 = pg.misfit_and_grad(c2, d_obs)
+    assert float(v1) == pytest.approx(float(v0), rel=1e-13)
+
+    phys = pg.sponge_interior_cell_mask
+    assert phys.any() and (~phys).any()
+    np.testing.assert_allclose(np.asarray(g1)[phys], np.asarray(g0)[phys],
+                               rtol=1e-8, atol=1e-18)
+    # inside the sponge the ring gradient is only approximate
+    sponge_err = np.abs(np.asarray(g1) - np.asarray(g0))[~phys].max()
+    assert np.isfinite(sponge_err)
+
+    gw0 = jax.grad(lambda w: pr.misfit(c2, d_obs, wavelet=w))(pr.wavelet)
+    gw1 = jax.grad(lambda w: pg.misfit(c2, d_obs, wavelet=w))(pg.wavelet)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                               rtol=1e-8, atol=1e-18)
 
 
 def test_joint_wavelet_estimation():

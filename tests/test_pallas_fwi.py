@@ -124,6 +124,41 @@ def test_damped_kernel_matches_xla_sponge_step():
                                np.asarray(want), rtol=1e-12, atol=1e-13)
 
 
+def test_pallas_sponge_ring_matches_stencil_ring():
+    """engine='pallas' + sponge (ring boundary saving, k forced to 1):
+    traces, misfit, c2 gradient and wavelet cotangents equal the stencil
+    engine's ring mode exactly (same algorithm), in f64 interpret mode."""
+    kw = dict(sponge_width=0.22, sponge_strength=25.0,
+              boundary_save="ring")
+    ref = _problem("stencil", **kw)
+    pal = _problem("pallas", **kw)
+    assert pal._pallas_layout["k"] == 1   # sponge clamps blocking for now
+    c2_true = _c2(ref, seed=5)
+    obs = ref.simulate(c2_true)
+    np.testing.assert_allclose(np.asarray(pal.simulate(c2_true)),
+                               np.asarray(obs), rtol=1e-12, atol=1e-13)
+
+    c2_init = jnp.ones(ref.n_cells)
+    v_ref, g_ref = jax.value_and_grad(ref.misfit)(c2_init, obs)
+    v_pal, g_pal = jax.value_and_grad(pal.misfit)(c2_init, obs)
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-14)
+
+    def wgrad(p):
+        return jax.grad(lambda w: p.misfit(c2_init, obs, wavelet=w))(
+            p.wavelet)
+
+    np.testing.assert_allclose(np.asarray(wgrad(pal)),
+                               np.asarray(wgrad(ref)),
+                               rtol=1e-9, atol=1e-14)
+
+
+def test_pallas_sponge_requires_ring():
+    with pytest.raises(ValueError, match="ring"):
+        _problem("pallas", sponge_width=0.2)
+
+
 # --- temporal blocking (multistep kernel) ---------------------------------
 
 def _big_problem(engine, steps=20, k=8, **kw):

@@ -122,12 +122,21 @@ class FwiProblem:
         leapfrog backwards from the final pair, so memory is O(1) in the
         step count — the production seismic-imaging technique. Requires
         engine="stencil" or "pallas" and the default zero initial
-        condition. With a sponge (engine="stencil" only) the damped
-        strip is not reversible, so the forward pass saves the wavefield
-        on the sigma > 0 vertices each step and the reconstruction
-        overwrites the strip from storage ("boundary saving") — memory
-        O(|strip| * n_steps) instead of remat's O(n_vertices * n_steps),
-        with exact gradients everywhere including inside the sponge).
+        condition. With a sponge the damped strip is not reversible, so
+        the forward pass saves part of the wavefield each step and the
+        reconstruction overwrites it from storage ("boundary saving") —
+        far below remat's O(n_vertices * n_steps) memory. See
+        ``boundary_save`` for the two storage flavours; engine="pallas"
+        supports the "ring" flavour (k is clamped to 1 with a sponge for
+        now — the multistep kernels have no damped variant yet).
+    boundary_save : what the reversal+sponge forward pass saves:
+        "strip" (default — every sigma > 0 vertex, gradients exact
+        everywhere) or "ring" (only the sponge's innermost layer — 2
+        grid rows + 2 grid cols hugging the sigma == 0 rectangle — with
+        the deeper sponge zeroed during reconstruction: memory
+        O(perimeter * n_steps), gradients exact on
+        ``sponge_interior_cell_mask`` i.e. the whole physical region,
+        approximate inside the sponge — the classic seismic recipe).
     pallas_steps_per_call : temporal blocking for the pallas engine, in
         BOTH directions — up to this many steps fused into one kernel
         pass: forward leapfrog steps (ops/pallas_varcoef.py::
@@ -150,6 +159,7 @@ class FwiProblem:
                  sponge_strength: float = 30.0,
                  engine: str = "scatter",
                  adjoint: str = "remat",
+                 boundary_save: str = "strip",
                  interp_receivers: bool = False,
                  pallas_block_rows: int = 128,
                  pallas_steps_per_call: int = 8,
@@ -158,15 +168,19 @@ class FwiProblem:
             raise ValueError(f"unknown engine {engine!r}")
         if adjoint not in ("remat", "reversal"):
             raise ValueError(f"unknown adjoint {adjoint!r}")
+        if boundary_save not in ("strip", "ring"):
+            raise ValueError(f"unknown boundary_save {boundary_save!r}")
         if adjoint == "reversal" and engine not in ("stencil", "pallas"):
             raise ValueError("adjoint='reversal' needs engine='stencil' "
                              "or 'pallas' (the reconstruction runs on the "
                              "assembled stencil planes)")
         if (adjoint == "reversal" and engine == "pallas"
-                and sponge_width > 0.0):
-            raise ValueError("engine='pallas' does not support a sponge "
-                             "yet; use engine='stencil' (reversal with a "
-                             "sponge runs via boundary saving)")
+                and sponge_width > 0.0 and boundary_save != "ring"):
+            raise ValueError("engine='pallas' with a sponge requires "
+                             "boundary_save='ring' (the fused path saves "
+                             "only the interface ring; use "
+                             "engine='stencil' for the exact-everywhere "
+                             "'strip' mode)")
         if engine == "pallas" and adjoint != "reversal":
             raise ValueError("engine='pallas' requires adjoint='reversal' "
                              "(the fused kernels have no JAX AD rule, so "
@@ -230,16 +244,70 @@ class FwiProblem:
         self._damp_den = jnp.asarray(1.0 / (1.0 + s_half), dtype=self.dtype)
         # boundary saving for the time-reversal adjoint with a sponge: the
         # damped strip (sigma > 0) is NOT reversible, so the forward pass
-        # stores the wavefield on exactly those vertices each step and the
-        # reconstruction overwrites them from storage — the production
-        # seismic-imaging technique (memory O(|strip| * n_steps) instead of
-        # O(n_vertices * n_steps); gradients stay exact everywhere,
-        # including inside the sponge)
+        # stores part of the wavefield each step and the reconstruction
+        # overwrites it from storage — the production seismic-imaging
+        # technique. Two flavours:
+        #   "strip": save every sigma > 0 vertex — gradients exact
+        #       everywhere incl. inside the sponge; O(|strip| * n_steps).
+        #   "ring": save only the interface ring (the sponge's innermost
+        #       layer: 2 full rows + 2 full cols hugging the sigma == 0
+        #       rectangle) and ZERO the deeper sponge during
+        #       reconstruction — O(perimeter * n_steps) memory; gradients
+        #       exact at every cell whose 3 vertices have sigma == 0
+        #       (sponge_interior_cell_mask), approximate in the sponge.
+        # Saved values live in rectangular grid blocks so the per-step
+        # save/restore is static slices + dynamic_update_slices, NOT a
+        # flat gather/scatter (a 19%-of-grid index gather measured 8x
+        # slower than remat on the chip; slices are ~free).
+        self.boundary_save = boundary_save
+        self._sigma_np = sigma
+        self._sponge_keep = None
+        self._sponge_rects = None
         if sponge_width > 0.0 and adjoint == "reversal":
-            self._sponge_idx = jnp.asarray(np.nonzero(sigma > 0.0)[0],
-                                           jnp.int32)
-        else:
-            self._sponge_idx = None
+            nxv, nyv = self.mesh.nx + 1, self.mesh.ny + 1
+            sig_g = sigma.reshape(nyv, nxv)
+            zr = np.where((sig_g == 0.0).any(axis=1))[0]
+            zc = np.where((sig_g == 0.0).any(axis=0))[0]
+            if zr.size == 0 or zc.size == 0:
+                raise ValueError("sponge_width covers the whole domain; "
+                                 "the reversal adjoint needs a "
+                                 "sigma == 0 interior")
+            r0, r1, c0, c1 = (int(zr[0]), int(zr[-1]),
+                              int(zc[0]), int(zc[-1]))
+            self._sponge_rect = (r0, r1, c0, c1)
+            if boundary_save == "ring":
+                # the {sigma == 0} set is a rectangle (sigma is a
+                # min-of-wall-distances profile); save its 1-ring — 2
+                # full-width rows + 2 interior-height cols (full-width
+                # rows cover the diagonal (1,1)/(-1,-1) stencil corners)
+                rects = [(r0 - 1, r0, 0, nxv), (r1 + 1, r1 + 2, 0, nxv),
+                         (r0, r1 + 1, c0 - 1, c0),
+                         (r0, r1 + 1, c1 + 1, c1 + 2)]
+                keep = np.ones((nyv, nxv))
+                keep[sig_g > 0.0] = 0.0
+                for (a, b, c, d) in rects:
+                    keep[a:b, c:d] = 1.0
+                self._sponge_keep = jnp.asarray(keep.reshape(-1),
+                                                self.dtype)
+            else:
+                # every sigma > 0 vertex = the 4 bands around the
+                # sigma == 0 rectangle
+                rects = [(0, r0, 0, nxv), (r1 + 1, nyv, 0, nxv),
+                         (r0, r1 + 1, 0, c0), (r0, r1 + 1, c1 + 1, nxv)]
+            self._sponge_rects = [(a, b, c, d) for (a, b, c, d) in rects
+                                  if (b - a) > 0 and (d - c) > 0]
+            self._sponge_saved_size = sum(
+                (b - a) * (d - c) for (a, b, c, d) in self._sponge_rects)
+            if boundary_save == "ring":
+                src_v = int(np.argmin(np.sum(
+                    (self.mesh.vertex_coords - np.asarray(source)) ** 2,
+                    axis=1)))
+                if sigma[src_v] > 0.0:
+                    raise ValueError(
+                        "boundary_save='ring' needs the source outside "
+                        "the sponge (the undamped reconstruction formula "
+                        "re-applies the source term at sigma == 0 points "
+                        "only)")
 
         coords = self.mesh.vertex_coords
         self.source_vertex = int(np.argmin(
@@ -266,6 +334,28 @@ class FwiProblem:
         self.wavelet = jnp.asarray(
             np.broadcast_to(np.asarray(wavelet), (self.n_steps,)),
             dtype=self.dtype)
+
+    # -- boundary saving (reversal + sponge) ---------------------------------
+
+    def _sponge_save(self, u_flat):
+        """Concatenate the saved-rectangle values of a flat field (S,)."""
+        nxv, nyv = self.mesh.nx + 1, self.mesh.ny + 1
+        u_g = u_flat.reshape(nyv, nxv)
+        return jnp.concatenate(
+            [u_g[a:b, c:d].reshape(-1) for (a, b, c, d)
+             in self._sponge_rects])
+
+    def _sponge_restore(self, u_flat, saved):
+        """Overwrite the saved rectangles of a flat field from storage."""
+        nxv, nyv = self.mesh.nx + 1, self.mesh.ny + 1
+        u_g = u_flat.reshape(nyv, nxv)
+        off = 0
+        for (a, b, c, d) in self._sponge_rects:
+            n = (b - a) * (d - c)
+            u_g = u_g.at[a:b, c:d].set(
+                saved[off:off + n].reshape(b - a, d - c))
+            off += n
+        return u_g.reshape(-1)
 
     # -- receiver sampling ---------------------------------------------------
 
@@ -316,6 +406,18 @@ class FwiProblem:
         adj = np.concatenate(pairs, axis=1).astype(np.int32)
         self.__dict__["_cell_adjacency_cached"] = adj
         return adj
+
+    @property
+    def sponge_interior_cell_mask(self) -> np.ndarray:
+        """Bool (n_cells,): cells whose 3 vertices all have sigma == 0.
+
+        With ``boundary_save="ring"`` the c2 gradient is exact on exactly
+        these cells (the physical region); sponge cells see an
+        approximate gradient (the deep-sponge wavefield is zeroed during
+        reconstruction). All-True without a sponge.
+        """
+        sig_v = self._sigma_np[np.asarray(self.mesh.cells)]  # (E, 3)
+        return (sig_v == 0.0).all(axis=1)
 
     def roughness(self, c2_cell):
         """Sum of squared c2 jumps across all edge-sharing triangle pairs —
@@ -453,8 +555,10 @@ class FwiProblem:
         lay["rec_r"] = np.asarray(vr // cols, np.int32)
         lay["rec_c"] = np.asarray(vr % cols, np.int32)
         # temporal blocking: the largest k <= pallas_steps_per_call whose
-        # 8-aligned halo fits both the block and the padded height
-        k = max(1, self._pallas_k)
+        # 8-aligned halo fits both the block and the padded height.
+        # A sponge forces k=1 for now (the multistep kernels have no
+        # damped/boundary-saving variant yet).
+        k = 1 if self._sponge_rects is not None else max(1, self._pallas_k)
         while k > 1:
             halo = -(-k // 8) * 8
             if br >= halo and H >= br + 2 * halo:
@@ -524,6 +628,45 @@ class FwiProblem:
             return jnp.sum(vals * self._rec_tri_w, axis=-1)
         return vals
 
+    def _sponge_save_padded(self, u_g):
+        """Ring values of a padded (H, W) grid (rect coords are inside
+        the physical region, so the same slices apply)."""
+        return jnp.concatenate(
+            [u_g[a:b, c:d].reshape(-1) for (a, b, c, d)
+             in self._sponge_rects])
+
+    def _sponge_restore_padded(self, u_g, saved):
+        off = 0
+        for (a, b, c, d) in self._sponge_rects:
+            n = (b - a) * (d - c)
+            u_g = u_g.at[a:b, c:d].set(
+                saved[off:off + n].reshape(b - a, d - c))
+            off += n
+        return u_g
+
+    @property
+    def _pallas_damp(self):
+        """Padded ((H, W) dnum, (H, W) dden, (H, W) keep) planes for the
+        sponge on the fused path; None without a sponge. Pad with 1s (the
+        kernels' Dirichlet/pad mask zeroes those nodes anyway)."""
+        if self._sponge_rects is None:
+            return None
+        cached = self.__dict__.get("_pallas_damp_cached")
+        if cached is not None:
+            return cached
+        lay = self._pallas_layout
+
+        def pad_one(v_flat):
+            g = jnp.asarray(v_flat, self.dtype).reshape(lay["rows"],
+                                                        lay["cols"])
+            return jnp.ones((lay["H"], lay["W"]), self.dtype).at[
+                :lay["rows"], :lay["cols"]].set(g)
+
+        cached = (pad_one(self._damp_num), pad_one(self._damp_den),
+                  pad_one(self._sponge_keep))
+        self.__dict__["_pallas_damp_cached"] = cached
+        return cached
+
     def _propagate_pallas(self, c2_cell, src, wavelet, u0=None,
                           return_final: bool = False):
         """Forward leapfrog on the padded grid with the fused
@@ -547,12 +690,23 @@ class FwiProblem:
             **{**kw, "coef": 0.5 * coef})
         u1 = u1.at[src_r, src_c].add(0.5 * coef * wavelet[0])
 
+        damp3 = self._pallas_damp
+        damp = None if damp3 is None else (damp3[0], damp3[1])
+        # the source term rides inside the damped update in the XLA
+        # semantics, so it picks up the dden factor at the source point
+        src_dden = (jnp.asarray(1.0, self.dtype) if damp3 is None
+                    else damp3[1][src_r, src_c])
+        save = (damp3 is not None) and return_final
+
         def body(carry, w_n):
             u, u_prev = carry
             un = varcoef_leapfrog_step_pallas(u, u_prev, planes,
-                                              damp=None, **kw)
-            un = un.at[src_r, src_c].add(coef * w_n)
-            return (un, u), self._sample_padded(un)
+                                              damp=damp, **kw)
+            un = un.at[src_r, src_c].add(coef * w_n * src_dden)
+            out = self._sample_padded(un)
+            if save:
+                out = (out, self._sponge_save_padded(un))
+            return (un, u), out
 
         first = self._sample_padded(u1)
         w_rest = wavelet[1:]
@@ -582,13 +736,20 @@ class FwiProblem:
         else:
             (u_last, u_prevlast), rest = jax.lax.scan(body, (u1, u0_g),
                                                       w_rest)
+            if save:
+                rest, strip_rest = rest
+                strips = jnp.concatenate(
+                    [self._sponge_save_padded(u1)[None], strip_rest],
+                    axis=0)
+                traces = jnp.concatenate([first[None], rest], axis=0)
+                return traces, (u_last, u_prevlast, strips)
             traces = jnp.concatenate([first[None], rest], axis=0)
         if return_final:
             return traces, (u_last, u_prevlast)
         return traces
 
     def _adjoint_backward_pallas(self, c2_cell, src, wavelet, u_last,
-                                 u_prevlast, ybar):
+                                 u_prevlast, ybar, strips=None):
         """Fused-kernel twin of :meth:`_adjoint_backward`: the whole
         backward body (state reconstruction, adjoint-field update and the
         7-plane correlation accumulation) is ONE Pallas pass per step,
@@ -610,15 +771,33 @@ class FwiProblem:
                   jnp.zeros((lay["H"], lay["W"]), self.dtype),
                   jnp.zeros_like(planes))
         ybar_part, w_part = ybar[:-1], wavelet[1:]
+        damp3 = self._pallas_damp
+        has_sponge = strips is not None and damp3 is not None
+        if has_sponge:
+            dnum_g, dden_g, keep_g = damp3
 
         def body(carry, x):
-            ybar_k, w_k = x
+            if has_sponge:
+                ybar_k, w_k, strip_km1 = x
+            else:
+                ybar_k, w_k = x
             u_next, u_cur, lam_next, lam_partial, wbar = carry
+            if has_sponge:
+                # exact damped-leapfrog transpose: dden folds into the
+                # lambda cotangent before the kernel's interior mask,
+                # dnum rides on the u_prev-cotangent leg after it
+                lam_next = dden_g * lam_next
             wav_bar_k = coef * lam_next[src_r, src_c]   # mu[src], interior
             u_prev, lam_cur, lam_partial_new, wbar = \
                 varcoef_adjoint_step_pallas(u_next, u_cur, lam_next,
                                             lam_partial, planes, wbar,
                                             **kw)
+            if has_sponge:
+                lam_partial_new = dnum_g * lam_partial_new
+                # ring boundary saving: zero the deep sponge, restore the
+                # interface ring from the forward pass's storage
+                u_prev = self._sponge_restore_padded(u_prev * keep_g,
+                                                     strip_km1)
             u_prev = u_prev.at[src_r, src_c].add(coef * w_k)
             lam_cur = self._inject_padded(lam_cur, ybar_k)
             return ((u_cur, u_prev, lam_cur, lam_partial_new, wbar),
@@ -664,8 +843,14 @@ class FwiProblem:
             wav_bar_rest = jnp.concatenate(
                 [wav_head, wav_mid.reshape(n_chunks * k)])
         else:
+            xs = (ybar_part, w_part)
+            if has_sponge:
+                # row i holds the saved ring of u_i (row 0: zero start)
+                zero_row = jnp.zeros((1,) + strips.shape[1:], strips.dtype)
+                xs = xs + (jnp.concatenate([zero_row, strips[:-2]],
+                                           axis=0)[:self.n_steps - 1],)
             (_, _, lam_1, _, wbar), wav_bar_rest = jax.lax.scan(
-                body, carry0, (ybar_part, w_part), reverse=True)
+                body, carry0, xs, reverse=True)
         wav_bar_0 = 0.5 * coef * lam_1[src_r, src_c]
         wavelet_bar = jnp.concatenate([wav_bar_0[None], wav_bar_rest])
         return assemble_vjp(wbar)[0], wavelet_bar
@@ -703,7 +888,7 @@ class FwiProblem:
 
         # boundary saving (reversal + sponge): stream the damped-strip
         # values out of the scan so the backward pass can reconstruct
-        save = self._sponge_idx if return_final else None
+        save = (self._sponge_rects is not None) and return_final
 
         def body(carry, w_n):
             u, u_prev = carry
@@ -711,17 +896,18 @@ class FwiProblem:
                       + dt2 * forced_accel(u, w_n)) * self._damp_den
             u_next = u_next * self._interior
             out = self._sample(u_next)
-            if save is not None:
-                out = (out, u_next[save])
+            if save:
+                out = (out, self._sponge_save(u_next))
             return (u_next, u), out
 
         if self.remat:
             body = jax.checkpoint(body)
         first = self._sample(u1)
         (u_last, u_prevlast), rest = jax.lax.scan(body, (u1, u0), wavelet[1:])
-        if save is not None:
+        if save:
             rest, strip_rest = rest
-            strips = jnp.concatenate([u1[save][None], strip_rest], axis=0)
+            strips = jnp.concatenate([self._sponge_save(u1)[None],
+                                      strip_rest], axis=0)
             traces = jnp.concatenate([first[None], rest], axis=0)
             return traces, (u_last, u_prevlast, strips)
         traces = jnp.concatenate([first[None], rest], axis=0)
@@ -755,8 +941,8 @@ class FwiProblem:
         interior = self._interior
         inv_m = self._inv_lumped
         ny, nx = self.mesh.ny, self.mesh.nx
-        sponge_idx = self._sponge_idx
-        has_sponge = strips is not None and sponge_idx is not None
+        keep = self._sponge_keep
+        has_sponge = strips is not None and self._sponge_rects is not None
         if has_sponge:
             # interior ⊙ Dden folded into one mask; Dnum applied to the
             # u_prev-cotangent leg (exact transpose of the damped step)
@@ -802,7 +988,9 @@ class FwiProblem:
             f = (-K(u_cur)).at[src].add(w_k)
             u_prev = interior * (2.0 * u_cur - u_next + dt2 * inv_m * f)
             if has_sponge:
-                u_prev = u_prev.at[sponge_idx].set(strip_km1)
+                if keep is not None:   # ring mode: zero the deep sponge
+                    u_prev = u_prev * keep
+                u_prev = self._sponge_restore(u_prev, strip_km1)
             mu_g = mu.reshape(ny + 1, nx + 1)
             u_g = u_cur.reshape(ny + 1, nx + 1)
             wbar = {d: wbar[d] - mu_g * jnp.roll(u_g, (-d[1], -d[0]), (0, 1))
