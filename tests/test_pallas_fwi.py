@@ -124,15 +124,15 @@ def test_damped_kernel_matches_xla_sponge_step():
                                np.asarray(want), rtol=1e-12, atol=1e-13)
 
 
-def test_pallas_sponge_ring_matches_stencil_ring():
-    """engine='pallas' + sponge (ring boundary saving, k forced to 1):
-    traces, misfit, c2 gradient and wavelet cotangents equal the stencil
-    engine's ring mode exactly (same algorithm), in f64 interpret mode."""
+def _sponge_pair(k, **extra):
     kw = dict(sponge_width=0.22, sponge_strength=25.0,
-              boundary_save="ring")
+              boundary_save="ring", **extra)
     ref = _problem("stencil", **kw)
-    pal = _problem("pallas", **kw)
-    assert pal._pallas_layout["k"] == 1   # sponge clamps blocking for now
+    pal = _problem("pallas", pallas_steps_per_call=k, **kw)
+    return ref, pal
+
+
+def _check_sponge_equality(ref, pal):
     c2_true = _c2(ref, seed=5)
     obs = ref.simulate(c2_true)
     np.testing.assert_allclose(np.asarray(pal.simulate(c2_true)),
@@ -152,6 +152,24 @@ def test_pallas_sponge_ring_matches_stencil_ring():
     np.testing.assert_allclose(np.asarray(wgrad(pal)),
                                np.asarray(wgrad(ref)),
                                rtol=1e-9, atol=1e-14)
+
+
+def test_pallas_sponge_ring_matches_stencil_ring():
+    """engine='pallas' + sponge (ring boundary saving, single-step
+    kernels): traces, misfit, c2 gradient and wavelet cotangents equal
+    the stencil engine's ring mode exactly, in f64 interpret mode."""
+    ref, pal = _sponge_pair(k=1)
+    assert pal._pallas_layout["k"] == 1
+    _check_sponge_equality(ref, pal)
+
+
+def test_pallas_sponge_ring_multistep():
+    """Same equality through the DAMPED multistep kernels (k=8 with a
+    3-step remainder: chunked fused passes + head/tail single steps,
+    in-kernel ring save/restore, 9-plane damped updates)."""
+    ref, pal = _sponge_pair(k=8)
+    assert pal._pallas_layout["k"] == 8
+    _check_sponge_equality(ref, pal)
 
 
 def test_pallas_sponge_requires_ring():
@@ -265,6 +283,26 @@ def test_multistep_multishot_vmap():
     pal = _big_problem("pallas")
     srcs = pal.snap_vertices([(0.3, 0.5), (0.7, 0.4)])
     c2 = _c2(ref, seed=11)
+    obs = ref.simulate_shots(1.1 * c2, srcs)
+    np.testing.assert_allclose(np.asarray(pal.simulate_shots(1.1 * c2,
+                                                             srcs)),
+                               np.asarray(obs), rtol=1e-12, atol=1e-13)
+    g_ref = jax.grad(lambda c: ref.misfit_shots(c, srcs, obs))(c2)
+    g_pal = jax.grad(lambda c: pal.misfit_shots(c, srcs, obs))(c2)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-14)
+
+
+def test_multistep_multishot_vmap_sponge():
+    """vmapped shots through the DAMPED multistep kernels with ring
+    boundary saving (per-shot ring saves under vmap)."""
+    kw = dict(sponge_width=0.2, sponge_strength=20.0,
+              boundary_save="ring")
+    ref = _big_problem("stencil", **kw)
+    pal = _big_problem("pallas", **kw)
+    assert pal._pallas_layout["k"] > 1
+    srcs = pal.snap_vertices([(0.3, 0.5), (0.7, 0.45)])
+    c2 = _c2(ref, seed=12)
     obs = ref.simulate_shots(1.1 * c2, srcs)
     np.testing.assert_allclose(np.asarray(pal.simulate_shots(1.1 * c2,
                                                              srcs)),

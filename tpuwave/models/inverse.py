@@ -127,8 +127,8 @@ class FwiProblem:
         reconstruction overwrites it from storage ("boundary saving") —
         far below remat's O(n_vertices * n_steps) memory. See
         ``boundary_save`` for the two storage flavours; engine="pallas"
-        supports the "ring" flavour (k is clamped to 1 with a sponge for
-        now — the multistep kernels have no damped variant yet).
+        supports the "ring" flavour at full temporal blocking (damped
+        9-plane multistep kernels with in-kernel ring save/restore).
     boundary_save : what the reversal+sponge forward pass saves:
         "strip" (default — every sigma > 0 vertex, gradients exact
         everywhere) or "ring" (only the sponge's innermost layer — 2
@@ -278,11 +278,12 @@ class FwiProblem:
             if boundary_save == "ring":
                 # the {sigma == 0} set is a rectangle (sigma is a
                 # min-of-wall-distances profile); save its 1-ring — 2
-                # full-width rows + 2 interior-height cols (full-width
-                # rows cover the diagonal (1,1)/(-1,-1) stencil corners)
+                # full-width rows + 2 full-height cols (full extents so
+                # the diagonal (1,1)/(-1,-1) stencil corners are covered
+                # and the fused kernels' whole-row/col restores match
+                # this reference algorithm exactly)
                 rects = [(r0 - 1, r0, 0, nxv), (r1 + 1, r1 + 2, 0, nxv),
-                         (r0, r1 + 1, c0 - 1, c0),
-                         (r0, r1 + 1, c1 + 1, c1 + 2)]
+                         (0, nyv, c0 - 1, c0), (0, nyv, c1 + 1, c1 + 2)]
                 keep = np.ones((nyv, nxv))
                 keep[sig_g > 0.0] = 0.0
                 for (a, b, c, d) in rects:
@@ -539,7 +540,10 @@ class FwiProblem:
         # br=128's per-point speed)
         halo_max = -(-max(1, self._pallas_k) // 8) * 8
         item = jnp.dtype(self.dtype).itemsize
-        while br > 16 and ((18 * (br + 2 * halo_max) + 22 * br)
+        # sponge adds 2 halo'd plane slabs (dden/dnum or p2/pm) + the
+        # ring-cols scratch to the adjoint's VMEM footprint
+        slabs = 18 + (4 if self._sponge_rects is not None else 0)
+        while br > 16 and ((slabs * (br + 2 * halo_max) + 22 * br)
                            * W_est * item) > 64 * 1024 * 1024:
             br //= 2
         # >= 2 blocks, and the (traced-even-when-untaken) middle halo-DMA
@@ -555,10 +559,8 @@ class FwiProblem:
         lay["rec_r"] = np.asarray(vr // cols, np.int32)
         lay["rec_c"] = np.asarray(vr % cols, np.int32)
         # temporal blocking: the largest k <= pallas_steps_per_call whose
-        # 8-aligned halo fits both the block and the padded height.
-        # A sponge forces k=1 for now (the multistep kernels have no
-        # damped/boundary-saving variant yet).
-        k = 1 if self._sponge_rects is not None else max(1, self._pallas_k)
+        # 8-aligned halo fits both the block and the padded height
+        k = max(1, self._pallas_k)
         while k > 1:
             halo = -(-k // 8) * 8
             if br >= halo and H >= br + 2 * halo:
@@ -582,6 +584,12 @@ class FwiProblem:
             groups.setdefault(int(r), []).append((int(c), p))
         lay["adj_groups"] = tuple(sorted(
             (r, tuple(pts)) for r, pts in groups.items()))
+        # interface-ring bounding box for the sponge kernels
+        if self._sponge_rects is not None:
+            r0, r1, c0, c1 = self._sponge_rect
+            lay["ring"] = (r0 - 1, r1 + 1, c0 - 1, c1 + 1)
+        else:
+            lay["ring"] = None
         self.__dict__["_pallas_layout_cached"] = lay
         return lay
 
@@ -597,6 +605,22 @@ class FwiProblem:
         stacked = jnp.stack([planes.get(d, zero) for d in OFFSETS])
         return jnp.zeros((7, lay["H"], lay["W"]), self.dtype).at[
             :, :lay["rows"], :lay["cols"]].set(stacked)
+
+    def _planes9_forward(self, planes7):
+        """(9, H, W) planes for the damped multistep FORWARD kernel:
+        [0:7] dden-folded stencil planes, [7] p2 = 2*dden,
+        [8] pm = dden*dnum."""
+        dnum_g, dden_g, _ = self._pallas_damp
+        return jnp.concatenate([planes7 * dden_g[None],
+                                (2.0 * dden_g)[None],
+                                (dden_g * dnum_g)[None]])
+
+    def _planes9_adjoint(self, planes7):
+        """(9, H, W) planes for the damped multistep ADJOINT kernel:
+        [0:7] PLAIN stencil planes (K is applied undamped there),
+        [7] dden, [8] dnum."""
+        dnum_g, dden_g, _ = self._pallas_damp
+        return jnp.concatenate([planes7, dden_g[None], dnum_g[None]])
 
     def _pad_field(self, u_flat):
         lay = self._pallas_layout
@@ -628,21 +652,21 @@ class FwiProblem:
             return jnp.sum(vals * self._rec_tri_w, axis=-1)
         return vals
 
-    def _sponge_save_padded(self, u_g):
-        """Ring values of a padded (H, W) grid (rect coords are inside
-        the physical region, so the same slices apply)."""
-        return jnp.concatenate(
-            [u_g[a:b, c:d].reshape(-1) for (a, b, c, d)
-             in self._sponge_rects])
+    def _ring_save_padded(self, u_g):
+        """Interface-ring values of a padded (H, W) grid as
+        (rows (2, W), cols (H, 2)) — the pallas engine's saved format
+        (matches the kernels' ring_rows/ring_cols outputs)."""
+        rA, rB, cA, cB = self._pallas_layout["ring"]
+        rows = jnp.stack([u_g[rA], u_g[rB]])
+        cols = jnp.stack([u_g[:, cA], u_g[:, cB]], axis=1)
+        return rows, cols
 
-    def _sponge_restore_padded(self, u_g, saved):
-        off = 0
-        for (a, b, c, d) in self._sponge_rects:
-            n = (b - a) * (d - c)
-            u_g = u_g.at[a:b, c:d].set(
-                saved[off:off + n].reshape(b - a, d - c))
-            off += n
-        return u_g
+    def _ring_restore_padded(self, u_g, rows, cols):
+        """Restore saved ring values (cols first, then rows — the values
+        coincide at the crossings, same order as the fused kernel)."""
+        rA, rB, cA, cB = self._pallas_layout["ring"]
+        u_g = u_g.at[:, cA].set(cols[:, 0]).at[:, cB].set(cols[:, 1])
+        return u_g.at[rA].set(rows[0]).at[rB].set(rows[1])
 
     @property
     def _pallas_damp(self):
@@ -705,7 +729,7 @@ class FwiProblem:
             un = un.at[src_r, src_c].add(coef * w_n * src_dden)
             out = self._sample_padded(un)
             if save:
-                out = (out, self._sponge_save_padded(un))
+                out = (out, self._ring_save_padded(un))
             return (un, u), out
 
         first = self._sample_padded(u1)
@@ -718,31 +742,54 @@ class FwiProblem:
             srcinfo = jnp.stack([src_r, src_c]).astype(jnp.int32)
             mkw = dict(coef=coef, n_steps=k, rec_rows=lay["rec_rows"],
                        block_rows=lay["br"], true_rows=lay["rows"],
-                       true_cols=cols, interpret=self._pallas_interp)
+                       true_cols=cols, interpret=self._pallas_interp,
+                       ring=lay["ring"] if save else None)
+            # damped update needs the 9-plane stack; ring outputs only
+            # when the backward pass will reconstruct (save)
+            planes_ms = (self._planes9_forward(planes)
+                         if damp3 is not None else planes)
 
             def chunk_body(carry, w_k):
                 u, u_prev = carry
-                un, upn, strip = varcoef_leapfrog_multistep_pallas(
-                    u, u_prev, planes, w_k, srcinfo, **mkw)
+                outs = varcoef_leapfrog_multistep_pallas(
+                    u, u_prev, planes_ms, w_k, srcinfo, **mkw)
+                if save:
+                    un, upn, strip, rr, rc = outs
+                    return (un, upn), (self._sample_strip(strip), rr,
+                                       rc[:, :, :2])
+                un, upn, strip = outs
                 return (un, upn), self._sample_strip(strip)
 
             (u_c, up_c), chunks = jax.lax.scan(
                 chunk_body, (u1, u0_g),
                 w_rest[:n_chunks * k].reshape(n_chunks, k))
-            mid = chunks.reshape(n_chunks * k, -1)
             (u_last, u_prevlast), tail = jax.lax.scan(
                 body, (u_c, up_c), w_rest[n_chunks * k:])
+            if save:
+                chunks, rows_mid, cols_mid = chunks
+                tail, (rows_tail, cols_tail) = tail
+                rows1, cols1 = self._ring_save_padded(u1)
+                rows_all = jnp.concatenate(
+                    [rows1[None], rows_mid.reshape(-1, 2, lay["W"]),
+                     rows_tail])
+                cols_all = jnp.concatenate(
+                    [cols1[None], cols_mid.reshape(-1, lay["H"], 2),
+                     cols_tail])
+                mid = chunks.reshape(n_chunks * k, -1)
+                traces = jnp.concatenate([first[None], mid, tail], axis=0)
+                return traces, (u_last, u_prevlast, (rows_all, cols_all))
+            mid = chunks.reshape(n_chunks * k, -1)
             traces = jnp.concatenate([first[None], mid, tail], axis=0)
         else:
             (u_last, u_prevlast), rest = jax.lax.scan(body, (u1, u0_g),
                                                       w_rest)
             if save:
-                rest, strip_rest = rest
-                strips = jnp.concatenate(
-                    [self._sponge_save_padded(u1)[None], strip_rest],
-                    axis=0)
+                rest, (rows_rest, cols_rest) = rest
+                rows1, cols1 = self._ring_save_padded(u1)
+                rows_all = jnp.concatenate([rows1[None], rows_rest])
+                cols_all = jnp.concatenate([cols1[None], cols_rest])
                 traces = jnp.concatenate([first[None], rest], axis=0)
-                return traces, (u_last, u_prevlast, strips)
+                return traces, (u_last, u_prevlast, (rows_all, cols_all))
             traces = jnp.concatenate([first[None], rest], axis=0)
         if return_final:
             return traces, (u_last, u_prevlast)
@@ -778,7 +825,7 @@ class FwiProblem:
 
         def body(carry, x):
             if has_sponge:
-                ybar_k, w_k, strip_km1 = x
+                ybar_k, w_k, (row_km1, col_km1) = x
             else:
                 ybar_k, w_k = x
             u_next, u_cur, lam_next, lam_partial, wbar = carry
@@ -796,12 +843,23 @@ class FwiProblem:
                 lam_partial_new = dnum_g * lam_partial_new
                 # ring boundary saving: zero the deep sponge, restore the
                 # interface ring from the forward pass's storage
-                u_prev = self._sponge_restore_padded(u_prev * keep_g,
-                                                     strip_km1)
+                u_prev = self._ring_restore_padded(u_prev * keep_g,
+                                                   row_km1, col_km1)
             u_prev = u_prev.at[src_r, src_c].add(coef * w_k)
             lam_cur = self._inject_padded(lam_cur, ybar_k)
             return ((u_cur, u_prev, lam_cur, lam_partial_new, wbar),
                     wav_bar_k)
+
+        if has_sponge:
+            # xs row i = saved ring of u_i (row 0: the zero start)
+            rows_all, cols_all = strips
+            n = self.n_steps
+            rows_xs = jnp.concatenate(
+                [jnp.zeros((1,) + rows_all.shape[1:], rows_all.dtype),
+                 rows_all[:-2]])[:n - 1]
+            cols_xs = jnp.concatenate(
+                [jnp.zeros((1,) + cols_all.shape[1:], cols_all.dtype),
+                 cols_all[:-2]])[:n - 1]
 
         k = lay["k"]
         m = ybar_part.shape[0]
@@ -814,9 +872,15 @@ class FwiProblem:
             srcinfo = jnp.stack([src_r, src_c]).astype(jnp.int32)
             mkw = dict(coef=coef, n_steps=k, rec_groups=lay["adj_groups"],
                        block_rows=lay["br"], true_rows=lay["rows"],
-                       true_cols=cols, interpret=self._pallas_interp)
+                       true_cols=cols, interpret=self._pallas_interp,
+                       ring=lay["ring"] if has_sponge else None)
+            planes_ms = (self._planes9_adjoint(planes) if has_sponge
+                         else planes)
             yb_t = ybar_part[rem:].reshape(n_chunks, k, -1)
             w_t = w_part[rem:].reshape(n_chunks, k)
+            if has_sponge:
+                rows_t = rows_xs[rem:].reshape(n_chunks, k, 2, -1)
+                cols_t = cols_xs[rem:].reshape(n_chunks, k, -1, 2)
 
             def to_inj(yb_k):
                 """(k, n_rec) cotangents -> (k, P) pre-weighted point
@@ -827,28 +891,40 @@ class FwiProblem:
                 return yb_k
 
             def chunk_body(carry, x):
-                yb_k, w_k = x
+                if has_sponge:
+                    yb_k, w_k, rows_k, cols_k = x
+                    # kernel-order (time-descending) saves, cols padded
+                    # to the 128-lane layout the halo DMA expects
+                    ring_args = (
+                        rows_k[::-1],
+                        jnp.zeros((k, lay["H"], 128), cols_k.dtype).at[
+                            :, :, :2].set(cols_k[::-1]))
+                else:
+                    yb_k, w_k = x
+                    ring_args = (None, None)
                 u_next, u_cur, lam, lpart, wbar = carry
                 un, uc, lam2, lp2, wbar2, wavbar = \
                     varcoef_adjoint_multistep_pallas(
-                        u_next, u_cur, lam, lpart, planes, wbar,
-                        w_k[::-1], to_inj(yb_k)[::-1], srcinfo, **mkw)
+                        u_next, u_cur, lam, lpart, planes_ms, wbar,
+                        w_k[::-1], to_inj(yb_k)[::-1], srcinfo,
+                        *ring_args, **mkw)
                 return ((un, uc, lam2, lp2, wbar2), wavbar[0, ::-1])
 
+            chunk_xs = ((yb_t, w_t, rows_t, cols_t) if has_sponge
+                        else (yb_t, w_t))
             carry_mid, wav_mid = jax.lax.scan(chunk_body, carry0,
-                                              (yb_t, w_t), reverse=True)
+                                              chunk_xs, reverse=True)
+            head_xs = (ybar_part[:rem], w_part[:rem])
+            if has_sponge:
+                head_xs = head_xs + ((rows_xs[:rem], cols_xs[:rem]),)
             (_, _, lam_1, _, wbar), wav_head = jax.lax.scan(
-                body, carry_mid, (ybar_part[:rem], w_part[:rem]),
-                reverse=True)
+                body, carry_mid, head_xs, reverse=True)
             wav_bar_rest = jnp.concatenate(
                 [wav_head, wav_mid.reshape(n_chunks * k)])
         else:
             xs = (ybar_part, w_part)
             if has_sponge:
-                # row i holds the saved ring of u_i (row 0: zero start)
-                zero_row = jnp.zeros((1,) + strips.shape[1:], strips.dtype)
-                xs = xs + (jnp.concatenate([zero_row, strips[:-2]],
-                                           axis=0)[:self.n_steps - 1],)
+                xs = xs + ((rows_xs, cols_xs),)
             (_, _, lam_1, _, wbar), wav_bar_rest = jax.lax.scan(
                 body, carry0, xs, reverse=True)
         wav_bar_0 = 0.5 * coef * lam_1[src_r, src_c]

@@ -223,11 +223,11 @@ def _halo_dma3(ref_hbm, scratch, sem, i, n_blocks, br, n_cols,
 
 def _varcoef_multistep_kernel(srcinfo_ref, wchunk_ref, u_hbm, up_hbm,
                               planes_hbm, out_u_ref, out_up_ref,
-                              out_rec_ref, scr_u, scr_up, scr_p, sem_u,
-                              sem_up, sem_p, *, coef, n_steps: int,
+                              out_rec_ref, *rest, coef, n_steps: int,
                               rec_rows: Tuple[int, ...], block_rows: int,
                               n_rows: int, n_cols: int, true_cols: int,
-                              halo: int):
+                              halo: int, damped: bool = False,
+                              ring: Optional[Tuple[int, ...]] = None):
     """Temporal blocking for the VARIABLE-coefficient leapfrog: advance
     ``n_steps`` steps in one HBM pass. u, u_prev AND the 7 coefficient
     planes are DMA'd with a ``halo``-row halo (validity shrinks one row
@@ -244,7 +244,22 @@ def _varcoef_multistep_kernel(srcinfo_ref, wchunk_ref, u_hbm, up_hbm,
     inner step into out_rec (n_steps, len(rec_rows), W) by the block
     owning each row (centre rows are always inside the validity
     region).
+
+    ``damped`` (sponge): the planes slab carries 9 planes —
+    [0:7] dden-folded stencil planes, [7] p2 = 2*dden,
+    [8] pm = dden*dnum — and the update becomes
+    nxt = p2*cur - pm*prev - coef*K'(cur) with the source picking up
+    its dden factor from p2/2. ``ring`` = (rA, rB, cA, cB) additionally
+    streams the interface-ring values out per inner step (rows via the
+    rec-row mechanism into out_ring_rows (n_steps, 2, W); cols into the
+    block-sliced out_ring_cols (n_steps, H, 128) lanes 0/1) for the
+    backward pass's boundary-saving reconstruction.
     """
+    if ring is not None:
+        (out_rr_ref, out_rc_ref, scr_u, scr_up, scr_p,
+         sem_u, sem_up, sem_p) = rest
+    else:
+        scr_u, scr_up, scr_p, sem_u, sem_up, sem_p = rest
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     br = block_rows
@@ -257,7 +272,13 @@ def _varcoef_multistep_kernel(srcinfo_ref, wchunk_ref, u_hbm, up_hbm,
     _halo_dma3(planes_hbm, scr_p, sem_p, i, n_blocks, br, n_cols, hh=hh)
 
     mask = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
-    planes = scr_p[:, :, :]
+    planes_all = scr_p[:, :, :]
+    if damped:
+        planes = planes_all[0:7]
+        p2 = planes_all[7]
+        pm = planes_all[8]
+    else:
+        planes = planes_all
 
     # slab-global source selector (handles a source inside halo rows)
     gr = row0 - hh + jax.lax.broadcasted_iota(jnp.int32,
@@ -265,12 +286,17 @@ def _varcoef_multistep_kernel(srcinfo_ref, wchunk_ref, u_hbm, up_hbm,
     gc = jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 1)
     src_sel = jnp.where((gr == srcinfo_ref[0]) & (gc == srcinfo_ref[1]),
                         jnp.asarray(coef, scr_u.dtype), 0.0)
+    if damped:
+        src_sel = src_sel * (0.5 * p2)   # dden at the source point
 
     cur = scr_u[:, :]
     prev = scr_up[:, :]
     for s in range(n_steps):
         ku = _varcoef_stencil_slab(cur, planes, n_cols)
-        nxt = 2.0 * cur - prev - coef * ku
+        if damped:
+            nxt = p2 * cur - pm * prev - coef * ku
+        else:
+            nxt = 2.0 * cur - prev - coef * ku
         nxt = jnp.where(mask, 0.0, nxt) + wchunk_ref[s] * src_sel
         prev = cur
         cur = nxt
@@ -282,6 +308,24 @@ def _varcoef_multistep_kernel(srcinfo_ref, wchunk_ref, u_hbm, up_hbm,
             def _write_rec(j=j, local=local, s=s, cur=cur):
                 out_rec_ref[s, j, :] = cur[local, :].astype(
                     out_rec_ref.dtype)
+        if ring is not None:
+            rA, rB, cA, cB = ring
+            for j, rr in enumerate((rA, rB)):
+                owner = rr // br
+                local = hh + rr - owner * br
+
+                @pl.when(i == owner)
+                def _write_ring_row(j=j, local=local, s=s, cur=cur):
+                    out_rr_ref[s, j, :] = cur[local, :].astype(
+                        out_rr_ref.dtype)
+
+            li = jax.lax.broadcasted_iota(jnp.int32, (br, 128), 1)
+            ca = cur[hh:hh + br, cA:cA + 1]
+            cb = cur[hh:hh + br, cB:cB + 1]
+            zero = jnp.zeros((), cur.dtype)
+            out_rc_ref[s, :, :] = (jnp.where(li == 0, ca, zero)
+                                   + jnp.where(li == 1, cb, zero)).astype(
+                out_rc_ref.dtype)
 
     out_u_ref[:, :] = cur[hh:hh + br, :].astype(out_u_ref.dtype)
     out_up_ref[:, :] = prev[hh:hh + br, :].astype(out_up_ref.dtype)
@@ -317,14 +361,16 @@ def _varcoef_stencil_slab(a, planes, n_cols, shifts=None):
 
 @functools.partial(jax.jit, static_argnames=(
     "coef", "n_steps", "rec_rows", "block_rows", "true_rows", "true_cols",
-    "interpret"))
+    "interpret", "ring"))
 def varcoef_leapfrog_multistep_pallas(u, u_prev, planes, wchunk, srcinfo,
                                       *, coef: float, n_steps: int,
                                       rec_rows: Tuple[int, ...],
                                       block_rows: int = 128,
                                       true_rows: int = None,
                                       true_cols: int = None,
-                                      interpret: bool = False):
+                                      interpret: bool = False,
+                                      ring: Optional[Tuple[int, ...]]
+                                      = None):
     """Advance ``n_steps`` fused variable-coefficient leapfrog steps in
     ONE kernel pass (see ``_varcoef_multistep_kernel``). Returns
     (u_new, u_prev_new, rec_strip) with rec_strip of shape
@@ -333,7 +379,14 @@ def varcoef_leapfrog_multistep_pallas(u, u_prev, planes, wchunk, srcinfo,
 
     ``wchunk``: (n_steps,) source-wavelet samples; ``srcinfo``: (2,)
     int32 (src_row, src_col) — both live in SMEM so they may be traced
-    values (vmapped shots)."""
+    values (vmapped shots).
+
+    Sponge mode: pass 9 ``planes`` ([0:7] dden-folded stencil planes,
+    [7] p2 = 2*dden, [8] pm = dden*dnum; detected from the leading
+    extent) for the damped update, and ``ring`` = (rA, rB, cA, cB) to
+    additionally return (ring_rows (n_steps, 2, W), ring_cols
+    (n_steps, H, 128) with lanes 0/1 = cols cA/cB) — the per-step
+    interface-ring saves for boundary-saving reconstruction."""
     h, w = u.shape
     halo = -(-n_steps // _HALO) * _HALO
     _validate(h, w, block_rows, interpret)
@@ -346,11 +399,14 @@ def varcoef_leapfrog_multistep_pallas(u, u_prev, planes, wchunk, srcinfo,
     n_rows = true_rows if true_rows is not None else h
     n_cols_true = true_cols if true_cols is not None else w
     grid = h // block_rows
+    n_planes = planes.shape[0]
+    damped = n_planes == 9
 
     kernel = functools.partial(
         _varcoef_multistep_kernel, coef=float(coef), n_steps=n_steps,
         rec_rows=tuple(rec_rows), block_rows=block_rows, n_rows=n_rows,
-        n_cols=w, true_cols=n_cols_true, halo=halo)
+        n_cols=w, true_cols=n_cols_true, halo=halo, damped=damped,
+        ring=None if ring is None else tuple(int(x) for x in ring))
 
     block2 = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -358,6 +414,21 @@ def varcoef_leapfrog_multistep_pallas(u, u_prev, planes, wchunk, srcinfo,
                             lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     slab = (block_rows + 2 * halo, w)
+
+    out_specs = (block2, block2, rec_spec)
+    out_shape = (jax.ShapeDtypeStruct(u.shape, u.dtype),
+                 jax.ShapeDtypeStruct(u.shape, u.dtype),
+                 jax.ShapeDtypeStruct(
+                     (n_steps, max(len(rec_rows), 1), w), u.dtype))
+    if ring is not None:
+        out_specs = out_specs + (
+            pl.BlockSpec((n_steps, 2, w), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_steps, block_rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((n_steps, 2, w), u.dtype),
+            jax.ShapeDtypeStruct((n_steps, h, 128), u.dtype))
 
     return pl.pallas_call(
         kernel,
@@ -367,14 +438,11 @@ def varcoef_leapfrog_multistep_pallas(u, u_prev, planes, wchunk, srcinfo,
                   pl.BlockSpec(memory_space=pltpu.ANY),    # u
                   pl.BlockSpec(memory_space=pltpu.ANY),    # u_prev
                   pl.BlockSpec(memory_space=pltpu.ANY)],   # planes
-        out_specs=(block2, block2, rec_spec),
-        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
-                   jax.ShapeDtypeStruct(u.shape, u.dtype),
-                   jax.ShapeDtypeStruct(
-                       (n_steps, max(len(rec_rows), 1), w), u.dtype)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM(slab, u.dtype),
                         pltpu.VMEM(slab, u.dtype),
-                        pltpu.VMEM((7,) + slab, u.dtype),
+                        pltpu.VMEM((n_planes,) + slab, u.dtype),
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
@@ -502,14 +570,11 @@ def varcoef_adjoint_step_pallas(u_next, u_cur, lam_next, lam_partial,
 
 def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
                               unext_hbm, ucur_hbm, lam_hbm, lpart_hbm,
-                              planes_hbm, unext_out_ref, ucur_out_ref,
-                              lam_out_ref, lpart_out_ref, wbar_out_ref,
-                              wavbar_out_ref, scr_a, scr_b, scr_l, scr_p,
-                              scr_pl, sem_a, sem_b, sem_l, sem_p, sem_pl,
-                              *, coef, n_steps: int,
+                              planes_hbm, *rest, coef, n_steps: int,
                               rec_groups: Tuple, block_rows: int,
                               n_rows: int, n_cols: int, true_cols: int,
-                              halo: int):
+                              halo: int, damped: bool = False,
+                              ring: Optional[Tuple[int, ...]] = None):
     """Temporal blocking for the FWI BACKWARD pass: ``n_steps`` fused
     reverse steps per HBM pass. Each inner step (time-descending order;
     the caller pre-reverses the per-chunk wavelet/cotangent rows) is the
@@ -529,7 +594,28 @@ def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
     ((row, ((col, flat_idx), ...)), ...) with inj_ref[s, flat_idx] the
     pre-weighted cotangent) so each inner step costs one slab select per
     distinct receiver row plus (1, W) lane work per point.
+
+    ``damped`` (sponge): the planes slab carries 9 planes ([0:7] plain
+    stencil planes for K, [7] dden, [8] dnum); the lambda recursion runs
+    the exact damped-leapfrog transpose (dden folded into blam before
+    the mask, dnum on the u_prev-cotangent leg). ``ring`` = (rA, rB,
+    cA, cB) switches the reconstruction to boundary saving: after the
+    undamped u_prev formula, everything strictly outside the
+    [rA..rB]x[cA..cB] bounding box is zeroed and the saved ring values
+    are restored (cols first, then rows) from the forward pass's
+    storage — ring rows arrive whole in VMEM (n_steps, 2, W), ring cols
+    via a halo'd (n_steps, h_tot, 128) DMA so halo rows restore too.
     """
+    if ring is not None:
+        (rr_ref, rc_hbm, unext_out_ref, ucur_out_ref,
+         lam_out_ref, lpart_out_ref, wbar_out_ref, wavbar_out_ref,
+         scr_a, scr_b, scr_l, scr_p, scr_pl, scr_c,
+         sem_a, sem_b, sem_l, sem_p, sem_pl, sem_c) = rest
+    else:
+        (unext_out_ref, ucur_out_ref, lam_out_ref, lpart_out_ref,
+         wbar_out_ref, wavbar_out_ref,
+         scr_a, scr_b, scr_l, scr_p, scr_pl,
+         sem_a, sem_b, sem_l, sem_p, sem_pl) = rest
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     br = block_rows
@@ -542,9 +628,17 @@ def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
     _halo_dma(lam_hbm, scr_l, sem_l, i, n_blocks, br, n_cols, hh=hh)
     _halo_dma(lpart_hbm, scr_p, sem_p, i, n_blocks, br, n_cols, hh=hh)
     _halo_dma3(planes_hbm, scr_pl, sem_pl, i, n_blocks, br, n_cols, hh=hh)
+    if ring is not None:
+        _halo_dma3(rc_hbm, scr_c, sem_c, i, n_blocks, br, 128, hh=hh)
 
     mask = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
-    planes = scr_pl[:, :, :]
+    planes_all = scr_pl[:, :, :]
+    if damped:
+        planes = planes_all[0:7]
+        dd = planes_all[7]
+        dn = planes_all[8]
+    else:
+        planes = planes_all
 
     gr = row0 - hh + jax.lax.broadcasted_iota(jnp.int32,
                                               (h_tot, n_cols), 0)
@@ -565,6 +659,8 @@ def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
     zero = jnp.zeros((), b.dtype)
 
     for s in range(n_steps):
+        # wavbar = coef * (dden*lam)[src]; the source is validated to sit
+        # outside the sponge, where dden == 1, so no damped variant needed
         val = coef * jnp.sum(jnp.where(
             (gr == src_r) & (gc == src_c) & int_row, lam, zero))
 
@@ -572,7 +668,7 @@ def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
         def _write_wavbar(s=s, val=val):
             wavbar_out_ref[0, s] = val.astype(wavbar_out_ref.dtype)
 
-        blam = jnp.where(mask, zero, lam)
+        blam = jnp.where(mask, zero, (dd * lam) if damped else lam)
         k_blam = _varcoef_stencil_slab(blam, planes, n_cols)
         b_shifts = _slab_shifts(b, n_cols)
         k_b = _varcoef_stencil_slab(b, planes, n_cols, shifts=b_shifts)
@@ -585,12 +681,23 @@ def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
             lam_new = lam_new + jnp.where(gr == rr, rowvec, zero)
         u_prev = (jnp.where(mask, zero, 2.0 * b - a - coef * k_b)
                   + wchunk_ref[s] * src_sel)
+        if ring is not None:
+            # boundary saving: zero the deep sponge (strictly outside the
+            # ring bounding box), restore saved cols then rows
+            rA, rB, cA, cB = ring
+            u_prev = jnp.where((gr < rA) | (gr > rB)
+                               | (gc < cA) | (gc > cB), zero, u_prev)
+            u_prev = jnp.where(gc == cA, scr_c[s, :, 0:1], u_prev)
+            u_prev = jnp.where(gc == cB, scr_c[s, :, 1:2], u_prev)
+            u_prev = jnp.where(gr == rA, rr_ref[s, 0:1, :], u_prev)
+            u_prev = jnp.where(gr == rB, rr_ref[s, 1:2, :], u_prev)
 
         mu = coef * blam[hh:hh + br, :]
         wbar = jnp.stack([wbar[j] - mu * b_shifts[j][hh:hh + br, :]
                           for j in range(7)])
 
-        a, b, lam, lpart = b, u_prev, lam_new, -blam
+        a, b, lam, lpart = (b, u_prev, lam_new,
+                            -(dn * blam) if damped else -blam)
 
     unext_out_ref[:, :] = a[hh:hh + br, :].astype(unext_out_ref.dtype)
     ucur_out_ref[:, :] = b[hh:hh + br, :].astype(ucur_out_ref.dtype)
@@ -601,15 +708,18 @@ def _adjoint_multistep_kernel(srcinfo_ref, wchunk_ref, inj_ref, wbar_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "coef", "n_steps", "rec_groups", "block_rows", "true_rows",
-    "true_cols", "interpret"))
+    "true_cols", "interpret", "ring"))
 def varcoef_adjoint_multistep_pallas(u_next, u_cur, lam, lam_partial,
                                      planes, wbar, wchunk, inj, srcinfo,
+                                     ring_rows=None, ring_cols=None,
                                      *, coef: float, n_steps: int,
                                      rec_groups: Tuple,
                                      block_rows: int = 128,
                                      true_rows: int = None,
                                      true_cols: int = None,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     ring: Optional[Tuple[int, ...]]
+                                     = None):
     """Advance ``n_steps`` fused FWI backward steps in ONE kernel pass
     (see ``_adjoint_multistep_kernel``). Returns (u_next', u_cur', lam',
     lam_partial', wbar', wavbar) with wavbar of shape (n_steps,) —
@@ -620,6 +730,13 @@ def varcoef_adjoint_multistep_pallas(u_next, u_cur, lam, lam_partial,
     receiver cotangent values, srcinfo : (2,) int32 — all SMEM so they
     may be traced (vmapped shots). ``rec_groups`` is the static
     row-grouped injection layout ((row, ((col, flat_idx), ...)), ...).
+
+    Sponge mode: pass 9 ``planes`` ([0:7] PLAIN stencil planes,
+    [7] dden, [8] dnum) for the damped lambda transpose, plus ``ring``
+    = (rA, rB, cA, cB) with the forward pass's per-step saves
+    ``ring_rows`` (n_steps, 2, W) / ``ring_cols`` (n_steps, H, 128),
+    both in the kernel's time-descending order (row s = ring of the
+    state u_{m_s - 1} being reconstructed at inner step s).
     """
     h, w = u_next.shape
     halo = -(-n_steps // _HALO) * _HALO
@@ -633,11 +750,15 @@ def varcoef_adjoint_multistep_pallas(u_next, u_cur, lam, lam_partial,
     n_rows = true_rows if true_rows is not None else h
     n_cols_true = true_cols if true_cols is not None else w
     grid = h // block_rows
+    n_planes = planes.shape[0]
+    damped = n_planes == 9
 
     kernel = functools.partial(
         _adjoint_multistep_kernel, coef=float(coef), n_steps=n_steps,
         rec_groups=tuple(rec_groups), block_rows=block_rows,
-        n_rows=n_rows, n_cols=w, true_cols=n_cols_true, halo=halo)
+        n_rows=n_rows, n_cols=w, true_cols=n_cols_true, halo=halo,
+        damped=damped,
+        ring=None if ring is None else tuple(int(x) for x in ring))
 
     block2 = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -647,39 +768,47 @@ def varcoef_adjoint_multistep_pallas(u_next, u_cur, lam, lam_partial,
                                memory_space=pltpu.SMEM)
     slab = (block_rows + 2 * halo, w)
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),   # srcinfo
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # wchunk
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # inj
+                wbar_spec,                               # wbar
+                pl.BlockSpec(memory_space=pltpu.ANY),    # u_next
+                pl.BlockSpec(memory_space=pltpu.ANY),    # u_cur
+                pl.BlockSpec(memory_space=pltpu.ANY),    # lam
+                pl.BlockSpec(memory_space=pltpu.ANY),    # lam_partial
+                pl.BlockSpec(memory_space=pltpu.ANY)]    # planes
+    args = (srcinfo, wchunk, inj, wbar, u_next, u_cur, lam, lam_partial,
+            planes)
+    scratch = [pltpu.VMEM(slab, u_next.dtype),
+               pltpu.VMEM(slab, u_next.dtype),
+               pltpu.VMEM(slab, u_next.dtype),
+               pltpu.VMEM(slab, u_next.dtype),
+               pltpu.VMEM((n_planes,) + slab, u_next.dtype)]
+    sems = [pltpu.SemaphoreType.DMA] * 5
+    if ring is not None:
+        in_specs += [pl.BlockSpec((n_steps, 2, w), lambda i: (0, 0, 0),
+                                  memory_space=pltpu.VMEM),  # ring rows
+                     pl.BlockSpec(memory_space=pltpu.ANY)]   # ring cols
+        args = args + (ring_rows, ring_cols)
+        scratch.append(pltpu.VMEM((n_steps, block_rows + 2 * halo, 128),
+                                  u_next.dtype))
+        sems.append(pltpu.SemaphoreType.DMA)
+
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # srcinfo
-                  pl.BlockSpec(memory_space=pltpu.SMEM),   # wchunk
-                  pl.BlockSpec(memory_space=pltpu.SMEM),   # inj
-                  wbar_spec,                               # wbar
-                  pl.BlockSpec(memory_space=pltpu.ANY),    # u_next
-                  pl.BlockSpec(memory_space=pltpu.ANY),    # u_cur
-                  pl.BlockSpec(memory_space=pltpu.ANY),    # lam
-                  pl.BlockSpec(memory_space=pltpu.ANY),    # lam_partial
-                  pl.BlockSpec(memory_space=pltpu.ANY)],   # planes
+        in_specs=in_specs,
         out_specs=(block2, block2, block2, block2, wbar_spec,
                    wavbar_spec),
         out_shape=(jax.ShapeDtypeStruct(u_next.shape, u_next.dtype),
                    jax.ShapeDtypeStruct(u_next.shape, u_next.dtype),
                    jax.ShapeDtypeStruct(u_next.shape, u_next.dtype),
                    jax.ShapeDtypeStruct(u_next.shape, u_next.dtype),
-                   jax.ShapeDtypeStruct(planes.shape, planes.dtype),
+                   jax.ShapeDtypeStruct(wbar.shape, wbar.dtype),
                    jax.ShapeDtypeStruct((1, n_steps), u_next.dtype)),
-        scratch_shapes=[pltpu.VMEM(slab, u_next.dtype),
-                        pltpu.VMEM(slab, u_next.dtype),
-                        pltpu.VMEM(slab, u_next.dtype),
-                        pltpu.VMEM(slab, u_next.dtype),
-                        pltpu.VMEM((7,) + slab, u_next.dtype),
-                        pltpu.SemaphoreType.DMA,
-                        pltpu.SemaphoreType.DMA,
-                        pltpu.SemaphoreType.DMA,
-                        pltpu.SemaphoreType.DMA,
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=scratch + sems,
         input_output_aliases={3: 4},   # wbar -> wbar', in-place
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(srcinfo, wchunk, inj, wbar, u_next, u_cur, lam, lam_partial,
-      planes)
+    )(*args)
