@@ -136,8 +136,12 @@ def main() -> int:
     delta = np.asarray(res.c2) - 1.0
     print(f"\n{n_total} {args.optimizer} iterations in {dt_wall:.2f}s "
           f"({dt_wall / n_total * 1e3:.1f} ms/iter, forward+adjoint)")
-    print(f"misfit {m0:.3e} -> {res.misfits[-1]:.3e} "
-          f"({m0 / max(res.misfits[-1], 1e-300):.3g}x down)")
+    m_last = float(res.misfits[-1])
+    ratio = m0 / max(m_last, 1e-300)
+    trend = (f"{ratio:.3g}x down" if ratio >= 1.0
+             else f"{1.0 / max(ratio, 1e-300):.3g}x UP - try more "
+                  f"--iters or a smaller --lr")
+    print(f"misfit {m0:.3e} -> {m_last:.3e} ({trend})")
     print(f"recovered anomaly: mean dc2 inside {delta[inside].mean():+.4f} "
           f"(true -0.35), outside {delta[~inside].mean():+.4f} (true 0)")
 

@@ -607,9 +607,13 @@ def test_spatial_sharded_gradient_matches_unsharded():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
 
-    for adjoint in ("remat", "reversal"):
+    for adjoint, extra in (("remat", {}), ("reversal", {}),
+                           ("reversal", dict(sponge_width=0.2,
+                                             boundary_save="strip")),
+                           ("reversal", dict(sponge_width=0.2,
+                                             boundary_save="ring"))):
         p = _problem(nel=(16, 16), n_steps=25, dt=0.006,
-                     engine="stencil", adjoint=adjoint)
+                     engine="stencil", adjoint=adjoint, **extra)
         rng = np.random.default_rng(2)
         c2 = jnp.asarray(1.0 + 0.1 * rng.random(p.n_cells))
         obs = p.simulate(jnp.ones(p.n_cells) * 1.1)
@@ -619,6 +623,7 @@ def test_spatial_sharded_gradient_matches_unsharded():
         mesh = Mesh(np.array(jax.devices()), ("d",))
         c2_sh = jax.device_put(c2, NamedSharding(mesh, P("d")))
         v1, g1 = f(c2_sh, obs)
-        assert float(v0) == pytest.approx(float(v1), rel=1e-13), adjoint
+        label = (adjoint, tuple(extra))
+        assert float(v0) == pytest.approx(float(v1), rel=1e-13), label
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                    rtol=1e-12, atol=1e-18)
