@@ -64,6 +64,10 @@ def main() -> int:
                     default="adam",
                     help="lbfgs = zoom-linesearch quasi-Newton "
                          "(fewer iterations on smooth problems)")
+    ap.add_argument("--checkpoint", default="",
+                    help="npz snapshot path: saved every 10 iterations; "
+                         "an existing file resumes the descent "
+                         "(single-scale only)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -129,7 +133,8 @@ def main() -> int:
         res = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=args.iters,
                        learning_rate=args.lr, bounds=(0.3, 2.0),
                        sources=srcs, estimate_wavelet=args.estimate_wavelet,
-                       optimizer=args.optimizer, verbose=True)
+                       optimizer=args.optimizer,
+                       checkpoint=args.checkpoint or None, verbose=True)
         n_total = args.iters
     dt_wall = time.perf_counter() - t0
 

@@ -107,6 +107,41 @@ def test_inversion_reduces_misfit_toward_anomaly():
     assert abs(delta[inside].mean()) > 3 * abs(delta[~inside].mean())
 
 
+def test_invert_checkpoint_resume(tmp_path):
+    """invert(checkpoint=...) snapshots (params, opt state, misfits) and
+    a re-invocation resumes mid-descent: a 6-iter run + a resumed
+    12-iter run reproduce an uninterrupted 12-iter run exactly."""
+    p = _problem(nel=(10, 10), n_steps=40, dt=0.008)
+    c2_true = jnp.asarray(np.where(
+        np.arange(p.n_cells) % 7 == 0, 0.8, 1.0))
+    d_obs = p.simulate(c2_true)
+    ck = str(tmp_path / "inv.npz")
+
+    ref = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=12,
+                   learning_rate=0.05, bounds=(0.3, 2.0))
+    part = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=6,
+                    learning_rate=0.05, bounds=(0.3, 2.0),
+                    checkpoint=ck, checkpoint_every=4)
+    assert (tmp_path / "inv.npz").exists()
+    full = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=12,
+                    learning_rate=0.05, bounds=(0.3, 2.0),
+                    checkpoint=ck, checkpoint_every=4)
+    np.testing.assert_array_equal(np.asarray(full.c2), np.asarray(ref.c2))
+    np.testing.assert_allclose(full.misfits, ref.misfits, rtol=1e-12)
+    np.testing.assert_allclose(part.misfits, ref.misfits[:6], rtol=1e-12)
+
+    # a resumed run that is already complete returns the stored state
+    again = p.invert(d_obs, jnp.ones(p.n_cells), n_iter=12,
+                     learning_rate=0.05, bounds=(0.3, 2.0), checkpoint=ck)
+    np.testing.assert_array_equal(np.asarray(again.c2),
+                                  np.asarray(ref.c2))
+
+    # configuration mismatch (extra wavelet param) is rejected
+    with pytest.raises(ValueError, match="configuration"):
+        p.invert(d_obs, jnp.ones(p.n_cells), n_iter=12,
+                 learning_rate=0.05, estimate_wavelet=True, checkpoint=ck)
+
+
 def test_ricker_wavelet_shape_and_peak():
     t = np.linspace(0, 2, 400)
     w = ricker_wavelet(t, peak_freq=2.0)

@@ -1191,8 +1191,18 @@ class FwiProblem:
                wavelet_init: Optional[jax.Array] = None,
                optimizer: str = "adam",
                reg_lambda: float = 0.0,
+               checkpoint: Optional[str] = None,
+               checkpoint_every: int = 10,
                verbose: bool = False) -> FwiResult:
         """Iterative descent on the misfit, with optional box projection.
+
+        ``checkpoint``: path of a single .npz snapshot (model, optimizer
+        state, misfit history) written every ``checkpoint_every``
+        iterations and at the end; if the file already exists the
+        descent RESUMES from it (``n_iter`` counts total iterations, so
+        a resumed run does only the remainder). Big inversions are
+        hours-long; this is the crash/preemption insurance the
+        production workflow needs.
 
         ``reg_lambda`` > 0 adds Tikhonov smoothing
         ``reg_lambda * roughness(c2)`` (squared c2 jumps across
@@ -1292,12 +1302,40 @@ class FwiProblem:
             raise ValueError(f"unknown optimizer {optimizer!r}")
 
         opt_state = opt.init(params)
+        start = 0
         misfits = np.empty(n_iter)
-        for i in range(n_iter):
+        if checkpoint is not None:
+            from ..utils.checkpoint import load_inversion, save_inversion
+            ck = load_inversion(checkpoint)
+            if ck is not None:
+                n_done, hist, p_leaves, o_leaves = ck
+                flat_p, tree_p = jax.tree_util.tree_flatten(params)
+                flat_o, tree_o = jax.tree_util.tree_flatten(opt_state)
+                if (len(p_leaves) != len(flat_p)
+                        or len(o_leaves) != len(flat_o)):
+                    raise ValueError(
+                        f"checkpoint {checkpoint} does not match this "
+                        "inversion configuration (different optimizer or "
+                        "estimate_wavelet setting)")
+                params = jax.tree_util.tree_unflatten(
+                    tree_p, [jnp.asarray(a) for a in p_leaves])
+                opt_state = jax.tree_util.tree_unflatten(
+                    tree_o, [jnp.asarray(a) for a in o_leaves])
+                start = min(n_done, n_iter)
+                misfits[:start] = hist[:start]
+                if verbose:
+                    print(f"resumed from {checkpoint} at iteration {start}")
+        for i in range(start, n_iter):
             params, opt_state, val = step(params, opt_state)
             misfits[i] = float(val)
             if verbose:
                 print(f"iter {i:3d}  misfit {misfits[i]:.6e}")
+            if checkpoint is not None and ((i + 1) % checkpoint_every == 0
+                                           or i + 1 == n_iter):
+                save_inversion(
+                    checkpoint, i + 1, misfits[:i + 1],
+                    jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(opt_state))
         c2, w = params
         return FwiResult(c2=c2, misfits=misfits,
                          wavelet=w if estimate_wavelet else None)

@@ -16,7 +16,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_latest", "checkpoint_path"]
+__all__ = ["save_checkpoint", "load_latest", "checkpoint_path",
+           "save_inversion", "load_inversion"]
 
 _CKPT_RE = re.compile(r"checkpoint_(\d{6})\.npz$")
 
@@ -69,6 +70,45 @@ def truncate_logs_after(folder, timestep: int) -> None:
             if step <= timestep:
                 kept.append(line)
         path.write_text("\n".join(kept) + "\n")
+
+
+def save_inversion(path, n_done: int, misfits, params_leaves,
+                   opt_leaves) -> Path:
+    """Atomic snapshot of an FWI inversion loop (models/inverse.py::
+    FwiProblem.invert): completed-iteration count, misfit history and
+    the flattened (params, optimizer-state) pytree leaves. One file,
+    overwritten in place — inversion iterations are minutes-long on big
+    problems, so a crash mid-descent would otherwise lose hours."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {"__n_done": n_done,
+              "__misfits": np.asarray(misfits, np.float64)}
+    for i, leaf in enumerate(params_leaves):
+        arrays[f"p{i}"] = np.asarray(leaf)
+    for i, leaf in enumerate(opt_leaves):
+        arrays[f"o{i}"] = np.asarray(leaf)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(tmp, **arrays)
+    tmp.replace(path)
+    return path
+
+
+def load_inversion(path):
+    """(n_done, misfits, params_leaves, opt_leaves) or None if absent."""
+    path = Path(path)
+    if not path.exists():
+        return None
+    with np.load(path) as data:
+        n_done = int(data["__n_done"])
+        misfits = np.asarray(data["__misfits"])
+
+        def leaves(prefix):
+            keys = sorted((k for k in data.files if k.startswith(prefix)
+                           and k[len(prefix):].isdigit()),
+                          key=lambda k: int(k[len(prefix):]))
+            return [data[k] for k in keys]
+
+        return n_done, misfits, leaves("p"), leaves("o")
 
 
 def load_latest(folder) -> Optional[Tuple[int, float, dict]]:
