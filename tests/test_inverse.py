@@ -142,6 +142,50 @@ def test_invert_checkpoint_resume(tmp_path):
                  learning_rate=0.05, estimate_wavelet=True, checkpoint=ck)
 
 
+def test_illumination_preconditioning():
+    """illumination() integrates the squared source wavefield per cell
+    (bright near the source, ~zero beyond the wavefront), and
+    precondition='illumination' scales the Adam gradient by its inverse
+    while still descending the misfit."""
+    p = _problem(nel=(16, 16), n_steps=60, dt=0.008)
+    ones = jnp.ones(p.n_cells)
+    illum = p.illumination(ones)
+    assert illum.shape == (p.n_cells,)
+    assert float(illum.min()) >= 0.0
+    cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
+    near = np.sum((cent - [0.3, 0.5]) ** 2, axis=1) < 0.15 ** 2
+    far = np.sum((cent - [0.95, 0.05]) ** 2, axis=1) < 0.1 ** 2
+    assert near.any() and far.any()
+    assert (float(np.asarray(illum)[near].mean())
+            > 100 * float(np.asarray(illum)[far].mean()))
+
+    # multi-shot illumination sums the shots
+    srcs = p.snap_vertices([(0.3, 0.5), (0.7, 0.5)])
+    il2 = p.illumination(ones, sources=srcs)
+    assert float(np.asarray(il2).sum()) > float(np.asarray(illum).sum())
+
+    # a longer window so the scattered field actually reaches the
+    # receivers and the misfit is meaningfully sensitive to c2
+    p2 = _problem(nel=(16, 16), n_steps=150, dt=0.008,
+                  receivers=[(0.8, 0.3), (0.8, 0.7), (0.5, 0.9),
+                             (0.2, 0.2)])
+    inside2 = (np.sum((p2.mesh.vertex_coords[np.asarray(p2.mesh.cells)]
+                       .mean(axis=1) - [0.6, 0.5]) ** 2, axis=1)
+               < 0.15 ** 2)
+    ones2 = jnp.ones(p2.n_cells)
+    d_obs = p2.simulate(jnp.asarray(np.where(inside2, 0.75, 1.0)))
+    res = p2.invert(d_obs, ones2, n_iter=25, learning_rate=0.02,
+                    bounds=(0.3, 2.0), precondition="illumination")
+    m0 = float(p2.misfit(ones2, d_obs))
+    assert res.misfits[-1] < m0
+
+    with pytest.raises(ValueError, match="adam"):
+        p2.invert(d_obs, ones2, n_iter=2, optimizer="lbfgs",
+                  precondition="illumination")
+    with pytest.raises(ValueError, match="precondition"):
+        p2.invert(d_obs, ones2, n_iter=2, precondition="hessian")
+
+
 def test_ricker_wavelet_shape_and_peak():
     t = np.linspace(0, 2, 400)
     w = ricker_wavelet(t, peak_freq=2.0)

@@ -1170,6 +1170,54 @@ class FwiProblem:
              - jnp.asarray(observed, self.dtype))
         return 0.5 * jnp.sum(d * d)
 
+    # -- illumination / gradient preconditioning -----------------------------
+
+    def illumination(self, c2_cell, sources=None, wavelets=None):
+        """Per-cell source-illumination field I_e = sum_k mean_v u_k[v]^2
+        (v over the cell's 3 vertices; summed over shots when ``sources``
+        is given) — the diagonal pseudo-Hessian proxy of classic FWI.
+        Deep/poorly-lit cells have tiny I, so dividing the gradient by
+        (I + eps*max I) compensates geometric spreading (``invert``'s
+        precondition="illumination"). Engine-independent: always runs
+        the XLA stencil-plane forward (a one-off diagnostic scan, not
+        the production gradient path).
+        """
+        c2_cell = jnp.asarray(c2_cell, self.dtype)
+        dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
+        planes = self._assemble_stencil_planes(c2_cell)
+
+        def one(src, w):
+            def accel(u, w_n):
+                f = -self._apply_stencil_planes(planes, u)
+                f = f.at[src].add(w_n)
+                return f * self._inv_lumped
+
+            u0 = jnp.zeros(self.n_vertices, self.dtype)
+            u1 = (u0 + 0.5 * dt2 * accel(u0, w[0])) * self._interior
+
+            def body(carry, w_n):
+                u, u_prev, acc = carry
+                u_next = (2.0 * u - self._damp_num * u_prev
+                          + dt2 * accel(u, w_n)) * self._damp_den
+                u_next = u_next * self._interior
+                return (u_next, u, acc + u_next * u_next), None
+
+            (_, _, acc), _ = jax.lax.scan(
+                body, (u1, u0, u1 * u1), w[1:])
+            return acc
+
+        if sources is None:
+            acc = one(self.source_vertex, self.wavelet)
+        else:
+            sources = jnp.asarray(sources, jnp.int32)
+            if wavelets is None:
+                wavelets = jnp.broadcast_to(
+                    self.wavelet, (sources.shape[0], self.n_steps))
+            acc = jnp.sum(jax.vmap(one)(sources,
+                                        jnp.asarray(wavelets, self.dtype)),
+                          axis=0)
+        return jnp.mean(acc[self._cells], axis=1)
+
     # -- inversion ----------------------------------------------------------
 
     def misfit(self, c2_cell, observed, wavelet: Optional[jax.Array] = None):
@@ -1191,10 +1239,20 @@ class FwiProblem:
                wavelet_init: Optional[jax.Array] = None,
                optimizer: str = "adam",
                reg_lambda: float = 0.0,
+               precondition: Optional[str] = None,
+               precond_eps: float = 1e-3,
                checkpoint: Optional[str] = None,
                checkpoint_every: int = 10,
                verbose: bool = False) -> FwiResult:
         """Iterative descent on the misfit, with optional box projection.
+
+        ``precondition="illumination"`` divides the c2 gradient by the
+        source-illumination field evaluated at ``c2_init``
+        (I + precond_eps * max I; see :meth:`illumination`) — the
+        classic diagonal pseudo-Hessian scaling that compensates
+        geometric spreading so deep, poorly-lit cells update at a
+        useful rate. Adam only (a fixed diagonal metric; with L-BFGS it
+        would make the line-search gradients inconsistent).
 
         ``checkpoint``: path of a single .npz snapshot (model, optimizer
         state, misfit history) written every ``checkpoint_every``
@@ -1266,6 +1324,19 @@ class FwiProblem:
         else:
             params = (c2, None)
 
+        if precondition not in (None, "illumination"):
+            raise ValueError(f"unknown precondition {precondition!r}")
+        if precondition == "illumination":
+            if optimizer != "adam":
+                raise ValueError("precondition='illumination' needs "
+                                 "optimizer='adam' (a scaled gradient "
+                                 "breaks the L-BFGS line search)")
+            illum = self.illumination(c2, sources=sources,
+                                      wavelets=wavelets)
+            g_scale = 1.0 / (illum + precond_eps * jnp.max(illum))
+        else:
+            g_scale = None
+
         if optimizer == "adam":
             opt = optax.adam(learning_rate)
             vg = jax.jit(jax.value_and_grad(loss))
@@ -1273,6 +1344,8 @@ class FwiProblem:
             @jax.jit
             def step(params, opt_state):
                 val, g = vg(params, observed)
+                if g_scale is not None:
+                    g = (g[0] * g_scale, g[1])
                 updates, opt_state = opt.update(g, opt_state)
                 params = optax.apply_updates(params, updates)
                 if bounds is not None:
