@@ -168,11 +168,11 @@ def _kernel(up_ref, u_hbm, out_ref, scratch, sem, *, stencil, coef,
     out_ref[:, :] = jnp.where(mask, 0.0, un).astype(out_ref.dtype)
 
 
-def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
-                      sem_u, sem_up, *, stencil, coef, n_steps: int,
+def _multistep_kernel(*refs, stencil, coef, n_steps: int,
                       block_rows: int, n_rows: int, n_cols: int,
                       true_cols: int, halo: int = _HALO,
-                      double_buffer: bool = False):
+                      double_buffer: bool = False,
+                      dyn_offset: bool = False):
     """Temporal blocking: advance ``n_steps`` leapfrog steps in one pass.
 
     Both u and u_prev are DMA'd with a ``halo``-row halo (a multiple of the
@@ -185,7 +185,19 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
     dimension of 2 and block i prefetches block i+1's slabs while
     computing (TPU grid steps run sequentially on the core, so scratch
     persists between them).
+
+    ``dyn_offset``: a traced SMEM scalar prepends the refs and shifts the
+    grid-row coordinate of the Dirichlet/pad mask — the shard_map hook:
+    a row-shard runs this kernel on its LOCAL (halo-padded) block while
+    masking by GLOBAL row ids (parallel/halo.py), so only the true
+    domain walls pin and shard seams stay transparent.
     """
+    if dyn_offset:
+        (row_off_ref, uprev_hbm, u_hbm, out_u_ref, out_up_ref,
+         scr_u, scr_up, sem_u, sem_up) = refs
+    else:
+        (uprev_hbm, u_hbm, out_u_ref, out_up_ref,
+         scr_u, scr_up, sem_u, sem_up) = refs
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     br = block_rows
@@ -225,7 +237,9 @@ def _multistep_kernel(uprev_hbm, u_hbm, out_u_ref, out_up_ref, scr_u, scr_up,
         _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols, hh=hh)
         _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols, hh=hh)
 
-    mask = _pinned_mask(row0 - hh, (h_tot, n_cols), n_rows, true_cols)
+    base = row_off_ref[0] if dyn_offset else 0
+    mask = _pinned_mask(base + row0 - hh, (h_tot, n_cols), n_rows,
+                        true_cols)
 
     cur = scr_u[:, :]
     prev = scr_up[:, :]
@@ -934,7 +948,8 @@ def constrained_stencil_apply_pallas(x, *, stencil: Tuple, diag: float,
                                              "block_rows", "true_rows",
                                              "true_cols", "interpret",
                                              "double_buffer"))
-def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
+def leapfrog_multistep_pallas(u, u_prev, row_offset=None, *, stencil: Tuple,
+                              coef: float,
                               n_steps: int = 4, block_rows: int = 128,
                               true_rows: int = None, true_cols: int = None,
                               interpret: bool = False,
@@ -950,6 +965,13 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
     block_rows=128 is the sweet spot — the kernel is VPU compute-bound
     there, so larger k only adds redundant halo compute. block_rows=256
     and n_steps>=48 are rejected by the Mosaic compiler at wide halos.
+
+    ``row_offset`` (traced int scalar, optional): global grid row of the
+    input's row 0 — for running the kernel on a row-shard's local,
+    halo-padded block inside shard_map: the Dirichlet/pad mask pins by
+    GLOBAL rows (true_rows = the global height), so shard seams are
+    transparent and the exchanged halo rows absorb the validity shrink
+    (parallel/halo.py::make_multistep_halo_leapfrog(engine="pallas")).
     """
     h, w = u.shape
     halo = -(-n_steps // _HALO) * _HALO
@@ -970,11 +992,13 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
     grid = h // block_rows
     if grid < 2:
         raise ValueError("need at least 2 row blocks; use the roll path")
+    dyn = row_offset is not None
 
     kernel = functools.partial(
         _multistep_kernel, stencil=stencil, coef=float(coef),
         n_steps=n_steps, block_rows=block_rows, n_rows=n_rows, n_cols=w,
-        true_cols=n_cols_true, halo=halo, double_buffer=double_buffer)
+        true_cols=n_cols_true, halo=halo, double_buffer=double_buffer,
+        dyn_offset=dyn)
 
     slab = (block_rows + 2 * halo, w)
     if double_buffer:
@@ -986,13 +1010,19 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
         scratch = [pltpu.VMEM(slab, u.dtype), pltpu.VMEM(slab, u.dtype),
                    pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),   # u_prev in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),   # u in HBM
+    ]
+    args = (u_prev, u)
+    if dyn:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (jnp.asarray(row_offset, jnp.int32).reshape(1),) + args
+
     out_u, out_up = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # u_prev in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # u in HBM
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((block_rows, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -1005,7 +1035,7 @@ def leapfrog_multistep_pallas(u, u_prev, *, stencil: Tuple, coef: float,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(u_prev, u)
+    )(*args)
     return out_u, out_up
 
 
