@@ -1159,10 +1159,21 @@ class FwiProblem:
         else:
             wavelets = jnp.asarray(wavelets, self.dtype)
         if self.adjoint == "reversal":
-            return jax.vmap(lambda s, w: self._reversal_sim(
-                jnp.asarray(c2_cell, self.dtype), s, w))(sources, wavelets)
-        return jax.vmap(lambda s, w: self._propagate(c2_cell, s, w))(
-            sources, wavelets)
+            def one(s, w):
+                return self._reversal_sim(
+                    jnp.asarray(c2_cell, self.dtype), s, w)
+        else:
+            def one(s, w):
+                return self._propagate(c2_cell, s, w)
+        if self.engine == "pallas" and not self._pallas_interp:
+            # compiled vmap of pallas_call cannot lower its SMEM operands
+            # (the batched (S, 2) srcinfo block violates Mosaic tiling),
+            # so shots run as a sequential lax.map — no loss on one chip,
+            # where each kernel pass already saturates the core; for
+            # multi-device shot parallelism wrap in shard_map over the
+            # shot axis
+            return jax.lax.map(lambda sw: one(*sw), (sources, wavelets))
+        return jax.vmap(one)(sources, wavelets)
 
     def misfit_shots(self, c2_cell, sources, observed, wavelets=None):
         """0.5 * sum over shots/steps/receivers of the data residual^2."""
@@ -1418,6 +1429,7 @@ class FwiProblem:
                           bounds: Optional[Tuple[float, float]] = None,
                           sources=None, optimizer: str = "adam",
                           reg_lambda: float = 0.0,
+                          precondition: Optional[str] = None,
                           verbose: bool = False) -> FwiResult:
         """Frequency-continuation FWI (Bunks et al. 1995, the production
         cure for cycle skipping): run :meth:`invert` over a sequence of
@@ -1459,7 +1471,8 @@ class FwiProblem:
                               learning_rate=learning_rate, bounds=bounds,
                               sources=sources, wavelet=w_k,
                               wavelets=None, optimizer=optimizer,
-                              reg_lambda=reg_lambda, verbose=verbose)
+                              reg_lambda=reg_lambda,
+                              precondition=precondition, verbose=verbose)
             c2 = res.c2
             histories.append(res.misfits)
         return FwiResult(c2=c2, misfits=np.concatenate(histories))
