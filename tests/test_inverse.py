@@ -706,3 +706,114 @@ def test_spatial_sharded_gradient_matches_unsharded():
         assert float(v0) == pytest.approx(float(v1), rel=1e-13), label
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                    rtol=1e-12, atol=1e-18)
+
+
+# -- source encoding (simultaneous-source / supershot FWI) -------------------
+
+
+def test_supershot_linearity():
+    """The injection is linear in the force, so an encoded supershot's
+    traces equal the code-weighted sum of the individual shots' traces —
+    exactly, on every engine and both adjoint modes."""
+    import itertools
+    srcs_xy = [(0.25, 0.3), (0.5, 0.7), (0.75, 0.4)]
+    codes = jnp.asarray([1.0, -1.0, 1.0])
+    rng = np.random.default_rng(7)
+    for engine, adjoint in (("stencil", "remat"), ("stencil", "reversal"),
+                            ("scatter", "remat")):
+        p = _problem(nel=(12, 12), n_steps=30, dt=0.008,
+                     engine=engine, adjoint=adjoint)
+        c2 = jnp.asarray(1.0 + 0.2 * rng.random(p.n_cells))
+        srcs = p.snap_vertices(srcs_xy)
+        single = p.simulate_shots(c2, srcs)           # (S, n, r)
+        want = np.einsum("s,snr->nr", np.asarray(codes), np.asarray(single))
+        got = np.asarray(p.simulate_supershot(c2, srcs, codes))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-15), (
+            engine, adjoint)
+
+
+def test_supershot_reversal_gradient_matches_remat():
+    """Multi-source time-reversed backward pass (c2 + wavelet cotangents)
+    equals autodiff through the remat scan, with and without a sponge
+    (boundary-saving reconstruction is source-independent)."""
+    import jax
+    srcs_xy = [(0.3, 0.35), (0.65, 0.6)]
+    for extra in ({}, dict(sponge_width=0.2, boundary_save="strip")):
+        pr = _problem(nel=(14, 14), n_steps=28, dt=0.007,
+                      engine="stencil", adjoint="remat", **extra)
+        pv = _problem(nel=(14, 14), n_steps=28, dt=0.007,
+                      engine="stencil", adjoint="reversal", **extra)
+        rng = np.random.default_rng(1)
+        c2 = jnp.asarray(1.0 + 0.15 * rng.random(pr.n_cells))
+        codes = jnp.asarray([1.0, -1.0])
+        srcs = pr.snap_vertices(srcs_xy)
+        obs = pr.simulate_shots(jnp.ones(pr.n_cells) * 1.1, srcs)
+
+        f0 = jax.value_and_grad(
+            lambda c: pr.misfit_encoded(c, srcs, codes, obs))
+        f1 = jax.value_and_grad(
+            lambda c: pv.misfit_encoded(c, srcs, codes, obs))
+        v0, g0 = f0(c2)
+        v1, g1 = f1(c2)
+        assert float(v0) == pytest.approx(float(v1), rel=1e-13), extra
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-8, atol=1e-18)
+
+        # per-source wavelet cotangents through the multi-source reversal
+        ws = jnp.broadcast_to(pr.wavelet, (2, pr.n_steps))
+        gw0 = jax.grad(lambda w: pr.misfit_encoded(
+            c2, srcs, codes, obs, wavelets=w))(ws)
+        gw1 = jax.grad(lambda w: pv.misfit_encoded(
+            c2, srcs, codes, obs, wavelets=w))(ws)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                                   rtol=1e-8, atol=1e-18)
+
+
+def test_encoded_misfit_rademacher_expectation():
+    """Averaged over ALL 2^S sign vectors, the encoded misfit equals
+    misfit_shots exactly (the cross-talk terms cancel pairwise) — the
+    identity that makes encoded FWI an unbiased S×-cheaper estimator."""
+    import itertools
+    p = _problem(nel=(10, 10), n_steps=24, dt=0.008, engine="stencil")
+    rng = np.random.default_rng(5)
+    c2 = jnp.asarray(1.0 + 0.2 * rng.random(p.n_cells))
+    srcs = p.snap_vertices([(0.3, 0.4), (0.6, 0.6), (0.8, 0.3)])
+    obs = p.simulate_shots(jnp.ones(p.n_cells) * 1.15, srcs)
+
+    full = float(p.misfit_shots(c2, srcs, obs))
+    vals = [float(p.misfit_encoded(c2, srcs, jnp.asarray(s, jnp.float64),
+                                   obs))
+            for s in itertools.product((-1.0, 1.0), repeat=3)]
+    assert np.mean(vals) == pytest.approx(full, rel=1e-12)
+
+
+def test_invert_encoded_reduces_full_misfit():
+    """Stochastic encoded descent lowers the FULL multi-shot misfit (not
+    just its noisy encoded proxy) and moves c2 toward the anomaly."""
+    import jax
+    p = _problem(nel=(12, 12), n_steps=60, dt=0.01, engine="stencil",
+                 adjoint="reversal")
+    srcs = p.snap_vertices([(0.2, 0.3), (0.2, 0.7), (0.5, 0.2)])
+    centroids = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
+    inside = np.sum((centroids - [0.5, 0.5]) ** 2, axis=1) < 0.2 ** 2
+    c2_true = jnp.asarray(np.where(inside, 0.75, 1.0))
+    obs = p.simulate_shots(c2_true, srcs)
+    c2_init = jnp.ones(p.n_cells)
+
+    res = p.invert_encoded(obs, c2_init, sources=srcs,
+                           key=jax.random.PRNGKey(0), n_iter=30,
+                           learning_rate=0.02, bounds=(0.3, 2.0))
+    before = float(p.misfit_shots(c2_init, srcs, obs))
+    after = float(p.misfit_shots(res.c2, srcs, obs))
+    assert after < 0.5 * before
+    # the recovered perturbation points the right way inside the anomaly
+    dm = np.asarray(res.c2) - 1.0
+    assert dm[inside].mean() < 0.0
+
+
+def test_supershot_pallas_rejected():
+    p = _problem(nel=(16, 16), n_steps=24, dt=0.006, engine="pallas",
+                 adjoint="reversal", pallas_interpret=True)
+    with pytest.raises(ValueError, match="pallas"):
+        p.simulate_supershot(jnp.ones(p.n_cells), jnp.asarray([1, 2]),
+                             jnp.asarray([1.0, -1.0]))

@@ -1181,6 +1181,118 @@ class FwiProblem:
              - jnp.asarray(observed, self.dtype))
         return 0.5 * jnp.sum(d * d)
 
+    # -- source encoding (simultaneous-source / supershot FWI) ---------------
+
+    def simulate_supershot(self, c2_cell, sources, codes, wavelets=None):
+        """One propagation with ALL sources firing simultaneously, each
+        scaled by its encoding weight -> (n_steps, n_rec).
+
+        The leapfrog injection is linear in the force, so an S-source
+        supershot costs exactly one single-shot simulation regardless of
+        S — the encoded-source trick of production FWI (Krebs et al.
+        2009, "Fast full-wavefield seismic inversion using encoded
+        sources"): with random ±1 ``codes`` redrawn per iteration, the
+        expected encoded misfit equals the sum of the per-shot misfits
+        (cross-talk terms vanish in expectation), cutting the per-
+        iteration cost by S×.
+
+        ``sources``: (S,) vertex ids; ``codes``: (S,) weights (±1
+        Rademacher for the classic scheme, but any floats work — e.g.
+        plane-wave/linear phase encodings built into ``wavelets``);
+        ``wavelets``: optional (S, n_steps) per-source time series
+        (default: this problem's wavelet for every source).
+
+        Differentiable in (c2_cell, codes, wavelets) on every engine
+        except "pallas" (whose fused kernels carry a single-source SMEM
+        descriptor); adjoint="reversal" runs the same O(1)-memory
+        time-reversed backward pass — the multi-source injection and its
+        wavelet cotangents fall out of the same ``at[src].add`` algebra.
+        """
+        if self.engine == "pallas":
+            raise ValueError("simulate_supershot needs engine in "
+                             "('scatter', 'grid', 'stencil'); the fused "
+                             "pallas kernels inject a single source")
+        sources = jnp.asarray(sources, jnp.int32)
+        codes = jnp.asarray(codes, self.dtype)
+        if wavelets is None:
+            wavelets = jnp.broadcast_to(self.wavelet,
+                                        (sources.shape[0], self.n_steps))
+        else:
+            wavelets = jnp.asarray(wavelets, self.dtype)
+        wmat = wavelets.T * codes[None, :]           # (n_steps, S)
+        if self.adjoint == "reversal":
+            return self._reversal_sim(jnp.asarray(c2_cell, self.dtype),
+                                      sources, wmat)
+        return self._propagate(c2_cell, sources, wmat)
+
+    def misfit_encoded(self, c2_cell, sources, codes, observed,
+                       wavelets=None):
+        """0.5 * ||supershot(c2; codes) - sum_s codes_s * observed_s||^2 —
+        the encoded objective whose Rademacher expectation is
+        ``misfit_shots`` (plus a model-independent cross-talk constant).
+        ``observed``: the (S, n_steps, n_rec) per-shot gather; the same
+        codes encode synthetics (by superposed injection) and data (by
+        weighted trace sum)."""
+        codes = jnp.asarray(codes, self.dtype)
+        d_enc = jnp.einsum("s,snr->nr", codes,
+                           jnp.asarray(observed, self.dtype))
+        r = self.simulate_supershot(c2_cell, sources, codes, wavelets) - d_enc
+        return 0.5 * jnp.sum(r * r)
+
+    def invert_encoded(self, observed, c2_init, *, sources, key,
+                       n_iter: int = 50, learning_rate: float = 0.1,
+                       bounds: Optional[Tuple[float, float]] = None,
+                       wavelets=None, reg_lambda: float = 0.0,
+                       redraw_every: int = 1,
+                       verbose: bool = False) -> FwiResult:
+        """Stochastic encoded-source descent: each Adam iteration draws
+        fresh ±1 Rademacher ``codes`` (every ``redraw_every`` iterations)
+        and steps on the S×-cheaper :meth:`misfit_encoded`; redrawing
+        decorrelates the cross-talk noise across iterations so it
+        averages out of the model update (Krebs et al. 2009). The
+        recorded per-iteration misfits are the encoded values (a noisy
+        S-scaled proxy of the full objective — evaluate
+        :meth:`misfit_shots` for a clean final number)."""
+        import optax
+
+        observed = jnp.asarray(observed, self.dtype)
+        sources = jnp.asarray(sources, jnp.int32)
+        n_src = int(sources.shape[0])
+
+        def loss(c2, codes):
+            val = self.misfit_encoded(c2, sources, codes, observed,
+                                      wavelets)
+            if reg_lambda > 0.0:
+                val = val + reg_lambda * self.roughness(c2)
+            return val
+
+        opt = optax.adam(learning_rate)
+        vg = jax.value_and_grad(loss)
+
+        @jax.jit
+        def step(c2, opt_state, codes):
+            val, g = vg(c2, codes)
+            updates, opt_state = opt.update(g, opt_state)
+            c2 = optax.apply_updates(c2, updates)
+            if bounds is not None:
+                c2 = jnp.clip(c2, bounds[0], bounds[1])
+            return c2, opt_state, val
+
+        c2 = jnp.asarray(c2_init, self.dtype)
+        opt_state = opt.init(c2)
+        misfits = np.empty(n_iter)
+        codes = None
+        for i in range(n_iter):
+            if codes is None or i % max(1, redraw_every) == 0:
+                key, sub = jax.random.split(key)
+                codes = jax.random.rademacher(sub, (n_src,),
+                                              dtype=self.dtype)
+            c2, opt_state, val = step(c2, opt_state, codes)
+            misfits[i] = float(val)
+            if verbose:
+                print(f"iter {i:3d}  encoded misfit {misfits[i]:.6e}")
+        return FwiResult(c2=c2, misfits=misfits, wavelet=None)
+
     # -- illumination / gradient preconditioning -----------------------------
 
     def illumination(self, c2_cell, sources=None, wavelets=None):
