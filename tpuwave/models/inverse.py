@@ -1293,6 +1293,121 @@ class FwiProblem:
                 print(f"iter {i:3d}  encoded misfit {misfits[i]:.6e}")
         return FwiResult(c2=c2, misfits=misfits, wavelet=None)
 
+    # -- Born modeling / RTM / least-squares migration -----------------------
+
+    def _data_map(self, sources=None, wavelets=None):
+        """The (differentiable) model->data map m = c2_cell -> traces,
+        single-shot (n_steps, n_rec) or multi-shot (S, n_steps, n_rec)."""
+        if sources is None:
+            return lambda m: self.simulate(m)
+        sources = jnp.asarray(sources, jnp.int32)
+        return lambda m: self.simulate_shots(m, sources, wavelets)
+
+    def born(self, c2_cell, dc2_cell, sources=None, wavelets=None):
+        """Linearized (Born/demigration) forward modeling: the directional
+        derivative L[dm] = d(traces)/d(c2) · dc2_cell of the wave-equation
+        data map at background ``c2_cell`` — single-scattering synthetics
+        from a reflectivity perturbation, computed by one forward-mode
+        sweep (jax.jvp) through the leapfrog scan. Forward mode cannot
+        traverse the reversal custom_vjp, so this path always runs the
+        plain scan (engines scatter/grid/stencil)."""
+        if self.engine == "pallas":
+            raise ValueError("born needs engine in ('scatter', 'grid', "
+                             "'stencil'); the fused pallas kernels have "
+                             "no JVP rule")
+        c2 = jnp.asarray(c2_cell, self.dtype)
+        dm = jnp.asarray(dc2_cell, self.dtype)
+        if sources is None:
+            f = lambda m: self._propagate(m, self.source_vertex,
+                                          self.wavelet)
+        else:
+            srcs = jnp.asarray(sources, jnp.int32)
+            ws = (jnp.broadcast_to(self.wavelet,
+                                   (srcs.shape[0], self.n_steps))
+                  if wavelets is None
+                  else jnp.asarray(wavelets, self.dtype))
+            f = lambda m: jax.vmap(
+                lambda s, w: self._propagate(m, s, w))(srcs, ws)
+        return jax.jvp(f, (c2,), (dm,))[1]
+
+    def migrate(self, c2_cell, data, sources=None, wavelets=None):
+        """Adjoint of :meth:`born`: the RTM operator Lᵀd — back-propagate
+        ``data`` as adjoint sources and zero-lag-correlate with the
+        forward source wavefield (the cross-correlation imaging
+        condition IS the adjoint of Born modeling). Runs through
+        whichever adjoint this problem is configured with — including
+        the O(1)-memory time reversal — so production-size migrations
+        need no stored wavefields. Returns a per-cell image."""
+        c2 = jnp.asarray(c2_cell, self.dtype)
+        f = self._data_map(sources, wavelets)
+        _, vjp = jax.vjp(f, c2)
+        return vjp(jnp.asarray(data, self.dtype))[0]
+
+    def rtm_image(self, c2_cell, observed, sources=None, wavelets=None,
+                  normalize: Optional[str] = "illumination",
+                  precond_eps: float = 1e-3):
+        """Reverse-time-migration image of recorded ``observed`` data over
+        the smooth background ``c2_cell`` (classic seismic imaging:
+        Baysal et al. 1983). ``normalize="illumination"`` divides by the
+        source-illumination diagonal (:meth:`illumination`), the
+        standard amplitude correction for geometric spreading; ``None``
+        returns the raw adjoint Lᵀd."""
+        img = self.migrate(c2_cell, observed, sources, wavelets)
+        if normalize is None:
+            return img
+        if normalize != "illumination":
+            raise ValueError(f"unknown normalize {normalize!r}")
+        illum = self.illumination(jnp.asarray(c2_cell, self.dtype),
+                                  sources=sources, wavelets=wavelets)
+        return img / (illum + precond_eps * jnp.max(illum))
+
+    def lsrtm(self, c2_cell, observed, *, n_iter: int = 10,
+              sources=None, wavelets=None, verbose: bool = False):
+        """Least-squares RTM: solve min_m ½‖L m − d‖² for the reflectivity
+        ``m`` by CGLS (conjugate gradients on the normal equations),
+        each iteration one Born modeling (jvp) + one migration (vjp) —
+        the linearized-inversion upgrade of plain RTM that deconvolves
+        the source wavelet and acquisition footprint from the image.
+        Returns (m, residual_norms) with residual_norms[k] = ‖d − L m_k‖
+        (residual_norms[0] = ‖d‖, the zero-image residual)."""
+        c2 = jnp.asarray(c2_cell, self.dtype)
+        d = jnp.asarray(observed, self.dtype)
+        f = self._data_map(sources, wavelets)
+
+        if self.engine == "pallas":
+            raise ValueError("lsrtm needs engine in ('scatter', 'grid', "
+                             "'stencil'); Born modeling has no pallas "
+                             "JVP rule")
+
+        @jax.jit
+        def L(m):
+            return self.born(c2, m, sources, wavelets)
+
+        @jax.jit
+        def Lt(r):
+            _, vjp = jax.vjp(f, c2)
+            return vjp(r)[0]
+
+        m = jnp.zeros(self.n_cells, self.dtype)
+        r = d                       # d - L·0
+        s = Lt(r)
+        p = s
+        gamma = jnp.sum(s * s)
+        norms = [float(jnp.sqrt(jnp.sum(r * r)))]
+        for k in range(n_iter):
+            q = L(p)
+            alpha = gamma / jnp.sum(q * q)
+            m = m + alpha * p
+            r = r - alpha * q
+            norms.append(float(jnp.sqrt(jnp.sum(r * r))))
+            if verbose:
+                print(f"lsrtm iter {k:3d}  ||r|| {norms[-1]:.6e}")
+            s = Lt(r)
+            gamma_new = jnp.sum(s * s)
+            p = s + (gamma_new / gamma) * p
+            gamma = gamma_new
+        return m, np.asarray(norms)
+
     # -- illumination / gradient preconditioning -----------------------------
 
     def illumination(self, c2_cell, sources=None, wavelets=None):
