@@ -921,3 +921,47 @@ def test_encoded_sharded_gradient_matches_unsharded():
     assert float(v0) == pytest.approx(float(v1), rel=1e-13)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-12, atol=1e-18)
+
+
+def test_gauss_newton_hvp_symmetric_psd():
+    """JᵀJ products are symmetric (<v, Hw> == <w, Hv>) and PSD
+    (<v, Hv> >= 0), for both adjoint modes."""
+    rng = np.random.default_rng(13)
+    for adjoint in ("remat", "reversal"):
+        p = _problem(nel=(10, 10), n_steps=26, dt=0.008,
+                     engine="stencil", adjoint=adjoint)
+        c2 = jnp.asarray(1.0 + 0.1 * rng.random(p.n_cells))
+        v = jnp.asarray(rng.normal(size=p.n_cells))
+        w = jnp.asarray(rng.normal(size=p.n_cells))
+        srcs = p.snap_vertices([(0.3, 0.4), (0.7, 0.6)])
+        hv = p.gauss_newton_hvp(c2, v, sources=srcs)
+        hw = p.gauss_newton_hvp(c2, w, sources=srcs)
+        assert float(jnp.sum(v * hw)) == pytest.approx(
+            float(jnp.sum(w * hv)), rel=1e-10), adjoint
+        assert float(jnp.sum(v * hv)) >= 0.0
+        # damping shifts the diagonal
+        hv_d = p.gauss_newton_hvp(c2, v, sources=srcs, damping=0.5)
+        np.testing.assert_allclose(np.asarray(hv_d),
+                                   np.asarray(hv + 0.5 * v), rtol=1e-12)
+
+
+def test_gauss_newton_inversion_beats_first_iterations_of_adam():
+    """Truncated GN reaches a far lower misfit in 4 outer iterations than
+    Adam does in the same number of gradient evaluations."""
+    p = _problem(nel=(12, 12), n_steps=60, dt=0.01, engine="stencil")
+    srcs = p.snap_vertices([(0.2, 0.3), (0.2, 0.7), (0.5, 0.2)])
+    centroids = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
+    inside = np.sum((centroids - [0.5, 0.5]) ** 2, axis=1) < 0.2 ** 2
+    c2_true = jnp.asarray(np.where(inside, 0.85, 1.0))
+    obs = p.simulate_shots(c2_true, srcs)
+    c2_init = jnp.ones(p.n_cells)
+    m0 = float(p.misfit_shots(c2_init, srcs, obs))
+
+    res = p.invert_gauss_newton(obs, c2_init, sources=srcs, n_outer=4,
+                                n_cg=8, damping=1e-6,
+                                bounds=(0.3, 2.0))
+    m_gn = float(p.misfit_shots(res.c2, srcs, obs))
+    assert m_gn < 0.05 * m0
+    assert np.all(np.diff(res.misfits) <= 0)  # monotone outer descent
+    dm = np.asarray(res.c2) - 1.0
+    assert dm[inside].mean() < 0.0

@@ -1408,6 +1408,81 @@ class FwiProblem:
             gamma = gamma_new
         return m, np.asarray(norms)
 
+    def gauss_newton_hvp(self, c2_cell, v, sources=None, wavelets=None,
+                         damping: float = 0.0):
+        """Matrix-free Gauss–Newton Hessian-vector product
+        (JᵀJ + damping·I) v at background ``c2_cell``, J = ∂(traces)/∂c2:
+        one Born modeling (jvp) + one migration (vjp). Symmetric PSD by
+        construction — the operator behind truncated-Gauss-Newton /
+        Levenberg–Marquardt FWI (:meth:`invert_gauss_newton`)."""
+        v = jnp.asarray(v, self.dtype)
+        hv = self.migrate(c2_cell, self.born(c2_cell, v, sources, wavelets),
+                          sources, wavelets)
+        if damping:
+            hv = hv + jnp.asarray(damping, self.dtype) * v
+        return hv
+
+    def invert_gauss_newton(self, observed, c2_init, *, n_outer: int = 5,
+                            n_cg: int = 5, damping: float = 0.0,
+                            step: float = 1.0,
+                            bounds: Optional[Tuple[float, float]] = None,
+                            sources=None, wavelets=None,
+                            verbose: bool = False) -> FwiResult:
+        """Truncated Gauss–Newton FWI (Levenberg–Marquardt for
+        ``damping`` > 0; Pratt et al. 1998): each outer iteration
+        linearizes the data map at the current model, solves
+        (JᵀJ + λI) p = −g by ``n_cg`` CG iterations with matrix-free
+        :meth:`gauss_newton_hvp` products (2 propagation pairs each),
+        and updates c2 ← Π_bounds(c2 + step·p). Far fewer outer
+        iterations than first-order descent on smooth problems because
+        the JᵀJ solve deconvolves the acquisition footprint from the
+        update — the second-order production-FWI workhorse.
+
+        Cost per outer iteration ≈ (1 + 2·n_cg) propagation pairs.
+        Returns FwiResult with the per-outer-iteration misfits."""
+        if self.engine == "pallas":
+            raise ValueError("invert_gauss_newton needs engine in "
+                             "('scatter', 'grid', 'stencil'); Born "
+                             "modeling has no pallas JVP rule")
+        d = jnp.asarray(observed, self.dtype)
+        f = self._data_map(sources, wavelets)
+
+        @jax.jit
+        def value_and_gradient(m):
+            sim, vjp = jax.vjp(f, m)
+            r = sim - d
+            return 0.5 * jnp.sum(r * r), vjp(r)[0]
+
+        @jax.jit
+        def hvp(m, v):
+            return self.gauss_newton_hvp(m, v, sources, wavelets,
+                                         damping=damping)
+
+        c2 = jnp.asarray(c2_init, self.dtype)
+        misfits = np.empty(n_outer)
+        for k in range(n_outer):
+            val, g = value_and_gradient(c2)
+            misfits[k] = float(val)
+            if verbose:
+                print(f"gn outer {k:3d}  misfit {misfits[k]:.6e}")
+            # CG on the (damped) normal equations from p = 0
+            p = jnp.zeros_like(c2)
+            r = -g
+            q = r
+            rho = jnp.sum(r * r)
+            for _ in range(n_cg):
+                hq = hvp(c2, q)
+                alpha = rho / jnp.sum(q * hq)
+                p = p + alpha * q
+                r = r - alpha * hq
+                rho_new = jnp.sum(r * r)
+                q = r + (rho_new / rho) * q
+                rho = rho_new
+            c2 = c2 + jnp.asarray(step, self.dtype) * p
+            if bounds is not None:
+                c2 = jnp.clip(c2, bounds[0], bounds[1])
+        return FwiResult(c2=c2, misfits=misfits, wavelet=None)
+
     # -- illumination / gradient preconditioning -----------------------------
 
     def illumination(self, c2_cell, sources=None, wavelets=None):
