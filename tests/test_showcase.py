@@ -50,3 +50,24 @@ def test_cells_to_image_roundtrip():
     assert img[-1, 0] == pair0
     pair_last = vals[-2:].mean()       # grid cell (row ny-1, col nx-1)
     assert img[0, -1] == pair_last
+
+
+def test_imaging_showcase_reflectivity_model():
+    """imaging_showcase's synthetic: a dipping reflector band + two point
+    diffractors, zero elsewhere (scripts/imaging_showcase.py)."""
+    from imaging_showcase import reflectivity_model
+
+    p = _problem(nel=32)
+    dm = reflectivity_model(p, np)
+    assert dm.shape == (p.n_cells,)
+    cent = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
+    x, depth = cent[:, 0], 1.0 - cent[:, 1]
+    # on the reflector line, mid-segment
+    on = (np.abs(depth - (0.45 + 0.2 * (x - 0.2))) < 0.01) & \
+         (x > 0.3) & (x < 0.6)
+    assert on.any() and np.all(dm[on] == 0.15)
+    # diffractors present, background zero
+    assert np.any(dm == 0.2)
+    far = (depth < 0.2)
+    assert np.all(dm[far] == 0.0)
+    assert (dm != 0).sum() < 0.2 * p.n_cells
