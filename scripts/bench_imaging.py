@@ -70,9 +70,13 @@ def main():
     dm = jnp.asarray(rng.normal(size=p.n_cells), p.dtype)
     print(f"{n}x{n} grid ({p.n_vertices/1e6:.2f}M vertices), "
           f"{args.steps} steps, {args.shots} shots, {args.dtype}")
-    obs = jax.jit(lambda m: p.simulate_shots(m, srcs))(
-        jnp.full(p.n_cells, 1.1, p.dtype))
-    obs = jax.block_until_ready(obs)
+    # shot-by-shot synthesis: one compiled single-shot program reused S
+    # times (vmapping S reversal sims is a pathological TPU compile)
+    sim1 = jax.jit(lambda m, s: p._reversal_sim(m, s, p.wavelet)
+                   if p.adjoint == "reversal"
+                   else p._propagate(m, s, p.wavelet))
+    m_true = jnp.full(p.n_cells, 1.1, p.dtype)
+    obs = jnp.stack([jax.block_until_ready(sim1(m_true, s)) for s in srcs])
     codes = jnp.asarray(rng.choice([-1.0, 1.0], args.shots), p.dtype)
 
     def timeit(f, *xs):
@@ -91,12 +95,17 @@ def main():
 
     results = {}
     if "sequential" in args.modes:
+        # one-shot gradient × S: the cost of classic shot-by-shot FWI
+        # (grad-of-vmap over S reversal custom_vjps is a pathological
+        # TPU compile at production sizes, and on one chip the vmap
+        # buys nothing — shots run back to back either way)
         f = jax.jit(jax.value_and_grad(
-            lambda m: p.misfit_shots(m, srcs, obs)))
-        s, cs = timeit(f, c2)
+            lambda m: p.misfit(m, obs[0], wavelet=p.wavelet)))
+        s1, cs = timeit(f, c2)
+        s = s1 * args.shots
         results["sequential"] = s
-        print(f"sequential grad ({args.shots} shots): {s:.3f} s "
-              f"(compile {cs:.1f} s)")
+        print(f"sequential grad: {s1:.3f} s/shot x {args.shots} shots "
+              f"= {s:.3f} s (compile {cs:.1f} s)")
     if "encoded" in args.modes:
         f = jax.jit(jax.value_and_grad(
             lambda m, cd: p.misfit_encoded(m, srcs, cd, obs)))
@@ -105,13 +114,18 @@ def main():
         print(f"encoded grad (1 supershot): {s:.3f} s "
               f"(compile {cs:.1f} s)")
     if "lsrtm-iter" in args.modes:
-        fb = jax.jit(lambda m, d_: p.born(m, d_, sources=srcs))
-        fm = jax.jit(lambda m, r_: p.migrate(m, r_, sources=srcs))
+        # per-shot Born and migration (the data map is additive over
+        # shots, so production LSRTM runs a shot loop and accumulates;
+        # one compiled single-shot program each, reused S times)
+        fb = jax.jit(lambda m, d_: p.born(m, d_))
+        fm = jax.jit(lambda m, r_: p.migrate(m, r_))
         sb, cb = timeit(fb, c2, dm)
-        sm, cm = timeit(fm, c2, obs)
-        results["lsrtm-iter"] = sb + sm
-        print(f"born {sb:.3f} s + migrate {sm:.3f} s = "
-              f"{sb + sm:.3f} s / CGLS iter (compile {cb:.0f}+{cm:.0f} s)")
+        sm, cm = timeit(fm, c2, obs[0])
+        tot = (sb + sm) * args.shots
+        results["lsrtm-iter"] = tot
+        print(f"born {sb:.3f} s + migrate {sm:.3f} s per shot x "
+              f"{args.shots} shots = {tot:.3f} s / CGLS iter "
+              f"(compile {cb:.0f}+{cm:.0f} s)")
     if "sequential" in results and "encoded" in results:
         print(f"encoding speedup: "
               f"{results['sequential'] / results['encoded']:.2f}x "

@@ -965,3 +965,75 @@ def test_gauss_newton_inversion_beats_first_iterations_of_adam():
     assert np.all(np.diff(res.misfits) <= 0)  # monotone outer descent
     dm = np.asarray(res.c2) - 1.0
     assert dm[inside].mean() < 0.0
+
+
+# -- robust misfit functionals (huber / envelope) ----------------------------
+
+
+def test_envelope_time_matches_scipy_hilbert():
+    """FFT analytic-signal envelope == |scipy.signal.hilbert| (odd and
+    even lengths, batched axes)."""
+    from scipy.signal import hilbert
+    from tpuwave.models.inverse import envelope_time
+
+    rng = np.random.default_rng(21)
+    for n in (64, 65):
+        x = rng.normal(size=(3, n, 2))
+        want = np.abs(hilbert(x, axis=1))
+        got = np.asarray(envelope_time(jnp.asarray(x), axis=1))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_trace_misfit_kinds():
+    """huber == l2 in the small-residual regime and grows linearly on
+    outliers; envelope misfit is phase-blind: a quarter-period time
+    shift barely moves it while l2 sees a full-scale residual."""
+    from tpuwave.models.inverse import trace_misfit
+
+    rng = np.random.default_rng(4)
+    sim = jnp.asarray(rng.normal(size=(50, 3)))
+    obs = sim + 0.01 * jnp.asarray(rng.normal(size=(50, 3)))
+    l2 = float(trace_misfit(sim, obs, "l2"))
+    hub = float(trace_misfit(sim, obs, "huber", huber_delta=1.0))
+    assert hub == pytest.approx(l2, rel=1e-12)
+    # one huge outlier: huber grows ~delta*|r|, l2 ~0.5 r^2
+    obs_out = obs.at[10, 1].add(100.0)
+    l2_o = float(trace_misfit(sim, obs_out, "l2"))
+    hub_o = float(trace_misfit(sim, obs_out, "huber", huber_delta=1.0))
+    assert l2_o > 4000.0 and hub_o < l2 + 101.0
+
+    # phase blindness: a pure cosine vs its quarter-period shift
+    t = np.linspace(0, 10, 400)
+    a = jnp.asarray(np.cos(2 * np.pi * t))[:, None]
+    b = jnp.asarray(np.cos(2 * np.pi * (t - 0.25)))[:, None]
+    l2_shift = float(trace_misfit(a, b, "l2", time_axis=0))
+    env_shift = float(trace_misfit(a, b, "envelope", time_axis=0))
+    assert env_shift < 0.01 * l2_shift
+
+    with pytest.raises(ValueError, match="kind"):
+        trace_misfit(a, b, "bogus")
+
+
+def test_robust_misfit_inversion_descends():
+    """invert(misfit_kind=...) differentiates the robust objectives and
+    still recovers the anomaly sign (huber) / reduces its own objective
+    (envelope)."""
+    p = _problem(nel=(12, 12), n_steps=60, dt=0.01)
+    srcs = p.snap_vertices([(0.2, 0.3), (0.2, 0.7)])
+    centroids = p.mesh.vertex_coords[np.asarray(p.mesh.cells)].mean(axis=1)
+    inside = np.sum((centroids - [0.5, 0.5]) ** 2, axis=1) < 0.2 ** 2
+    c2_true = jnp.asarray(np.where(inside, 0.75, 1.0))
+    obs = p.simulate_shots(c2_true, srcs)
+    c2_init = jnp.ones(p.n_cells)
+
+    scale = float(jnp.abs(obs).max())
+    res_h = p.invert(obs, c2_init, sources=srcs, n_iter=25,
+                     learning_rate=0.02, bounds=(0.3, 2.0),
+                     misfit_kind="huber", huber_delta=0.5 * scale)
+    assert res_h.misfits[-1] < 0.5 * res_h.misfits[0]
+    assert (np.asarray(res_h.c2) - 1.0)[inside].mean() < 0.0
+
+    res_e = p.invert(obs, c2_init, sources=srcs, n_iter=25,
+                     learning_rate=0.02, bounds=(0.3, 2.0),
+                     misfit_kind="envelope")
+    assert res_e.misfits[-1] < 0.5 * res_e.misfits[0]

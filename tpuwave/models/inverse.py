@@ -77,6 +77,55 @@ def lowpass_time(x, dt: float, cutoff: float, axis: int = 0,
                         n=n, axis=axis)
 
 
+def envelope_time(x, axis: int = -2, eps: float = 1e-30):
+    """Instantaneous-amplitude envelope |x + i H(x)| along a time axis
+    (H = Hilbert transform, computed by the FFT analytic-signal trick).
+    Differentiable (jnp.fft), so it composes with jax.grad; ``eps``
+    regularises the |·| kink at exact zeros."""
+    x = jnp.asarray(x)
+    n = x.shape[axis]
+    h = np.zeros(n)
+    h[0] = 1.0
+    if n % 2 == 0:
+        h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[1:(n + 1) // 2] = 2.0
+    shape = [1] * x.ndim
+    shape[axis] = n
+    a = jnp.fft.ifft(jnp.fft.fft(x, axis=axis) * h.reshape(shape),
+                     axis=axis)
+    return jnp.sqrt(jnp.real(a) ** 2 + jnp.imag(a) ** 2 + eps)
+
+
+def trace_misfit(sim, obs, kind: str = "l2", *, huber_delta: float = 1.0,
+                 time_axis: int = -2):
+    """Data-misfit functionals over receiver gathers (last two axes =
+    (n_steps, n_rec); a leading shot axis is fine).
+
+    - ``"l2"``: 0.5‖r‖² — the classic least-squares objective.
+    - ``"huber"``: quadratic for |r| ≤ huber_delta, linear beyond — the
+      outlier-robust objective for noise-bursty field data (Guitton &
+      Symes 2003).
+    - ``"envelope"``: 0.5‖env(sim) − env(obs)‖² on the instantaneous
+      amplitudes — insensitive to phase/traveltime error of up to a
+      full cycle, the classic cycle-skipping mitigation (Bozdağ et al.
+      2011); pairs well as the first stage before an L2 polish.
+    """
+    r = jnp.asarray(sim) - jnp.asarray(obs)
+    if kind == "l2":
+        return 0.5 * jnp.sum(r * r)
+    if kind == "huber":
+        d = jnp.asarray(huber_delta, r.dtype)
+        q = jnp.abs(r)
+        return jnp.sum(jnp.where(q <= d, 0.5 * q * q, d * (q - 0.5 * d)))
+    if kind == "envelope":
+        e = (envelope_time(sim, axis=time_axis)
+             - envelope_time(obs, axis=time_axis))
+        return 0.5 * jnp.sum(e * e)
+    raise ValueError(f"unknown misfit kind {kind!r}")
+
+
 class FwiResult(NamedTuple):
     c2: jax.Array            # recovered per-cell squared wave speed
     misfits: np.ndarray      # misfit value per iteration (n_iter,)
@@ -1175,11 +1224,13 @@ class FwiProblem:
             return jax.lax.map(lambda sw: one(*sw), (sources, wavelets))
         return jax.vmap(one)(sources, wavelets)
 
-    def misfit_shots(self, c2_cell, sources, observed, wavelets=None):
-        """0.5 * sum over shots/steps/receivers of the data residual^2."""
-        d = (self.simulate_shots(c2_cell, sources, wavelets)
-             - jnp.asarray(observed, self.dtype))
-        return 0.5 * jnp.sum(d * d)
+    def misfit_shots(self, c2_cell, sources, observed, wavelets=None,
+                     kind: str = "l2", huber_delta: float = 1.0):
+        """Data misfit over the multi-shot gather (default 0.5‖r‖²; see
+        :func:`trace_misfit` for the robust "huber"/"envelope" kinds)."""
+        return trace_misfit(self.simulate_shots(c2_cell, sources, wavelets),
+                            jnp.asarray(observed, self.dtype),
+                            kind, huber_delta=huber_delta)
 
     # -- source encoding (simultaneous-source / supershot FWI) ---------------
 
@@ -1533,11 +1584,14 @@ class FwiProblem:
 
     # -- inversion ----------------------------------------------------------
 
-    def misfit(self, c2_cell, observed, wavelet: Optional[jax.Array] = None):
-        """0.5 * sum_{n,r} (d_sim - d_obs)^2 — the classic FWI objective."""
-        d = (self.simulate(c2_cell, wavelet=wavelet)
-             - jnp.asarray(observed, self.dtype))
-        return 0.5 * jnp.sum(d * d)
+    def misfit(self, c2_cell, observed, wavelet: Optional[jax.Array] = None,
+               kind: str = "l2", huber_delta: float = 1.0):
+        """Single-shot data misfit (default 0.5‖r‖², the classic FWI
+        objective; ``kind`` selects the robust functionals of
+        :func:`trace_misfit`)."""
+        return trace_misfit(self.simulate(c2_cell, wavelet=wavelet),
+                            jnp.asarray(observed, self.dtype),
+                            kind, huber_delta=huber_delta)
 
     def misfit_and_grad(self, c2_cell, observed):
         """(misfit, dmisfit/dc2_cell) via reverse-mode through the scan."""
@@ -1554,6 +1608,8 @@ class FwiProblem:
                reg_lambda: float = 0.0,
                precondition: Optional[str] = None,
                precond_eps: float = 1e-3,
+               misfit_kind: str = "l2",
+               huber_delta: float = 1.0,
                checkpoint: Optional[str] = None,
                checkpoint_every: int = 10,
                verbose: bool = False) -> FwiResult:
@@ -1574,6 +1630,10 @@ class FwiProblem:
         a resumed run does only the remainder). Big inversions are
         hours-long; this is the crash/preemption insurance the
         production workflow needs.
+
+        ``misfit_kind`` selects the data functional ("l2" default,
+        "huber" with ``huber_delta``, or "envelope" — see
+        :func:`trace_misfit`); gradients flow through all of them.
 
         ``reg_lambda`` > 0 adds Tikhonov smoothing
         ``reg_lambda * roughness(c2)`` (squared c2 jumps across
@@ -1616,7 +1676,8 @@ class FwiProblem:
             c2, w = params
             if sources is None:
                 val = self.misfit(c2, obs,
-                                  wavelet=wavelet if w is None else w)
+                                  wavelet=wavelet if w is None else w,
+                                  kind=misfit_kind, huber_delta=huber_delta)
             else:
                 ws = wavelets
                 if ws is None:
@@ -1624,7 +1685,9 @@ class FwiProblem:
                         self.wavelet if wavelet is None else wavelet)
                     ws = jnp.broadcast_to(base,
                                           (sources.shape[0], self.n_steps))
-                val = self.misfit_shots(c2, sources, obs, ws)
+                val = self.misfit_shots(c2, sources, obs, ws,
+                                        kind=misfit_kind,
+                                        huber_delta=huber_delta)
             if reg_lambda > 0.0:
                 val = val + reg_lambda * self.roughness(c2)
             return val
@@ -1732,6 +1795,8 @@ class FwiProblem:
                           sources=None, optimizer: str = "adam",
                           reg_lambda: float = 0.0,
                           precondition: Optional[str] = None,
+                          misfit_kind: str = "l2",
+                          huber_delta: float = 1.0,
                           verbose: bool = False) -> FwiResult:
         """Frequency-continuation FWI (Bunks et al. 1995, the production
         cure for cycle skipping): run :meth:`invert` over a sequence of
@@ -1774,7 +1839,9 @@ class FwiProblem:
                               sources=sources, wavelet=w_k,
                               wavelets=None, optimizer=optimizer,
                               reg_lambda=reg_lambda,
-                              precondition=precondition, verbose=verbose)
+                              precondition=precondition,
+                              misfit_kind=misfit_kind,
+                              huber_delta=huber_delta, verbose=verbose)
             c2 = res.c2
             histories.append(res.misfits)
         return FwiResult(c2=c2, misfits=np.concatenate(histories))
