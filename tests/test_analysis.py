@@ -75,3 +75,31 @@ def test_fit_slope_basic():
     x = np.array([1.0, 2.0, 4.0])
     assert ca.fit_slope(x, x ** 3) == pytest.approx(3.0)
     assert np.isnan(ca.fit_slope(x[:1], x[:1]))
+
+
+def test_reference_notebooks_executed():
+    """The committed executed copies of the reference's own notebooks
+    (analysis/reference-notebooks/README.md) ran against tpuwave CSVs
+    with zero errors and produced figures — the schema-compatibility
+    proof for PARITY.md C13."""
+    import nbformat
+    base = Path(__file__).resolve().parent.parent / "analysis" / \
+        "reference-notebooks"
+    expected = {
+        "convergence-analysis-executed.ipynb": 10,
+        "dissipation-dispersion-analysis-executed.ipynb": 2,
+        "scalability-analisys-executed.ipynb": 3,
+    }
+    for name, min_figures in expected.items():
+        nb = nbformat.read(base / name, as_version=4)
+        outputs = [o for c in nb.cells if c.cell_type == "code"
+                   for o in c.get("outputs", [])]
+        errors = [o for o in outputs if o.get("output_type") == "error"]
+        assert not errors, f"{name}: {errors[0].get('ename')}"
+        executed = [c for c in nb.cells
+                    if c.cell_type == "code" and c.source.strip()]
+        assert all(c.get("execution_count") for c in executed), \
+            f"{name}: unexecuted code cells"
+        figures = [o for o in outputs if "image/png" in o.get("data", {})]
+        assert len(figures) >= min_figures, \
+            f"{name}: only {len(figures)} figures"
