@@ -6,7 +6,12 @@ everything else untouched) through tpuwave-theta and tpuwave-newmark,
 checking exit codes and that the expected artifacts appear. This is the
 whole-surface integration check on top of the unit/parity suites.
 
-Usage: python scripts/acceptance.py [--t-max 0.05] [--full]
+Writes ``analysis/data/acceptance-summary.csv`` (one row per preset x
+family: status, returncode, elapsed, final relative L2/H1 errors when the
+preset carries an exact Solution) so each round leaves committed,
+reviewable acceptance evidence rather than transient console output.
+
+Usage: python scripts/acceptance.py [--t-max 0.05]
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ def main():
         presets = [p for p in presets if p.stem in args.presets]
 
     failures = []
+    rows = []
     with tempfile.TemporaryDirectory() as tmp:
         tmp = Path(tmp)
         for preset in presets:
@@ -73,14 +79,35 @@ def main():
                     if not vtus:
                         ok = False
                 status = "OK" if ok else f"FAIL(code={code})"
+                rel_l2 = rel_h1 = ""
+                if ok and run_dirs:
+                    err_csv = run_dirs[0] / "error.csv"
+                    if err_csv.exists():
+                        last = err_csv.read_text().strip().splitlines()[-1]
+                        parts = last.split(",")
+                        if len(parts) >= 6:
+                            # timestep,time,L2,H1,relL2,relH1
+                            rel_l2, rel_h1 = parts[4], parts[5]
+                rows.append((preset.stem, family,
+                             float(data["T"]), data["Dt"], status, code,
+                             f"{elapsed:.2f}", rel_l2, rel_h1))
                 print(f"{tag:<40} {status:<12} {elapsed:6.1f}s")
                 if not ok:
                     failures.append(tag)
 
+    out = REPO / "analysis" / "data" / "acceptance-summary.csv"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with out.open("w") as f:
+        f.write("preset,family,T,Dt,status,returncode,elapsed_s,"
+                "final_rel_L2,final_rel_H1\n")
+        for r in rows:
+            f.write(",".join(str(x) for x in r) + "\n")
+    print(f"\nwrote {out}")
+
     if failures:
-        print(f"\n{len(failures)} failures: {failures}")
+        print(f"{len(failures)} failures: {failures}")
         return 1
-    print(f"\nAll {2 * len(presets)} acceptance runs passed.")
+    print(f"All {2 * len(presets)} acceptance runs passed.")
     return 0
 
 
