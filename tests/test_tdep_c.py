@@ -176,10 +176,49 @@ def test_tdep_end_to_end_unstructured(tmp_path):
     assert r.rel_l2 < 0.02
 
 
-def test_chebyshev_precond_rejected():
+def test_mg_precond_rejected():
+    # mg setup is static (built once from K(0)); only jacobi/chebyshev
+    # re-bound the changing operator per step
     p = load_params(tdep_case())
     d = Discretization(p)
     with pytest.raises(ValueError):
-        ThetaSolver(d, precond="chebyshev")
+        ThetaSolver(d, precond="mg")
     with pytest.raises(ValueError):
-        NewmarkSolver(d, precond="chebyshev")
+        NewmarkSolver(d, precond="mg")
+
+
+def test_chebyshev_precond_matches_jacobi():
+    """Per-step Gershgorin-bounded Chebyshev preconditioning changes only
+    the CG convergence path, not the solution (same stopping contract)."""
+    p = load_params(tdep_case(Dt="0.02", T="0.1"))
+    for cls in (ThetaSolver, NewmarkSolver):
+        d = Discretization(p)
+        jac, che = cls(d, precond="jacobi"), cls(d, precond="chebyshev")
+        sj, sc = jac.initial_state(), che.initial_state()
+        t = 0.0
+        for _ in range(3):
+            t += p.dt
+            sj, _ = jac.step(sj, t)
+            sc, ic = che.step(sc, t)
+        np.testing.assert_allclose(np.asarray(sc.u), np.asarray(sj.u),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_carried_payload_matches_rebuild():
+    """The K^n payload carried in ThetaState equals rebuilding K at t-dt
+    (the pre-carry implementation) — trajectory bitwise-comparable."""
+    p = load_params(tdep_case(Dt="0.02", T="0.1"))
+    d = Discretization(p)
+    solver = ThetaSolver(d)
+    carried = solver.initial_state()
+    bare = carried._replace(k_payload=None)  # forces the rebuild fallback
+    t = 0.0
+    for _ in range(3):
+        t += p.dt
+        carried, _ = solver.step(carried, t)
+        bare_next, _ = solver.step(bare, t)
+        bare = bare_next._replace(k_payload=None)
+    np.testing.assert_allclose(np.asarray(carried.u), np.asarray(bare.u),
+                               rtol=1e-14, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(carried.v), np.asarray(bare.v),
+                               rtol=1e-14, atol=1e-15)

@@ -188,35 +188,53 @@ class Discretization:
         sp, quad = self.space, self.quad
         sh = sp.shape_at(quad)
         grads = sp.physical_grads(sh)               # (2, Q, nloc, 2)
+        # cache NUMPY arrays: the first access may happen inside a jit
+        # trace, where jnp.asarray returns a Tracer — caching that leaks
+        # it into later traces (UnexpectedTracerError). numpy constants
+        # are lifted per trace instead.
+        dt_np = np.dtype(self.dtype)
         if sp.degree == 1:
             # P1 gradients are q-independent: K_e = s_e(t) * G_class with
             # s_e = detJ * sum_q w_q c^2(x_q, t)
             g_class = np.einsum("cqia,cqja->cqij", grads, grads)[:, 0]
             self.__tdep_cache = (
-                "scaled", jnp.asarray(g_class, dtype=self.dtype),
-                jnp.asarray(quad.weights * self.mesh.det_j, dtype=self.dtype))
+                "scaled", np.asarray(g_class, dtype=dt_np),
+                np.asarray(quad.weights * self.mesh.det_j, dtype=dt_np))
         else:
             gprod = np.einsum("q,kqia,kqja->kqij", quad.weights,
                               grads, grads) * self.mesh.det_j
             self.__tdep_cache = (
-                "full", jnp.asarray(gprod, dtype=self.dtype), None)
+                "full", np.asarray(gprod, dtype=dt_np), None)
         return self.__tdep_cache
+
+    def stiffness_payload_at(self, t):
+        """The t-varying array payload of K(t): a per-element ``scale``
+        (P1 class storage) or ``a_full`` element matrices (P2). Small
+        enough to carry in a ``lax.scan`` state so K^{n+1} built on one
+        step can be reused as K^n on the next (the theta stepper does
+        this — halves the per-step operator builds)."""
+        kind, data, wdet = self._tdep_data
+        xq = self._quad_coords(self._offsets_j)      # (G, 2, Q, 2)
+        c2 = self.params.c.evaluate(xq[..., 0], xq[..., 1], t) ** 2
+        if kind == "scaled":
+            return jnp.einsum("gkq,q->gk", c2, wdet).reshape(-1)
+        a_full = jnp.einsum("gkq,kqij->gkij", c2, data)
+        return a_full.reshape(-1, a_full.shape[-1], a_full.shape[-1])
+
+    def stiffness_from_payload(self, payload):
+        """Rebuild the K(t) operator from :meth:`stiffness_payload_at`."""
+        kind, data, _ = self._tdep_data
+        cd = self.space.cell_dofs
+        if kind == "scaled":
+            return MatrixFreeOperator(cd, self.n_dofs, a_class=data,
+                                      scale=payload, dtype=self.dtype)
+        return MatrixFreeOperator(cd, self.n_dofs, a_full=payload,
+                                  dtype=self.dtype)
 
     def stiffness_at(self, t):
         """K(t): stiffness with c^2 evaluated at time ``t`` (jit-traceable;
         used by the steppers when ``Time Dependent C`` is enabled)."""
-        kind, data, wdet = self._tdep_data
-        xq = self._quad_coords(self._offsets_j)      # (G, 2, Q, 2)
-        c2 = self.params.c.evaluate(xq[..., 0], xq[..., 1], t) ** 2
-        cd = self.space.cell_dofs
-        if kind == "scaled":
-            scale = jnp.einsum("gkq,q->gk", c2, wdet).reshape(-1)
-            return MatrixFreeOperator(cd, self.n_dofs, a_class=data,
-                                      scale=scale, dtype=self.dtype)
-        a_full = jnp.einsum("gkq,kqij->gkij", c2, data)
-        a_full = a_full.reshape(-1, a_full.shape[-1], a_full.shape[-1])
-        return MatrixFreeOperator(cd, self.n_dofs, a_full=a_full,
-                                  dtype=self.dtype)
+        return self.stiffness_from_payload(self.stiffness_payload_at(t))
 
     # ------------------------------------------------------------------
     # diagnostics

@@ -65,16 +65,19 @@ class NewmarkSolver(ScanMixin):
             precond = auto_precond(disc, p.beta * p.dt * p.dt)
         #: resolved preconditioner choice ('jacobi'/'chebyshev'/'mg')
         self.precond = precond
-        if self.time_dep_c and precond != "jacobi":
+        self.cheby_degree = int(cheby_degree)
+        if self.time_dep_c and precond not in ("jacobi", "chebyshev"):
             raise ValueError(
-                "Time Dependent C supports only the jacobi preconditioner "
-                "(the matrix changes every step)")
+                "Time Dependent C supports the jacobi and chebyshev "
+                "preconditioners (the matrix changes every step; chebyshev "
+                "re-bounds the spectrum per step via Gershgorin, but mg "
+                "setup is static)")
 
         # matrix_a = M + beta dt^2 K (WaveNewmark.cpp:110-112)
         self.matrix_a = disc.mass.axpy(p.beta * p.dt * p.dt, disc.stiffness)
         self.diag_a = self.matrix_a.diagonal()
         self.prec_a = 1.0 / self.diag_a
-        if precond == "chebyshev":
+        if precond == "chebyshev" and not self.time_dep_c:
             from tpuwave.solve.chebyshev import (ChebyshevPreconditioner,
                                                  estimate_lambda_max)
             lmax = estimate_lambda_max(self.matrix_a, self.prec_a, disc.n_dofs)
@@ -87,7 +90,7 @@ class NewmarkSolver(ScanMixin):
             from tpuwave.solve.multigrid import gmg_flat_preconditioner
             self.prec_a = gmg_flat_preconditioner(
                 disc, p.beta * p.dt * p.dt)
-        elif precond != "jacobi":
+        elif precond not in ("jacobi", "chebyshev"):
             raise ValueError(f"Unknown preconditioner {precond!r}")
 
         self._step = jax.jit(self._step_impl)
@@ -164,6 +167,16 @@ class NewmarkSolver(ScanMixin):
             a_bc = self._boundary_accel(t, z)
             apply_a, rhs_c, x0 = constrain_system(
                 matrix_a, diag_a, d.boundary_mask, a_bc, rhs, a_n)
+            if self.time_dep_c and self.precond == "chebyshev":
+                # per-step traced Gershgorin bound on the CONSTRAINED
+                # operator (see theta.py note on boundary preservation)
+                from tpuwave.solve.chebyshev import chebyshev_apply
+                lmax = jnp.max(matrix_a.abs_row_sums() / diag_a)
+                deg = self.cheby_degree
+
+                def prec_a(r, _a=apply_a, _d=prec_a, _l=lmax):
+                    return chebyshev_apply(_a, _d, r, lambda_max=_l,
+                                           degree=deg)
             res = pcg(apply_a, rhs_c, x0, precond_inv_diag=prec_a)
             a_np1, iters = res.x, res.iterations
 

@@ -21,7 +21,7 @@ both CG solves fuse into a single XLA computation per step.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,11 @@ __all__ = ["ThetaSolver", "ThetaState"]
 class ThetaState(NamedTuple):
     u: jax.Array
     v: jax.Array
+    #: K(t^n) payload (``Discretization.stiffness_payload_at``) carried
+    #: across steps when `Time Dependent C` is enabled, else None: the
+    #: K^{n+1} built on one step is the next step's K^n, halving the
+    #: per-step operator builds.
+    k_payload: Optional[jax.Array] = None
 
 
 class ThetaSolver(ScanMixin):
@@ -59,10 +64,13 @@ class ThetaSolver(ScanMixin):
             precond = auto_precond(disc, (p.theta * p.dt) ** 2)
         #: resolved preconditioner choice ('jacobi'/'chebyshev'/'mg')
         self.precond = precond
-        if self.time_dep_c and precond != "jacobi":
+        self.cheby_degree = int(cheby_degree)
+        if self.time_dep_c and precond not in ("jacobi", "chebyshev"):
             raise ValueError(
-                "Time Dependent C supports only the jacobi preconditioner "
-                "(the matrix changes every step)")
+                "Time Dependent C supports the jacobi and chebyshev "
+                "preconditioners (the matrix changes every step; chebyshev "
+                "re-bounds the spectrum per step via Gershgorin, but mg "
+                "setup is static)")
 
         # matrix_u = M + (theta dt)^2 K; matrix_v = M (WaveTheta.cpp:110-116),
         # merged into single fused element operators.
@@ -72,7 +80,7 @@ class ThetaSolver(ScanMixin):
         self.diag_v = disc.mass_diag
         self.prec_u = 1.0 / self.diag_u
         self.prec_v = 1.0 / self.diag_v
-        if precond == "chebyshev":
+        if precond == "chebyshev" and not self.time_dep_c:
             # AMG stand-in for the stiffness-dominated u-system
             # (solve/chebyshev.py); the mass-dominated v-system keeps Jacobi
             from tpuwave.solve.chebyshev import (ChebyshevPreconditioner,
@@ -88,7 +96,7 @@ class ThetaSolver(ScanMixin):
             from tpuwave.solve.multigrid import gmg_flat_preconditioner
             self.prec_u = gmg_flat_preconditioner(
                 disc, (p.theta * p.dt) ** 2)
-        elif precond != "jacobi":
+        elif precond not in ("jacobi", "chebyshev"):
             raise ValueError(f"Unknown preconditioner {precond!r}")
 
         self._step = jax.jit(self._step_impl)
@@ -102,7 +110,8 @@ class ThetaSolver(ScanMixin):
         d = self.disc
         u0 = d.interpolate(d.params.u0)
         v0 = d.interpolate(d.params.v0)
-        return ThetaState(u=u0, v=v0)
+        pay = d.stiffness_payload_at(0.0) if self.time_dep_c else None
+        return ThetaState(u=u0, v=v0, k_payload=pay)
 
     def _step_impl(self, state: ThetaState, t):
         """Advance from t^n = t - dt to t^{n+1} = t (time already incremented,
@@ -111,14 +120,20 @@ class ThetaSolver(ScanMixin):
         th, dt = self.theta, self.dt
         u_n, v_n = state.u, state.v
 
+        pay_np1 = None
         if self.time_dep_c:
             # theta-weighted evaluation of the time-varying operator:
             # K^n acts on the explicit terms, K^{n+1} on the implicit ones.
-            # (K^n here rebuilds what the previous step built as K^{n+1};
-            # carrying it forward would need the operator payload in the
-            # scan state — accepted cost, the build is one fused einsum.)
-            k_n = d.stiffness_at(t - dt)
-            k_np1 = d.stiffness_at(t)
+            # K^n is the payload CARRIED in the scan state (built as
+            # K^{n+1} on the previous step), so only one operator build
+            # happens per step; the None fallback keeps external callers
+            # that construct a bare ThetaState(u, v) working.
+            if state.k_payload is not None:
+                k_n = d.stiffness_from_payload(state.k_payload)
+            else:
+                k_n = d.stiffness_at(t - dt)
+            pay_np1 = d.stiffness_payload_at(t)
+            k_np1 = d.stiffness_from_payload(pay_np1)
             matrix_u = d.mass.axpy((th * dt) ** 2, k_np1)
             diag_u = matrix_u.diagonal()
             prec_u = 1.0 / diag_u
@@ -144,6 +159,20 @@ class ThetaSolver(ScanMixin):
         g_np1 = d.boundary_values(d.params.g, t)
         apply_u, rhs_u_c, x0_u = constrain_system(
             matrix_u, diag_u, d.boundary_mask, g_np1, rhs_u, u_n)
+        if self.time_dep_c and self.precond == "chebyshev":
+            # per-step spectrum bound: Gershgorin on D^-1 A with a TRACED
+            # lambda_max (chebyshev_apply). Built on the CONSTRAINED
+            # operator so the preconditioner preserves the pinned
+            # boundary subspace (the Gershgorin bound of the
+            # unconstrained matrix still majorises it: constrained
+            # boundary rows are pure diagonal, interior rows only lose
+            # entries).
+            from tpuwave.solve.chebyshev import chebyshev_apply
+            lmax = jnp.max(matrix_u.abs_row_sums() / diag_u)
+            deg = self.cheby_degree
+
+            def prec_u(r, _a=apply_u, _d=prec_u, _l=lmax):
+                return chebyshev_apply(_a, _d, r, lambda_max=_l, degree=deg)
         res_u = pcg(apply_u, rhs_u_c, x0_u, precond_inv_diag=prec_u)
         u_np1 = res_u.x
 
@@ -158,7 +187,7 @@ class ThetaSolver(ScanMixin):
         res_v = pcg(apply_v, rhs_v_c, x0_v, precond_inv_diag=self.prec_v)
         v_np1 = res_v.x
 
-        new_state = ThetaState(u=u_np1, v=v_np1)
+        new_state = ThetaState(u=u_np1, v=v_np1, k_payload=pay_np1)
         info = {
             "iterations_1": res_u.iterations,
             "iterations_2": res_v.iterations,

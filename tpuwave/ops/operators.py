@@ -82,6 +82,23 @@ class MatrixFreeOperator:
         return jax.ops.segment_sum(de.reshape(-1), self.cell_dofs.reshape(-1),
                                    num_segments=self.n_dofs)
 
+    def abs_row_sums(self):
+        """Assembled per-row sums of element-level |entries| — an upper
+        bound on the true Gershgorin row sums (triangle inequality over
+        element contributions). Used for the traced per-step
+        lambda_max(D^-1 A) bound when the operator changes every step
+        (Time Dependent C + Chebyshev preconditioning)."""
+        if self.a_full is not None:
+            re = jnp.sum(jnp.abs(self.a_full), axis=2)
+        else:
+            r = jnp.sum(jnp.abs(self.a_class), axis=2)  # (2, nloc)
+            re = jnp.broadcast_to(r, (self.n_cells // 2, 2, self.n_local))
+            if self.scale is not None:
+                re = re * jnp.abs(self.scale).reshape(-1, 2, 1)
+            re = re.reshape(-1, self.n_local)
+        return jax.ops.segment_sum(re.reshape(-1), self.cell_dofs.reshape(-1),
+                                   num_segments=self.n_dofs)
+
     def row_sums(self):
         """Assembled row sums (row-sum mass lumping for the explicit path)."""
         if self.a_full is not None:

@@ -21,7 +21,39 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["estimate_lambda_max", "ChebyshevPreconditioner"]
+__all__ = ["estimate_lambda_max", "ChebyshevPreconditioner",
+           "chebyshev_apply"]
+
+
+def chebyshev_apply(apply_a: Callable, inv_diag, r, *, lambda_max,
+                    eig_ratio: float = 30.0, degree: int = 4):
+    """One Chebyshev preconditioner application z ~= (D^-1 A)^-1 D^-1 r.
+
+    Functional form of :class:`ChebyshevPreconditioner`: ``lambda_max``
+    may be a TRACED scalar (jnp), so the spectrum bounds can change per
+    step — required for `Time Dependent C`, where A = M + s K(t) is
+    rebuilt inside the scan and a Gershgorin bound
+    (``MatrixFreeOperator.abs_row_sums() / diag``) supplies lambda_max.
+    """
+    if degree <= 0:
+        return inv_diag * r
+    lmax = lambda_max
+    lmin = lmax / eig_ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+
+    z = (1.0 / theta) * (inv_diag * r)
+    if degree == 1:
+        return z
+    rho = delta / theta
+    p = z
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * theta / delta - rho)
+        resid = inv_diag * (r - apply_a(z))
+        p = (2.0 * rho_new / delta) * resid + (rho_new * rho) * p
+        z = z + p
+        rho = rho_new
+    return z
 
 
 def estimate_lambda_max(apply_a: Callable, inv_diag, n: int, *,
@@ -60,24 +92,7 @@ class ChebyshevPreconditioner:
         self.delta = 0.5 * (self.lmax - self.lmin)
 
     def __call__(self, r):
-        if self.degree <= 0:
-            return self.inv_diag * r
-
-        # standard three-term Chebyshev recurrence on the residual equation
-        inv_d = self.inv_diag
-        z = (1.0 / self.theta) * (inv_d * r)
-        if self.degree == 1:
-            return z
-        rho_old = self.delta / self.theta
-        d = z  # previous correction increment? use classic form:
-        # iterate: z_{k+1} = z_k + p_k, with
-        # p_k updated by the Chebyshev recurrence
-        p = z
-        rho = rho_old
-        for _ in range(self.degree - 1):
-            rho_new = 1.0 / (2.0 * self.theta / self.delta - rho)
-            resid = inv_d * (r - self.apply_a(z))
-            p = (2.0 * rho_new / self.delta) * resid + (rho_new * rho) * p
-            z = z + p
-            rho = rho_new
-        return z
+        return chebyshev_apply(self.apply_a, self.inv_diag, r,
+                               lambda_max=self.lmax,
+                               eig_ratio=self.lmax / self.lmin,
+                               degree=self.degree)
