@@ -36,9 +36,17 @@ def init_distributed(coordinator_address=None, num_processes=None,
     configured, so single-host runs need no changes.
     """
     import os
-    if coordinator_address is None and not os.environ.get(
-            "JAX_COORDINATOR_ADDRESS"):
-        return False
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if not coordinator_address:
+            return False
+    # generic env channel for manual launches (scripts/jobs/
+    # multihost_dryrun.sh; clusters with auto-detection — SLURM, OMPI —
+    # can leave these unset and initialize() detects them itself)
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
