@@ -105,6 +105,14 @@ def test_inversion_reduces_misfit_toward_anomaly():
     delta = np.asarray(res.c2) - 1.0
     assert delta[inside].mean() < 0
     assert abs(delta[inside].mean()) > 3 * abs(delta[~inside].mean())
+    # quantitative recovery: model RMSE over the anomaly drops vs the
+    # homogeneous start (measured 0.62x; global RMSE is NOT asserted —
+    # unregularised descent smears energy outside the anomaly)
+    err = np.asarray(res.c2) - np.asarray(c2_true)
+    err0 = 1.0 - np.asarray(c2_true)
+    rmse = np.sqrt(np.mean(err[inside] ** 2))
+    rmse0 = np.sqrt(np.mean(err0[inside] ** 2))
+    assert rmse < 0.75 * rmse0, (rmse, rmse0)
 
 
 def test_invert_checkpoint_resume(tmp_path):
@@ -290,6 +298,12 @@ def test_multishot_inversion():
     assert res.misfits[-1] < 0.25 * m0
     delta = np.asarray(res.c2) - 1.0
     assert delta[inside].mean() < 0
+    # quantitative recovery inside the anomaly (measured 0.84x at this
+    # tiny 30-iteration configuration)
+    err = np.asarray(res.c2) - np.asarray(c2_true)
+    rmse = np.sqrt(np.mean(err[inside] ** 2))
+    rmse0 = np.sqrt(np.mean((1.0 - np.asarray(c2_true))[inside] ** 2))
+    assert rmse < 0.92 * rmse0, (rmse, rmse0)
 
 
 def test_grid_engine_matches_scatter():
