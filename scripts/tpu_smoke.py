@@ -60,6 +60,12 @@ def u0(xs, ys):
 
 def _maxerr(got, want):
     g, w = np.asarray(got, np.float64), np.asarray(want, np.float64)
+    if g.shape != w.shape:
+        # engines may pad differently (e.g. the compiled P2 canvas pads
+        # columns to 128 Mosaic lanes, the XLA canvas does not): compare
+        # on the common crop, which covers all true content
+        crop = tuple(slice(0, min(a, b)) for a, b in zip(g.shape, w.shape))
+        g, w = g[crop], w[crop]
     denom = max(1e-30, float(np.max(np.abs(w))))
     return float(np.max(np.abs(g - w))) / denom
 
