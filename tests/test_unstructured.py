@@ -436,3 +436,100 @@ def test_sharded_tdep_c_rejected():
     with pytest.raises(ValueError, match="sharded"):
         UnstructuredDiscretization(load_params(case), mesh=um,
                                    device_mesh=device_mesh(8))
+
+
+# ---------------------------------------------------------------------------
+# DoF-partitioned sharding (parallel/dofs.py; 8-device virtual CPU mesh)
+# ---------------------------------------------------------------------------
+
+def test_sharded_dof_operator_matches():
+    """Banded DoF-partitioned operator == replicated MatrixFreeOperator
+    (apply / diagonal+pad / row_sums+pad / axpy), P1 and P2."""
+    import jax.numpy as jnp
+    from tpuwave.parallel.dofs import ShardedDofOperator, build_dof_plan
+    from tpuwave.parallel.sharding import device_mesh
+    for r in ("1", "2"):
+        um = perturbed_mesh(9, seed=11)
+        p = load_params(standing_mode(R=r))
+        d = UnstructuredDiscretization(p, mesh=um)
+        cy = um.vertex_coords[um.cells].mean(axis=1)[:, 1]
+        plan = build_dof_plan(d.space.cell_dofs, d.n_dofs, cy, 8)
+        mesh = device_mesh(8)
+        sm = ShardedDofOperator.from_operator(d.mass, plan, mesh)
+        sk = ShardedDofOperator.from_operator(d.stiffness, plan, mesh)
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.standard_normal(d.n_dofs))
+        vb = plan.to_banded(v)
+        np.testing.assert_allclose(np.asarray(plan.from_banded(sm(vb))),
+                                   np.asarray(d.mass(v)), atol=1e-12)
+        # padding rows are exactly zero (the stays-zero invariant)
+        pad = np.asarray(plan.pad_mask)
+        assert np.all(np.asarray(sm(vb))[pad] == 0.0)
+        # diagonal()/row_sums() are the true values on real dofs, 1 on pads
+        dg = np.asarray(sk.diagonal())
+        np.testing.assert_allclose(
+            np.asarray(plan.from_banded(sk.diagonal())),
+            np.asarray(d.stiffness.diagonal()), atol=1e-12)
+        assert np.all(dg[pad] == 1.0)
+        np.testing.assert_allclose(
+            np.asarray(plan.from_banded(sm.row_sums())),
+            np.asarray(d.mass.row_sums()), atol=1e-12)
+        combo = sm.axpy(0.37, sk)
+        np.testing.assert_allclose(
+            np.asarray(plan.from_banded(combo(vb))),
+            np.asarray(d.mass(v) + 0.37 * d.stiffness(v)), atol=1e-12)
+
+
+def test_dof_plan_rejects_too_many_bands():
+    from tpuwave.parallel.dofs import build_dof_plan
+    um = perturbed_mesh(3, seed=1)  # 3 cell rows cannot feed 8 bands
+    sp = UnstructuredFeSpace(um, 1)
+    cy = um.vertex_coords[um.cells].mean(axis=1)[:, 1]
+    with pytest.raises(ValueError, match="neighbor-only"):
+        build_dof_plan(sp.cell_dofs, sp.n_dofs, cy, 8)
+
+
+@pytest.mark.parametrize("family", ["theta", "newmark"])
+def test_dof_sharded_solver_matches_replicated(family):
+    """Full scheme trajectories on the DoF-partitioned engine equal the
+    replicated unstructured engine: forcing, time-dependent Dirichlet g,
+    errors, energy, probe."""
+    import jax.numpy as jnp
+    from tpuwave.models.newmark import NewmarkSolver
+    from tpuwave.models.theta import ThetaSolver
+    from tpuwave.parallel.sharding import device_mesh
+
+    um = perturbed_mesh(9, seed=7)
+    p = load_params(standing_mode())
+    ref = UnstructuredDiscretization(p, mesh=um)
+    shd = UnstructuredDiscretization(p, mesh=um,
+                                     device_mesh=device_mesh(8),
+                                     dof_sharded=True)
+    cls = ThetaSolver if family == "theta" else NewmarkSolver
+    sref, sshd = cls(ref), cls(shd)
+    st_r, st_s = sref.initial_state(), sshd.initial_state()
+    plan = shd.dof_plan
+    np.testing.assert_allclose(np.asarray(plan.from_banded(st_s.u)),
+                               np.asarray(st_r.u), atol=1e-12)
+    t = 0.0
+    for _ in range(3):
+        t += p.dt
+        st_r, info_r = sref.step(st_r, t)
+        st_s, info_s = sshd.step(st_s, t)
+    np.testing.assert_allclose(np.asarray(plan.from_banded(st_s.u)),
+                               np.asarray(st_r.u), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(plan.from_banded(st_s.v)),
+                               np.asarray(st_r.v), rtol=1e-9, atol=1e-11)
+    # diagnostics agree on the banded layout
+    np.testing.assert_allclose(float(shd.energy(st_s.u, st_s.v)),
+                               float(ref.energy(st_r.u, st_r.v)), rtol=1e-10)
+    np.testing.assert_allclose(float(shd.probe(st_s.u)),
+                               float(ref.probe(st_r.u)), rtol=1e-8,
+                               atol=1e-12)
+    er = ref.errors(st_r.u, t)
+    es = shd.errors(st_s.u, t)
+    np.testing.assert_allclose(np.asarray(es), np.asarray(er), rtol=1e-9)
+    # vertex extraction (VTU path) returns mesh order
+    np.testing.assert_allclose(np.asarray(shd.vertex_values(st_s.u)),
+                               np.asarray(ref.vertex_values(st_r.u)),
+                               rtol=1e-9, atol=1e-11)

@@ -56,6 +56,9 @@ class Discretization:
 
         sp, quad = self.space, self.quad
         self.n_dofs = sp.n_dofs
+        #: state-vector length; differs from n_dofs only for the banded
+        #: DoF-partitioned unstructured layout (parallel/dofs.py)
+        self.n_vec = self.n_dofs
         cell_dofs = sp.cell_dofs
 
         # wave speed: the reference never calls c.set_time, so a
@@ -153,7 +156,7 @@ class Discretization:
                              val, jnp.zeros((), dtype=self.dtype))
         vals = expr.evaluate(self.boundary_coords[:, 0],
                              self.boundary_coords[:, 1], t)
-        out = jnp.zeros(self.n_dofs, dtype=self.dtype)
+        out = jnp.zeros(self.n_vec, dtype=self.dtype)
         return out.at[self.boundary_idx].set(vals)
 
     # ------------------------------------------------------------------
@@ -247,6 +250,12 @@ class Discretization:
     def probe(self, u):
         """u_h at the domain centre (reference WaveEquationBase.cpp:170-222)."""
         return jnp.vdot(u[self._probe_dofs], self._probe_vals)
+
+    def vertex_values(self, u):
+        """State values at mesh vertices in mesh order (VTU point data);
+        DoF numbering starts with the vertices for every engine except
+        the banded DoF-partitioned one, which overrides this."""
+        return u[:self.mesh.n_vertices]
 
     def _fe_at_err_quads(self, u):
         """(uh, grad_uh) at the error-rule quadrature points.

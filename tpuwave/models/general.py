@@ -70,7 +70,8 @@ class UnstructuredDiscretization(Discretization):
     """
 
     def __init__(self, params: Params, dtype=None,
-                 mesh: UnstructuredTriMesh = None, device_mesh=None):
+                 mesh: UnstructuredTriMesh = None, device_mesh=None,
+                 dof_sharded: bool = False):
         # deliberately NOT calling super().__init__ — the structured
         # constructor builds class-constant geometry that does not exist
         # here. Generic methods (interpolate, boundary_values, energy,
@@ -108,28 +109,67 @@ class UnstructuredDiscretization(Discretization):
         self.stiffness = MatrixFreeOperator(cell_dofs, self.n_dofs,
                                             a_full=k_full, dtype=dtype)
 
+        #: banded DoF-partition plan (parallel/dofs.py), None unless
+        #: dof_sharded; when set, state vectors use the padded banded
+        #: layout of length n_vec and every dof-indexed array below is
+        #: renumbered through plan.new_of_old
+        self.dof_plan = None
+        self.n_vec = self.n_dofs
+        self._real_mask = None
         if device_mesh is not None:
-            # cell-parallel domain decomposition for imported meshes:
-            # cells + element matrices sharded over the device mesh, DoF
-            # vectors replicated, one psum per apply (parallel/cells.py)
             if params.time_dependent_c and params.c.time_dependent:
                 raise ValueError(
                     "Time Dependent C with a sharded unstructured mesh is "
                     "not supported yet (K(t) is rebuilt unsharded)")
-            from tpuwave.parallel.cells import ShardedCellOperator
-            self.mass = ShardedCellOperator.from_operator(self.mass,
-                                                          device_mesh)
-            self.stiffness = ShardedCellOperator.from_operator(self.stiffness,
-                                                               device_mesh)
+            if dof_sharded:
+                # DoF-partitioned domain decomposition: cells AND vectors
+                # sharded, nearest-neighbor ghost exchange per apply —
+                # O(n_dofs / n_devices) memory per chip (parallel/dofs.py)
+                from tpuwave.parallel.dofs import (ShardedDofOperator,
+                                                   build_dof_plan)
+                cy = self.mesh.vertex_coords[self.mesh.cells].mean(
+                    axis=1)[:, 1]
+                plan = build_dof_plan(cell_dofs, self.n_dofs, cy,
+                                      int(device_mesh.devices.size))
+                self.dof_plan = plan
+                self.n_vec = plan.n_vec
+                self.mass = ShardedDofOperator.from_operator(
+                    self.mass, plan, device_mesh)
+                self.stiffness = ShardedDofOperator.from_operator(
+                    self.stiffness, plan, device_mesh)
+            else:
+                # cell-parallel decomposition: cells + element matrices
+                # sharded, DoF vectors replicated, one psum per apply
+                # (parallel/cells.py); simplest, memory O(n_dofs)/chip
+                from tpuwave.parallel.cells import ShardedCellOperator
+                self.mass = ShardedCellOperator.from_operator(self.mass,
+                                                              device_mesh)
+                self.stiffness = ShardedCellOperator.from_operator(
+                    self.stiffness, device_mesh)
 
         self.mass_diag = self.mass.diagonal()
         self.lumped_mass = self.mass.row_sums()
 
-        self.boundary_mask = jnp.asarray(sp.boundary_mask)
         bidx = np.flatnonzero(sp.boundary_mask)
-        self.boundary_idx = jnp.asarray(bidx, dtype=jnp.int32)
+        if self.dof_plan is not None:
+            noo = np.asarray(self.dof_plan.new_of_old, dtype=np.int64)
+            bmask = np.zeros(self.n_vec, dtype=bool)
+            bmask[noo] = sp.boundary_mask
+            self.boundary_mask = jnp.asarray(bmask)
+            self.boundary_idx = jnp.asarray(noo[bidx], dtype=jnp.int32)
+            coords_pad = np.zeros((self.n_vec, 2))
+            coords_pad[noo] = sp.dof_coords
+            self.dof_coords = jnp.asarray(coords_pad, dtype=dtype)
+            self._real_mask = jnp.asarray(~self.dof_plan.pad_mask,
+                                          dtype=dtype)
+            self._cd_vec = jnp.asarray(noo[np.asarray(sp.cell_dofs)],
+                                       dtype=jnp.int32)
+        else:
+            self.boundary_mask = jnp.asarray(sp.boundary_mask)
+            self.boundary_idx = jnp.asarray(bidx, dtype=jnp.int32)
+            self.dof_coords = jnp.asarray(sp.dof_coords, dtype=dtype)
+            self._cd_vec = jnp.asarray(sp.cell_dofs, dtype=jnp.int32)
         self.boundary_coords = jnp.asarray(sp.dof_coords[bidx], dtype=dtype)
-        self.dof_coords = jnp.asarray(sp.dof_coords, dtype=dtype)
 
         # assembly-rule data for the load vector: per-cell quadrature
         # coordinates and det-weighted quadrature weights
@@ -152,6 +192,8 @@ class UnstructuredDiscretization(Discretization):
         # probe point = domain (bounding-box) centre
         cell, ref = self.mesh.locate_point(self.mesh.center)
         pdofs, pvals = sp.eval_basis_at(cell, ref)
+        if self.dof_plan is not None:
+            pdofs = np.asarray(self.dof_plan.new_of_old)[np.asarray(pdofs)]
         self._probe_dofs = jnp.asarray(pdofs, dtype=jnp.int32)
         self._probe_vals = jnp.asarray(pvals, dtype=dtype)
 
@@ -163,16 +205,33 @@ class UnstructuredDiscretization(Discretization):
     # ------------------------------------------------------------------
     # load vector (per-cell geometry)
     # ------------------------------------------------------------------
+    def interpolate(self, expr, t=0.0):
+        """Nodal interpolation; in the DoF-partitioned layout the padding
+        slots carry dummy coordinates, so their values are zeroed to keep
+        the padding-stays-zero invariant (parallel/dofs.py)."""
+        vals = super().interpolate(expr, t)
+        if self._real_mask is not None:
+            vals = vals * self._real_mask
+        return vals
+
+    def vertex_values(self, u):
+        """VTU point data in mesh vertex order (banded layout converts
+        back through the plan)."""
+        if self.dof_plan is not None:
+            u = self.dof_plan.from_banded(u)
+        return u[:self.mesh.n_vertices]
+
+    # ------------------------------------------------------------------
     def load_vector(self, t):
         if not self.has_forcing:
-            return jnp.zeros(self.n_dofs, dtype=self.dtype)
+            return jnp.zeros(self.n_vec, dtype=self.dtype)
         xq = self._load_xq                                     # (C, Q, 2)
         fq = self.params.f.evaluate(xq[..., 0], xq[..., 1], t)  # (C, Q)
         cell_rhs = jnp.einsum("cq,q,qi,c->ci", fq, self._load_w,
                               self._load_vals, self._det_j)
-        cd = self.space.cell_dofs.reshape(-1)
-        return jax.ops.segment_sum(cell_rhs.reshape(-1), jnp.asarray(cd),
-                                   num_segments=self.n_dofs)
+        cd = self._cd_vec.reshape(-1)
+        return jax.ops.segment_sum(cell_rhs.reshape(-1), cd,
+                                   num_segments=self.n_vec)
 
     # ------------------------------------------------------------------
     # time-dependent wave speed (per-cell geometry)
@@ -192,7 +251,7 @@ class UnstructuredDiscretization(Discretization):
     # ------------------------------------------------------------------
     def _fe_at_err_quads(self, u):
         """uh: (C, Q2); grad_uh: (C, Q2, 2)."""
-        cd = jnp.asarray(self.space.cell_dofs)
+        cd = self._cd_vec
         ue = u[cd]                                             # (C, nloc)
         uh = jnp.einsum("qi,ci->cq", self._err_vals, ue)
         guh = jnp.einsum("cqia,ci->cqa", self._err_grads, ue)

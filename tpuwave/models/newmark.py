@@ -80,7 +80,8 @@ class NewmarkSolver(ScanMixin):
         if precond == "chebyshev" and not self.time_dep_c:
             from tpuwave.solve.chebyshev import (ChebyshevPreconditioner,
                                                  estimate_lambda_max)
-            lmax = estimate_lambda_max(self.matrix_a, self.prec_a, disc.n_dofs)
+            lmax = estimate_lambda_max(self.matrix_a, self.prec_a,
+                                       getattr(disc, "n_vec", disc.n_dofs))
             self.prec_a = ChebyshevPreconditioner(
                 self.matrix_a, self.diag_a, lambda_max=lmax,
                 degree=cheby_degree)

@@ -207,11 +207,11 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
             return
         if not primary and not local_pieces:
             return
-        nv = d.mesh.n_vertices
-        point_data = {"u": np.asarray(state.u)[:nv], "v": np.asarray(state.v)[:nv]}
+        point_data = {"u": np.asarray(d.vertex_values(state.u)),
+                      "v": np.asarray(d.vertex_values(state.v))}
         if p.has_exact_solution:
             ex = d.interpolate(p.solution, t)
-            point_data["u_exact"] = np.asarray(ex)[:nv]
+            point_data["u_exact"] = np.asarray(d.vertex_values(ex))
         write_vtu_record(folder, "solution", timestep, d.mesh.vertex_coords,
                          d.mesh.cells, point_data, cell_shard=cell_shard,
                          only_pieces=local_pieces, write_record=primary)

@@ -85,7 +85,8 @@ class ThetaSolver(ScanMixin):
             # (solve/chebyshev.py); the mass-dominated v-system keeps Jacobi
             from tpuwave.solve.chebyshev import (ChebyshevPreconditioner,
                                                  estimate_lambda_max)
-            lmax = estimate_lambda_max(self.matrix_u, self.prec_u, disc.n_dofs)
+            lmax = estimate_lambda_max(self.matrix_u, self.prec_u,
+                                       getattr(disc, "n_vec", disc.n_dofs))
             self.prec_u = ChebyshevPreconditioner(
                 self.matrix_u, self.diag_u, lambda_max=lmax,
                 degree=cheby_degree)

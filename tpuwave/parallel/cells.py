@@ -18,7 +18,12 @@ section 2.1), expressed as a single collective.
 
 This trades vector-replication memory for zero halo bookkeeping, which is
 the right trade for cell-dominated FEM workloads (n_cells ~ 2 n_dofs and
-the per-cell work carries the nloc^2 factor).
+the per-cell work carries the nloc^2 factor). The explicit LIMIT: memory
+is O(n_dofs) per chip, so the mesh must fit one chip's HBM regardless of
+device count. For meshes that motivate sharding in the first place, use
+:mod:`tpuwave.parallel.dofs` (``dof_sharded=True``), which partitions the
+DoF vectors too and replaces the full-vector psum with nearest-neighbor
+ghost exchanges.
 """
 
 from __future__ import annotations
