@@ -222,3 +222,69 @@ def test_carried_payload_matches_rebuild():
                                rtol=1e-14, atol=1e-15)
     np.testing.assert_allclose(np.asarray(carried.v), np.asarray(bare.v),
                                rtol=1e-14, atol=1e-15)
+
+
+# ---------------------------------------------------------------------------
+# fast-path (leapfrog, lumped-mass) time-dependent c
+# ---------------------------------------------------------------------------
+
+def _fast_tdep_error(nel, dt, T):
+    """Relative vertex-L2 error of the fast tdep leapfrog on the MMS
+    u = cos(t) sin(pi x) sin(pi y), c^2 = 1 + 0.5 sin(2t)."""
+    import jax.numpy as jnp
+    from tpuwave.models.fast import FastWaveSolver, LeapfrogState
+    from tpuwave.ops.stencil import apply_varcoef_planes
+
+    s = FastWaveSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), dt,
+                       beta=0.0, dtype=jnp.float64)
+
+    def c_fn(x, y, t):
+        return jnp.sqrt(1.0 + 0.5 * jnp.sin(2.0 * t))
+
+    def f_fn(x, y, t):
+        c2 = 1.0 + 0.5 * jnp.sin(2.0 * t)
+        return ((2.0 * jnp.pi ** 2 * c2 - 1.0) * jnp.cos(t)
+                * jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y))
+
+    xs, ys = s.grid_coords()
+    u0 = jnp.where(s.boundary, 0.0,
+                   jnp.sin(jnp.pi * xs) * jnp.sin(jnp.pi * ys))
+    # consistent first step: u^1 = u0 + dt v0 + dt^2/2 a0, a0 from K(0), f(0)
+    ku0 = apply_varcoef_planes(s._tdep_planes(c_fn, 0.0), u0)
+    a0 = -ku0 * s.inv_lumped + f_fn(xs, ys, 0.0)
+    u1 = jnp.where(s.boundary, 0.0, u0 + 0.5 * dt * dt * a0)
+    st = LeapfrogState(u=u1, u_prev=u0)
+
+    n = int(round(T / dt))
+    times = dt * (1.0 + jnp.arange(n - 1))
+    st = s.run_leapfrog_tdep(st, times, c_fn, f_fn=f_fn)
+    t_end = n * dt
+    uex = jnp.where(s.boundary, 0.0, jnp.cos(t_end)
+                    * jnp.sin(jnp.pi * xs) * jnp.sin(jnp.pi * ys))
+    return float(jnp.linalg.norm(st.u - uex) / jnp.linalg.norm(uex))
+
+
+def test_fast_tdep_constant_c_matches_constant_stencil():
+    """c_fn == const: the in-scan varcoef planes reproduce the constant
+    class stencil path (same element sums, different assembly order)."""
+    import jax.numpy as jnp
+    from tpuwave.models.fast import FastWaveSolver
+
+    s = FastWaveSolver((24, 24), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                       beta=0.0, dtype=jnp.float64)
+    lf = s.initial_leapfrog_state(
+        lambda xs, ys: jnp.sin(jnp.pi * xs) * jnp.sin(jnp.pi * ys))
+    want = s.run_leapfrog_scan(lf, 10)
+    times = s.dt * (1.0 + jnp.arange(10))
+    got = s.run_leapfrog_tdep(lf, times, lambda x, y, t: 1.0)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_fast_tdep_mms_second_order():
+    """The fast tdep path converges at second order on the varying-c MMS
+    (the production counterpart of the parity engines' Time Dependent C)."""
+    e1 = _fast_tdep_error(nel=24, dt=0.01, T=0.4)
+    e2 = _fast_tdep_error(nel=48, dt=0.005, T=0.4)
+    assert e1 < 5e-3, e1
+    assert e1 / e2 > 2.5, (e1, e2)  # O(dt^2 + h^2): ratio ~4

@@ -393,6 +393,96 @@ class FastWaveSolver:
         return cached_scan(self, "leapfrog", self.leapfrog_step, n_steps)(state)
 
     # ------------------------------------------------------------------
+    # time-dependent wave speed on the fast path: the variable-coefficient
+    # 9-plane stencil (shared with the FWI propagators, ops/stencil.py)
+    # is reassembled from c(x, y, t) at the assembly quadrature points
+    # INSIDE the jitted step — production-speed `Time Dependent C`
+    # (the parity engines' counterpart is Discretization.stiffness_at)
+    # ------------------------------------------------------------------
+    def _tdep_data(self):
+        try:
+            return self.__tdep_cache
+        except AttributeError:
+            pass
+        import numpy as np
+        quad = gauss_simplex(2)
+        sh = self.space.shape_at(quad)
+        grads = self.space.physical_grads(sh)          # (2, Q, 3, 2)
+        g_class = np.einsum("cqia,cqja->cqij", grads, grads)[:, 0]  # (2,3,3)
+        cells = np.asarray(self.mesh.cells)            # (E, 3)
+        coords = np.asarray(self.mesh.vertex_coords)[cells]  # (E, 3, 2)
+        ref = np.asarray(quad.points)                  # (Q, 2)
+        xq = (coords[:, None, 0]
+              + ref[None, :, 0, None] * (coords[:, None, 1] - coords[:, None, 0])
+              + ref[None, :, 1, None] * (coords[:, None, 2] - coords[:, None, 0]))
+        self.__tdep_cache = (
+            g_class,
+            jnp.asarray(xq, self.dtype),               # (E, Q, 2)
+            jnp.asarray(quad.weights, self.dtype),     # (Q,)
+            float(self.mesh.det_j))
+        return self.__tdep_cache
+
+    def _tdep_planes(self, c_fn, t):
+        from tpuwave.ops.stencil import assemble_varcoef_planes
+        g_class, xq, w, det = self._tdep_data()
+        c2 = jnp.asarray(c_fn(xq[..., 0], xq[..., 1], t),
+                         self.dtype) ** 2
+        c2 = jnp.broadcast_to(c2, xq.shape[:2])
+        s = det * jnp.einsum("eq,q->e", c2, w)         # (E,)
+        ny, nx = self.mesh.ny, self.mesh.nx
+        return assemble_varcoef_planes(s.reshape(ny, nx, 2), g_class,
+                                       ny, nx, self.dtype)
+
+    def leapfrog_step_tdep(self, state: LeapfrogState, t, c_fn,
+                           g_fn=None, f_fn=None) -> LeapfrogState:
+        """One explicit lumped-mass leapfrog step with c = c_fn(x, y, t).
+
+        Semi-discrete equation at t^n: M a^n = F^n - K(t^n) u^n, so the
+        stiffness is evaluated at the time being stepped FROM (``t`` =
+        t^n; the state lands at t^n + dt). Optional ``g_fn`` pins
+        time-dependent Dirichlet data at t^{n+1}; optional ``f_fn`` adds
+        nodal forcing (lumped load: f interpolated at the vertices).
+        """
+        from tpuwave.ops.stencil import apply_varcoef_planes
+        dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
+        u, u_prev = state
+        planes = self._tdep_planes(c_fn, t)
+        ku = apply_varcoef_planes(planes, u)
+        accel = -ku * self.inv_lumped
+        if f_fn is not None:
+            # lumped load: M_L^-1 (M_L f(x_i)) = nodal f values
+            xs, ys = self.grid_coords()
+            fv = jnp.asarray(f_fn(xs, ys, t), self.dtype)
+            accel = accel + jnp.broadcast_to(fv, u.shape)
+        u_next = 2.0 * u - u_prev + dt2 * accel
+        if g_fn is None:
+            u_next = jnp.where(self.boundary, 0.0, u_next)
+        else:
+            xs, ys = self.grid_coords()
+            gv = jnp.asarray(g_fn(xs, ys, t + self.dt), self.dtype)
+            u_next = jnp.where(self.boundary,
+                               jnp.broadcast_to(gv, u.shape), u_next)
+        return LeapfrogState(u=u_next.astype(self.dtype), u_prev=u)
+
+    def run_leapfrog_tdep(self, state: LeapfrogState, times, c_fn,
+                          g_fn=None, f_fn=None) -> LeapfrogState:
+        """Scan over explicit FROM-time stamps (t^n values; each step
+        lands at t^n + dt) with the time-varying stencil rebuilt in-scan."""
+        times = jnp.asarray(times, self.dtype)
+
+        def step(carry):
+            st, idx = carry
+            st = self.leapfrog_step_tdep(st, times[idx], c_fn, g_fn, f_fn)
+            return (st, idx + 1)
+
+        def body(carry, _):
+            return step(carry), None
+
+        (st, _), _ = jax.lax.scan(body, (state, jnp.asarray(0, jnp.int32)),
+                                  None, length=int(times.shape[0]))
+        return st
+
+    # ------------------------------------------------------------------
     # error-compensated leapfrog: f32 state + exact rounding-error
     # carries (~f48 effective) — the accuracy mode of the explicit path
     # (see CompensatedState). ~2x the arithmetic of leapfrog_step (one

@@ -507,38 +507,21 @@ class FwiProblem:
         costs 9 aligned multiply-roll-adds instead of the grid engine's 19
         slab ops. Interior-exact; boundary rows are masked by the stepper.
         """
+        from tpuwave.ops.stencil import assemble_varcoef_planes
         ny, nx = self.mesh.ny, self.mesh.nx
         s = ((self._det_j * self._w_sum)
              * jnp.asarray(c2_cell, self.dtype).reshape(ny, nx, 2))
-        planes = {}
-        for k in range(2):
-            sk = s[..., k]
-            for i in range(3):
-                oix, oiy = self._CORNERS[k][i]
-                for j in range(3):
-                    g = self._g_class_np[k, i, j]
-                    if g == 0.0:
-                        continue
-                    ojx, ojy = self._CORNERS[k][j]
-                    d = (ojx - oix, ojy - oiy)
-                    if d not in planes:
-                        planes[d] = jnp.zeros((ny + 1, nx + 1), self.dtype)
-                    planes[d] = planes[d].at[oiy:oiy + ny,
-                                             oix:oix + nx].add(g * sk)
-        return planes
+        return assemble_varcoef_planes(s, self._g_class_np, ny, nx,
+                                       self.dtype)
 
     def _apply_stencil_planes(self, planes, u):
         """y = sum_d w_d * roll(u, -d) on the vertex grid (wrap garbage on
         boundary rows/cols only — masked by the stepper, the same caveat
         as ops/stencil.py::apply_stencil)."""
+        from tpuwave.ops.stencil import apply_varcoef_planes
         ny, nx = self.mesh.ny, self.mesh.nx
-        ug = u.reshape(ny + 1, nx + 1)
-        out = planes[(0, 0)] * ug
-        for (dx, dy), w in planes.items():
-            if (dx, dy) == (0, 0):
-                continue
-            out = out + w * jnp.roll(ug, shift=(-dy, -dx), axis=(0, 1))
-        return out.reshape(-1)
+        return apply_varcoef_planes(planes,
+                                    u.reshape(ny + 1, nx + 1)).reshape(-1)
 
     def _stiffness_apply_grid(self, c2_cell, u):
         """Grid-slicing form of K(c2) u: scatter-free variable-coefficient

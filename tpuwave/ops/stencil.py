@@ -171,3 +171,53 @@ class GridStencilOperator:
     def axpy(self, coef: float, other: "GridStencilOperator") -> "GridStencilOperator":
         s = np.asarray(self.stencil) + coef * np.asarray(other.stencil)
         return GridStencilOperator(s, self.shape, self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# variable-coefficient (per-element-scaled) stencil planes
+# ---------------------------------------------------------------------------
+
+#: corner offsets (x, y) of the two triangle classes per structured grid
+#: cell (core/mesh.py::cells: lower (v00, v10, v11), upper (v00, v11, v01))
+P1_CLASS_CORNERS = (((0, 0), (1, 0), (1, 1)), ((0, 0), (1, 1), (0, 1)))
+
+
+def assemble_varcoef_planes(s, g_class_np, ny: int, nx: int, dtype):
+    """Assembled variable-coefficient 9-point stencil on the vertex grid.
+
+    ``s``: (ny, nx, 2) per-element scales (already det_j * sum_q w_q c^2,
+    one per triangle class); ``g_class_np``: (2, 3, 3) reference-gradient
+    products (q-independent for P1). Returns ``{(dx, dy): w_d}`` planes
+    of shape (ny+1, nx+1) with ``y[I] = sum_d w_d[I] * u[I + d]``. Linear
+    (hence differentiable/traceable) in ``s``; interior-exact, boundary
+    rows must be masked by the caller. Shared by the FWI propagators
+    (models/inverse.py) and the time-dependent-c fast path
+    (models/fast.py::leapfrog_step_tdep).
+    """
+    planes = {}
+    for k in range(2):
+        sk = s[..., k]
+        for i in range(3):
+            oix, oiy = P1_CLASS_CORNERS[k][i]
+            for j in range(3):
+                g = float(g_class_np[k, i, j])
+                if g == 0.0:
+                    continue
+                ojx, ojy = P1_CLASS_CORNERS[k][j]
+                d = (ojx - oix, ojy - oiy)
+                if d not in planes:
+                    planes[d] = jnp.zeros((ny + 1, nx + 1), dtype)
+                planes[d] = planes[d].at[oiy:oiy + ny,
+                                         oix:oix + nx].add(g * sk)
+    return planes
+
+
+def apply_varcoef_planes(planes, ug):
+    """y = sum_d w_d * roll(u, -d) on the (ny+1, nx+1) vertex grid (same
+    wrap-garbage-on-boundary caveat as :func:`apply_stencil`)."""
+    out = planes[(0, 0)] * ug
+    for (dx, dy), w in planes.items():
+        if (dx, dy) == (0, 0):
+            continue
+        out = out + w * jnp.roll(ug, shift=(-dy, -dx), axis=(0, 1))
+    return out
