@@ -106,3 +106,27 @@ def test_resume_truncates_post_checkpoint_log_rows(tmp_path):
     energy = (full.output_folder / "energy.csv").read_text().splitlines()
     steps = [int(line.split(",")[0]) for line in energy[1:]]
     assert steps == [1, 2, 3, 4, 5, 6]
+
+
+def test_resume_with_tdep_payload(tmp_path):
+    """Time Dependent C: the carried K(t) payload round-trips through the
+    checkpoint (saved as an array field; None-payload states skip it)."""
+    over = {"Nel": "8", "T": "0.05", "Dt": "0.01",
+            "Save Solution": "false", "Log Every": "0",
+            "Time Dependent C": "true",
+            "C": {"Function expression": "sqrt(1 + 0.5*sin(2*t))",
+                  "Variable names": "x, y, t"}}
+    p = load_params(standing_mode(**over))
+
+    def make():
+        return ThetaSolver(Discretization(p))
+
+    cfg = RunConfig(results_root=str(tmp_path / "results"), quiet=True,
+                    write_mesh=False, checkpoint_every=2)
+    full = run_solver(make(), "theta-tdep-ck", cfg)
+    cfg2 = RunConfig(results_root=str(tmp_path / "results"), quiet=True,
+                     write_mesh=False, resume=True)
+    resumed = run_solver(make(), "theta-tdep-ck", cfg2)
+    np.testing.assert_allclose(np.asarray(resumed.state.u),
+                               np.asarray(full.state.u), rtol=1e-12)
+    assert resumed.state.k_payload is not None

@@ -1040,14 +1040,17 @@ def test_robust_misfit_inversion_descends():
     obs = p.simulate_shots(c2_true, srcs)
     c2_init = jnp.ones(p.n_cells)
 
-    scale = float(jnp.abs(obs).max())
+    # huber_delta well below the residual amplitudes (~1e-4) so the
+    # LINEAR robust branch is actually exercised (a delta above them
+    # makes huber == l2); lr=0.005 keeps plain descent from oscillating
+    # around the minimum, which made a last-iterate assertion flaky
     res_h = p.invert(obs, c2_init, sources=srcs, n_iter=25,
-                     learning_rate=0.02, bounds=(0.3, 2.0),
-                     misfit_kind="huber", huber_delta=0.5 * scale)
+                     learning_rate=0.005, bounds=(0.3, 2.0),
+                     misfit_kind="huber", huber_delta=1e-5)
     assert res_h.misfits[-1] < 0.5 * res_h.misfits[0]
     assert (np.asarray(res_h.c2) - 1.0)[inside].mean() < 0.0
 
     res_e = p.invert(obs, c2_init, sources=srcs, n_iter=25,
-                     learning_rate=0.02, bounds=(0.3, 2.0),
+                     learning_rate=0.005, bounds=(0.3, 2.0),
                      misfit_kind="envelope")
     assert res_e.misfits[-1] < 0.5 * res_e.misfits[0]

@@ -33,7 +33,11 @@ def save_checkpoint(folder, timestep: int, time: float, state, *,
     folder.mkdir(parents=True, exist_ok=True)
     fields = state._asdict() if hasattr(state, "_asdict") else {
         f"arr{i}": a for i, a in enumerate(state)}
-    arrays = {k: np.asarray(v) for k, v in fields.items()}
+    # skip None fields (optional state slots, e.g. ThetaState.k_payload
+    # when Time Dependent C is off): np.asarray(None) is an object array
+    # that poisons the pickle-free npz; restore fills them via the
+    # NamedTuple defaults
+    arrays = {k: np.asarray(v) for k, v in fields.items() if v is not None}
     path = checkpoint_path(folder, timestep)
     tmp = path.with_suffix(".tmp.npz")
     np.savez(tmp, __timestep=timestep, __time=time, **arrays)
