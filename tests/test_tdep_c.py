@@ -281,6 +281,24 @@ def test_fast_tdep_constant_c_matches_constant_stencil():
                                rtol=1e-12, atol=1e-14)
 
 
+def test_fast_tdep_two_scans_no_tracer_leak():
+    """Calling run_leapfrog_tdep twice on one solver must not leak the
+    first scan's tracers through the _tdep_data cache (regression: the
+    cache must hold numpy, not traced jnp arrays)."""
+    import jax.numpy as jnp
+    from tpuwave.models.fast import FastWaveSolver
+
+    s = FastWaveSolver((16, 16), ((0.0, 0.0), (1.0, 1.0)), 0.005,
+                       beta=0.0, dtype=jnp.float64)
+    lf = s.initial_leapfrog_state(
+        lambda xs, ys: jnp.sin(jnp.pi * xs) * jnp.sin(jnp.pi * ys))
+    times = s.dt * (1.0 + jnp.arange(4))
+    c_fn = lambda x, y, t: 1.0 + 0.1 * jnp.sin(t) * x
+    out = s.run_leapfrog_tdep(lf, times, c_fn)
+    out = s.run_leapfrog_tdep(out, times + 4 * s.dt, c_fn)  # second trace
+    assert np.isfinite(np.asarray(out.u)).all()
+
+
 def test_fast_tdep_mms_second_order():
     """The fast tdep path converges at second order on the varying-c MMS
     (the production counterpart of the parity engines' Time Dependent C)."""

@@ -404,7 +404,6 @@ class FastWaveSolver:
             return self.__tdep_cache
         except AttributeError:
             pass
-        import numpy as np
         quad = gauss_simplex(2)
         sh = self.space.shape_at(quad)
         grads = self.space.physical_grads(sh)          # (2, Q, 3, 2)
@@ -415,10 +414,13 @@ class FastWaveSolver:
         xq = (coords[:, None, 0]
               + ref[None, :, 0, None] * (coords[:, None, 1] - coords[:, None, 0])
               + ref[None, :, 1, None] * (coords[:, None, 2] - coords[:, None, 0]))
+        # cache NUMPY arrays only: the first access may happen inside a
+        # jit/scan trace, where jnp.asarray returns a Tracer — caching it
+        # leaks into later traces (see Discretization._tdep_data note)
         self.__tdep_cache = (
             g_class,
-            jnp.asarray(xq, self.dtype),               # (E, Q, 2)
-            jnp.asarray(quad.weights, self.dtype),     # (Q,)
+            np.asarray(xq, dtype=np.dtype(self.dtype)),     # (E, Q, 2)
+            np.asarray(quad.weights, dtype=np.dtype(self.dtype)),  # (Q,)
             float(self.mesh.det_j))
         return self.__tdep_cache
 
