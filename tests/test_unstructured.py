@@ -533,3 +533,34 @@ def test_dof_sharded_solver_matches_replicated(family):
     np.testing.assert_allclose(np.asarray(shd.vertex_values(st_s.u)),
                                np.asarray(ref.vertex_values(st_r.u)),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_cli_unstructured_sharding_dofs(tmp_path):
+    """End-to-end CLI run on an imported mesh with the DoF-partitioned
+    engine (--unstructured-sharding dofs, 8-device virtual mesh): same
+    final errors as the default single-device engine."""
+    import json
+
+    from tpuwave.cli import newmark as cli_newmark
+
+    um = perturbed_mesh(10, seed=3, amp=0.15)
+    msh = write_msh(tmp_path / "m10.msh", um.vertex_coords, um.cells)
+    case = standing_mode(T="0.05", Dt="0.01",
+                         **{"Mesh File Name": str(msh),
+                            "Save Solution": "false", "Log Every": "5"})
+    cfile = tmp_path / "case.json"
+    cfile.write_text(json.dumps(case))
+
+    def run(tag, *extra):
+        code = cli_newmark.main([str(cfile), "--results-root",
+                                 str(tmp_path / tag), "--mesh-root",
+                                 str(tmp_path / "mesh"), "--quiet", *extra])
+        assert code == 0
+        runs = list((tmp_path / tag).glob("*/run-*"))
+        assert len(runs) == 1
+        err = (runs[0] / "error.csv").read_text().strip().splitlines()[-1]
+        return [float(x) for x in err.split(",")[2:]]
+
+    base = run("plain")
+    dofs = run("dofs", "--unstructured-sharding", "dofs")
+    np.testing.assert_allclose(dofs, base, rtol=1e-8)

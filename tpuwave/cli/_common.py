@@ -53,6 +53,14 @@ def run_main(family: str, make_solver, argv=None) -> int:
                              "constant C; auto = mg when the system is "
                              "stiffness-dominated and mg-eligible, else "
                              "jacobi)")
+    parser.add_argument("--unstructured-sharding",
+                        choices=("none", "cells", "dofs"), default="none",
+                        help="parallel engine for imported unstructured "
+                             "meshes: cells = cell-sharded operators with "
+                             "replicated DoF vectors (parallel/cells.py); "
+                             "dofs = DoF-partitioned banded vectors with "
+                             "neighbor ghost exchange, O(n_dofs/n_devices) "
+                             "memory (parallel/dofs.py)")
     parser.add_argument("--vtu-pieces", type=int, default=1,
                         help="VTU pieces per output record, one per shard "
                              "(0 = one per local device)")
@@ -113,7 +121,8 @@ def run_main(family: str, make_solver, argv=None) -> int:
               f"{jax.process_count()} process(es)")
 
     try:
-        disc = make_discretization(params)
+        disc = make_discretization(
+            params, unstructured_sharding=args.unstructured_sharding)
         solver = make_solver(disc, precond=args.precond)
         cfg = RunConfig(results_root=args.results_root,
                         mesh_root=args.mesh_root, quiet=args.quiet,

@@ -35,7 +35,8 @@ from tpuwave.utils.params import Params
 __all__ = ["UnstructuredDiscretization", "make_discretization"]
 
 
-def make_discretization(params: Params, dtype=None) -> Discretization:
+def make_discretization(params: Params, dtype=None, *,
+                        unstructured_sharding: str = "none") -> Discretization:
     """Factory: unstructured import when ``Mesh File Name`` was given,
     otherwise the structured rectangle discretisation.
 
@@ -47,7 +48,16 @@ def make_discretization(params: Params, dtype=None) -> Discretization:
     discrete problem is identical (same triangulation), so trajectories
     agree to solver roundoff; only the internal DoF ordering (and hence
     VTU vertex numbering) changes.
+
+    ``unstructured_sharding``: parallel engine for genuinely unstructured
+    imports — "none" (single-device operators), "cells" (cell-sharded,
+    replicated vectors, parallel/cells.py) or "dofs" (DoF-partitioned
+    banded vectors, parallel/dofs.py) over a 1-D mesh of all devices.
+    Ignored for structured meshes (those shard via the grid solvers).
     """
+    if unstructured_sharding not in ("none", "cells", "dofs"):
+        raise ValueError(f"unknown unstructured_sharding "
+                         f"{unstructured_sharding!r}")
     if params.mesh_file is not None:
         mesh = read_mesh_file(params.mesh_file)
         hit = detect_structured(mesh)
@@ -55,7 +65,13 @@ def make_discretization(params: Params, dtype=None) -> Discretization:
             nel, geometry = hit
             params = dataclasses.replace(params, nel=nel, geometry=geometry)
             return Discretization(params, dtype=dtype)
-        return UnstructuredDiscretization(params, dtype=dtype, mesh=mesh)
+        device_mesh = None
+        if unstructured_sharding != "none":
+            from tpuwave.parallel.sharding import device_mesh as make_mesh
+            device_mesh = make_mesh()
+        return UnstructuredDiscretization(
+            params, dtype=dtype, mesh=mesh, device_mesh=device_mesh,
+            dof_sharded=unstructured_sharding == "dofs")
     return Discretization(params, dtype=dtype)
 
 
