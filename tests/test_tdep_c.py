@@ -306,3 +306,58 @@ def test_fast_tdep_mms_second_order():
     e2 = _fast_tdep_error(nel=48, dt=0.005, T=0.4)
     assert e1 < 5e-3, e1
     assert e1 / e2 > 2.5, (e1, e2)  # O(dt^2 + h^2): ratio ~4
+
+
+@pytest.mark.parametrize("engine", ["none", "cells", "dofs"])
+@pytest.mark.parametrize("family", ["theta", "newmark"])
+def test_tdep_unstructured_engines_match(engine, family, tmp_path):
+    """Time Dependent C on the unstructured engines: the sharded variants
+    (cells / dofs over the 8-device mesh) match the single-device
+    trajectory; also covers theta's payload carry on unstructured (the
+    payload API lives on UnstructuredDiscretization too)."""
+    from tests.test_unstructured import perturbed_mesh
+    from tpuwave.parallel.sharding import device_mesh
+
+    um = perturbed_mesh(9, seed=5, amp=0.15)
+    p = load_params(tdep_case(Dt="0.02", T="0.1"))
+    ref = UnstructuredDiscretization(p, mesh=um)
+    if engine == "none":
+        d = UnstructuredDiscretization(p, mesh=um)
+    else:
+        d = UnstructuredDiscretization(p, mesh=um,
+                                       device_mesh=device_mesh(8),
+                                       dof_sharded=engine == "dofs")
+    cls = ThetaSolver if family == "theta" else NewmarkSolver
+    sref, s = cls(ref), cls(d)
+    st_r, st = sref.initial_state(), s.initial_state()
+    t = 0.0
+    for _ in range(3):
+        t += p.dt
+        st_r, _ = sref.step(st_r, t)
+        st, _ = s.step(st, t)
+    u = st.u if d.dof_plan is None else d.dof_plan.from_banded(st.u)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(st_r.u),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_tdep_unstructured_chebyshev_sharded():
+    """Per-step Gershgorin Chebyshev preconditioning works on the
+    DoF-partitioned engine (abs_row_sums on the sharded operator)."""
+    from tests.test_unstructured import perturbed_mesh
+    from tpuwave.parallel.sharding import device_mesh
+
+    um = perturbed_mesh(9, seed=5, amp=0.15)
+    p = load_params(tdep_case(Dt="0.02", T="0.1"))
+    d = UnstructuredDiscretization(p, mesh=um,
+                                   device_mesh=device_mesh(8),
+                                   dof_sharded=True)
+    jac = NewmarkSolver(d, precond="jacobi")
+    che = NewmarkSolver(d, precond="chebyshev")
+    sj, sc = jac.initial_state(), che.initial_state()
+    t = 0.0
+    for _ in range(2):
+        t += p.dt
+        sj, _ = jac.step(sj, t)
+        sc, _ = che.step(sc, t)
+    np.testing.assert_allclose(np.asarray(sc.u), np.asarray(sj.u),
+                               rtol=1e-8, atol=1e-10)

@@ -133,10 +133,6 @@ class UnstructuredDiscretization(Discretization):
         self.n_vec = self.n_dofs
         self._real_mask = None
         if device_mesh is not None:
-            if params.time_dependent_c and params.c.time_dependent:
-                raise ValueError(
-                    "Time Dependent C with a sharded unstructured mesh is "
-                    "not supported yet (K(t) is rebuilt unsharded)")
             if dof_sharded:
                 # DoF-partitioned domain decomposition: cells AND vectors
                 # sharded, nearest-neighbor ghost exchange per apply —
@@ -252,15 +248,51 @@ class UnstructuredDiscretization(Discretization):
     # ------------------------------------------------------------------
     # time-dependent wave speed (per-cell geometry)
     # ------------------------------------------------------------------
-    def stiffness_at(self, t):
-        """K(t) with c^2 evaluated at time ``t`` (jit-traceable)."""
+    def stiffness_payload_at(self, t):
+        """Per-cell element matrices of K(t) (jit-traceable; the theta
+        stepper carries this across steps, see theta.py)."""
         xq = self._load_xq                                     # (C, Q, 2)
         c2 = self.params.c.evaluate(xq[..., 0], xq[..., 1], t) ** 2
+        c2 = jnp.broadcast_to(jnp.asarray(c2, self.dtype), xq.shape[:2])
         g = self._grads_j
         a_full = jnp.einsum("cq,q,cqia,cqja,c->cij", c2, self._load_w,
                             g, g, self._det_j)
+        if self.dof_plan is not None:
+            # permute + pad cells into the banded order so
+            # stiffness_from_payload is free (parallel/dofs.py layout)
+            perm = self.dof_plan.cell_perm
+            af = jnp.where(jnp.asarray(perm >= 0)[:, None, None],
+                           a_full[jnp.asarray(np.clip(perm, 0, None))],
+                           jnp.zeros((), self.dtype))
+            return af
+        from tpuwave.parallel.cells import ShardedCellOperator
+        if isinstance(self.mass, ShardedCellOperator):
+            pad = self.mass.n_cells - a_full.shape[0]
+            if pad:
+                nloc = a_full.shape[-1]
+                a_full = jnp.concatenate(
+                    [a_full, jnp.zeros((pad, nloc, nloc), self.dtype)])
+        return a_full
+
+    def stiffness_from_payload(self, payload):
+        """Rebuild K(t) from :meth:`stiffness_payload_at`, matching the
+        engine (plain / cell-sharded / DoF-partitioned)."""
+        if self.dof_plan is not None:
+            from tpuwave.parallel.dofs import ShardedDofOperator
+            return ShardedDofOperator(self.dof_plan, payload,
+                                      self.mass.mesh, dtype=self.dtype,
+                                      _presharded=True)
+        from tpuwave.parallel.cells import ShardedCellOperator
+        if isinstance(self.mass, ShardedCellOperator):
+            return ShardedCellOperator(self.mass.cell_dofs, self.n_dofs,
+                                       payload, self.mass.mesh,
+                                       dtype=self.dtype, _prepadded=True)
         return MatrixFreeOperator(self.space.cell_dofs, self.n_dofs,
-                                  a_full=a_full, dtype=self.dtype)
+                                  a_full=payload, dtype=self.dtype)
+
+    def stiffness_at(self, t):
+        """K(t) with c^2 evaluated at time ``t`` (jit-traceable)."""
+        return self.stiffness_from_payload(self.stiffness_payload_at(t))
 
     # ------------------------------------------------------------------
     # errors (per-cell geometry)

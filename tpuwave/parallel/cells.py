@@ -106,9 +106,19 @@ class ShardedCellOperator:
                                     num_segments=n)
             return jax.lax.psum(y, axis)
 
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(axis, None), P(axis, None, None)),
+                 out_specs=P())
+        def _assemble_abs_rows(cd_blk, af_blk):
+            re = jnp.sum(jnp.abs(af_blk), axis=2)
+            y = jax.ops.segment_sum(re.reshape(-1), cd_blk.reshape(-1),
+                                    num_segments=n)
+            return jax.lax.psum(y, axis)
+
         self._apply = _apply
         self._assemble_diag = _assemble_diag
         self._assemble_rows = _assemble_rows
+        self._assemble_abs_rows = _assemble_abs_rows
 
     @classmethod
     def from_operator(cls, op: MatrixFreeOperator,
@@ -126,6 +136,11 @@ class ShardedCellOperator:
 
     def row_sums(self):
         return self._assemble_rows(self.cell_dofs, self.a_full)
+
+    def abs_row_sums(self):
+        """Element-level |entry| row sums (Gershgorin bound helper; see
+        MatrixFreeOperator.abs_row_sums)."""
+        return self._assemble_abs_rows(self.cell_dofs, self.a_full)
 
     def axpy(self, coef: float, other) -> "ShardedCellOperator":
         """self + coef * other, staying sharded (same padded cell block)."""

@@ -277,9 +277,16 @@ class ShardedDofOperator:
             re = jnp.sum(af_blk, axis=2)
             return _scatter_back(cd_blk, re, snd_nxt, snd_prv)
 
+        @partial(jax.shard_map, mesh=mesh, in_specs=specs[:2] + specs[2:4],
+                 out_specs=P(ax))
+        def _assemble_abs_rows(cd_blk, af_blk, snd_nxt, snd_prv):
+            re = jnp.sum(jnp.abs(af_blk), axis=2)
+            return _scatter_back(cd_blk, re, snd_nxt, snd_prv)
+
         self._apply_fn = _apply
         self._diag_fn = _assemble_diag
         self._rows_fn = _assemble_rows
+        self._abs_rows_fn = _assemble_abs_rows
 
     @classmethod
     def from_operator(cls, op: MatrixFreeOperator, plan: DofPlan,
@@ -301,6 +308,13 @@ class ShardedDofOperator:
     def row_sums(self):
         r = self._rows_fn(self.local_cell_dofs, self.a_full,
                           self.send_next, self.send_prev)
+        return r + self._pad_one
+
+    def abs_row_sums(self):
+        """Element-level |entry| row sums + 1 on padding slots (Gershgorin
+        bound helper; see MatrixFreeOperator.abs_row_sums)."""
+        r = self._abs_rows_fn(self.local_cell_dofs, self.a_full,
+                              self.send_next, self.send_prev)
         return r + self._pad_one
 
     def axpy(self, coef: float, other) -> "ShardedDofOperator":
