@@ -452,9 +452,14 @@ class FastWaveSolver:
             self._tdep_dev_cache = out
         return out
 
-    def _tdep_planes(self, c_fn, t):
+    def _tdep_planes(self, c_fn, t, arrays=None):
         from tpuwave.ops.stencil import assemble_varcoef_planes
-        g_class, xqg, w, det = self._tdep_device_data()  # xqg: (2,Q,ny,nx,2)
+        # ``arrays`` lets jitted callers pass the quadrature data as
+        # PROGRAM ARGUMENTS: a closure-captured array is baked into the
+        # HLO as a literal, which the axon remote-compile endpoint
+        # rejects at 4096^2 (800 MB constant -> HTTP 413)
+        g_class, xqg, w, det = (arrays if arrays is not None
+                                else self._tdep_device_data())
         c2 = jnp.asarray(c_fn(xqg[..., 0], xqg[..., 1], t),
                          self.dtype) ** 2
         c2 = jnp.broadcast_to(c2, xqg.shape[:-1])      # (2, Q, ny, nx)
@@ -463,7 +468,8 @@ class FastWaveSolver:
         return assemble_varcoef_planes(s, g_class, ny, nx, self.dtype)
 
     def leapfrog_step_tdep(self, state: LeapfrogState, t, c_fn,
-                           g_fn=None, f_fn=None) -> LeapfrogState:
+                           g_fn=None, f_fn=None, *,
+                           _tdep_arrays=None) -> LeapfrogState:
         """One explicit lumped-mass leapfrog step with c = c_fn(x, y, t).
 
         Semi-discrete equation at t^n: M a^n = F^n - K(t^n) u^n, so the
@@ -475,7 +481,7 @@ class FastWaveSolver:
         from tpuwave.ops.stencil import apply_varcoef_planes
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
         u, u_prev = state
-        planes = self._tdep_planes(c_fn, t)
+        planes = self._tdep_planes(c_fn, t, arrays=_tdep_arrays)
         ku = apply_varcoef_planes(planes, u)
         accel = -ku * self.inv_lumped
         if f_fn is not None:
@@ -503,7 +509,9 @@ class FastWaveSolver:
         unfused (measured 27.8 ms vs 1.6 ms per 2048^2 step on the chip).
         """
         times = jnp.asarray(times, self.dtype)
-        self._tdep_device_data()  # prime the device cache OUTSIDE the jit
+        # prime the device cache OUTSIDE the jit; the big arrays then
+        # enter the program as ARGUMENTS (see _tdep_planes note)
+        g_class, xqg, w, det = self._tdep_device_data()
         key = ("tdep", int(times.shape[0]), c_fn, g_fn, f_fn)
         cache = getattr(self, "_tdep_scan_cache", None)
         if cache is None:
@@ -513,15 +521,16 @@ class FastWaveSolver:
             n = int(times.shape[0])
 
             @jax.jit
-            def run(state, ts):
+            def run(state, ts, xqg_a, w_a):
                 def body(st, t):
-                    return self.leapfrog_step_tdep(st, t, c_fn, g_fn,
-                                                   f_fn), None
+                    return self.leapfrog_step_tdep(
+                        st, t, c_fn, g_fn, f_fn,
+                        _tdep_arrays=(g_class, xqg_a, w_a, det)), None
                 st, _ = jax.lax.scan(body, state, ts, length=n)
                 return st
 
             cache[key] = run
-        return run(state, times)
+        return run(state, times, xqg, w)
 
     # ------------------------------------------------------------------
     # error-compensated leapfrog: f32 state + exact rounding-error
