@@ -408,68 +408,53 @@ class FastWaveSolver:
         sh = self.space.shape_at(quad)
         grads = self.space.physical_grads(sh)          # (2, Q, 3, 2)
         g_class = np.einsum("cqia,cqja->cqij", grads, grads)[:, 0]  # (2,3,3)
-        cells = np.asarray(self.mesh.cells)            # (E, 3)
-        coords = np.asarray(self.mesh.vertex_coords)[cells]  # (E, 3, 2)
+        # fractional quadrature-point offsets within the unit grid cell,
+        # per (class, q): phys point of cell (iy, ix) =
+        # (x0 + (ix + fx) hx, y0 + (iy + fy) hy). Tiny host constants —
+        # the coordinates themselves are generated from iota INSIDE the
+        # trace (zero HBM traffic; earlier designs streamed an
+        # (2, Q, ny, nx, 2) array: 800 MB/step at 4096^2 and an HLO
+        # literal the axon remote-compile endpoint rejects).
+        from tpuwave.ops.stencil import P1_CLASS_CORNERS
         ref = np.asarray(quad.points)                  # (Q, 2)
-        xq = (coords[:, None, 0]
-              + ref[None, :, 0, None] * (coords[:, None, 1] - coords[:, None, 0])
-              + ref[None, :, 1, None] * (coords[:, None, 2] - coords[:, None, 0]))
-        # GRID layout (class, Q, ny, nx, 2): expression evaluation runs on
-        # (ny, nx) planes, which tile the 8x128 VPU registers densely —
-        # the cell-major (E, Q, 2) layout pads the length-Q axis to 128
-        # lanes and wastes ~40x of the vector throughput (measured
-        # 10.6 ms vs ~0.3 ms per evaluation at 2048^2 on the chip). Cell
-        # ordering is (y, x, class) interleaved (core/mesh.py::cells).
-        ny, nx = self.mesh.ny, self.mesh.nx
-        q = xq.shape[1]
-        xqg = xq.reshape(ny, nx, 2, q, 2).transpose(2, 3, 0, 1, 4)
-        # cache NUMPY arrays only: the first access may happen inside a
-        # jit/scan trace, where jnp.asarray returns a Tracer — caching it
-        # leaks into later traces (see Discretization._tdep_data note)
+        frac = np.empty((2, len(ref), 2))
+        for k in range(2):
+            c0, c1, c2_ = (np.asarray(c, float) for c in P1_CLASS_CORNERS[k])
+            frac[k] = (c0[None]
+                       + ref[:, 0:1] * (c1 - c0)[None]
+                       + ref[:, 1:2] * (c2_ - c0)[None])
         self.__tdep_cache = (
-            g_class,
-            np.ascontiguousarray(xqg, dtype=np.dtype(self.dtype)),
+            g_class, frac,
             np.asarray(quad.weights, dtype=np.dtype(self.dtype)),  # (Q,)
             float(self.mesh.det_j))
         return self.__tdep_cache
 
-    def _tdep_device_data(self):
-        """Device-resident copies of the tdep quadrature data.
-
-        Cached ONLY when built outside a trace: a numpy array referenced
-        inside jit becomes a baked-in program constant that the axon
-        tunnel re-uploads every call (measured 24 ms/step at 2048^2 from
-        the 200 MB coordinate constant alone vs 1.6 ms with a device
-        buffer); a tracer must not be cached at all (leak). Call sites
-        that jit (run_leapfrog_tdep) prime this eagerly first.
-        """
-        cached = getattr(self, "_tdep_dev_cache", None)
-        if cached is not None:
-            return cached
-        g_class, xqg, w, det = self._tdep_data()
-        out = (g_class, jnp.asarray(xqg), jnp.asarray(w), det)
-        if not isinstance(out[1], jax.core.Tracer):
-            self._tdep_dev_cache = out
-        return out
-
-    def _tdep_planes(self, c_fn, t, arrays=None):
+    def _tdep_planes(self, c_fn, t):
         from tpuwave.ops.stencil import assemble_varcoef_planes
-        # ``arrays`` lets jitted callers pass the quadrature data as
-        # PROGRAM ARGUMENTS: a closure-captured array is baked into the
-        # HLO as a literal, which the axon remote-compile endpoint
-        # rejects at 4096^2 (800 MB constant -> HTTP 413)
-        g_class, xqg, w, det = (arrays if arrays is not None
-                                else self._tdep_device_data())
-        c2 = jnp.asarray(c_fn(xqg[..., 0], xqg[..., 1], t),
-                         self.dtype) ** 2
-        c2 = jnp.broadcast_to(c2, xqg.shape[:-1])      # (2, Q, ny, nx)
-        s = det * jnp.einsum("kqyx,q->yxk", c2, w)     # (ny, nx, 2)
+        g_class, frac, w, det = self._tdep_data()
         ny, nx = self.mesh.ny, self.mesh.nx
+        (x0, y0), _ = self.mesh.geometry
+        hx, hy = self.mesh.hx, self.mesh.hy
+        ix = jax.lax.broadcasted_iota(self.dtype, (ny, nx), 1)
+        iy = jax.lax.broadcasted_iota(self.dtype, (ny, nx), 0)
+        s = None
+        for k in range(2):
+            acc = None
+            for q in range(frac.shape[1]):
+                fx, fy = float(frac[k, q, 0]), float(frac[k, q, 1])
+                xs = x0 + (ix + fx) * hx
+                ys = y0 + (iy + fy) * hy
+                c2 = jnp.asarray(c_fn(xs, ys, t), self.dtype) ** 2
+                c2 = jnp.broadcast_to(c2, (ny, nx))
+                term = float(w[q]) * c2
+                acc = term if acc is None else acc + term
+            sk = det * acc                              # (ny, nx)
+            s = sk[..., None] if s is None else jnp.concatenate(
+                [s, sk[..., None]], axis=-1)
         return assemble_varcoef_planes(s, g_class, ny, nx, self.dtype)
 
     def leapfrog_step_tdep(self, state: LeapfrogState, t, c_fn,
-                           g_fn=None, f_fn=None, *,
-                           _tdep_arrays=None) -> LeapfrogState:
+                           g_fn=None, f_fn=None) -> LeapfrogState:
         """One explicit lumped-mass leapfrog step with c = c_fn(x, y, t).
 
         Semi-discrete equation at t^n: M a^n = F^n - K(t^n) u^n, so the
@@ -481,7 +466,7 @@ class FastWaveSolver:
         from tpuwave.ops.stencil import apply_varcoef_planes
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
         u, u_prev = state
-        planes = self._tdep_planes(c_fn, t, arrays=_tdep_arrays)
+        planes = self._tdep_planes(c_fn, t)
         ku = apply_varcoef_planes(planes, u)
         accel = -ku * self.inv_lumped
         if f_fn is not None:
@@ -509,9 +494,6 @@ class FastWaveSolver:
         unfused (measured 27.8 ms vs 1.6 ms per 2048^2 step on the chip).
         """
         times = jnp.asarray(times, self.dtype)
-        # prime the device cache OUTSIDE the jit; the big arrays then
-        # enter the program as ARGUMENTS (see _tdep_planes note)
-        g_class, xqg, w, det = self._tdep_device_data()
         key = ("tdep", int(times.shape[0]), c_fn, g_fn, f_fn)
         cache = getattr(self, "_tdep_scan_cache", None)
         if cache is None:
@@ -521,16 +503,15 @@ class FastWaveSolver:
             n = int(times.shape[0])
 
             @jax.jit
-            def run(state, ts, xqg_a, w_a):
+            def run(state, ts):
                 def body(st, t):
-                    return self.leapfrog_step_tdep(
-                        st, t, c_fn, g_fn, f_fn,
-                        _tdep_arrays=(g_class, xqg_a, w_a, det)), None
+                    return self.leapfrog_step_tdep(st, t, c_fn, g_fn,
+                                                   f_fn), None
                 st, _ = jax.lax.scan(body, state, ts, length=n)
                 return st
 
             cache[key] = run
-        return run(state, times, xqg, w)
+        return run(state, times)
 
     # ------------------------------------------------------------------
     # error-compensated leapfrog: f32 state + exact rounding-error
