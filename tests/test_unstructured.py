@@ -427,15 +427,20 @@ def test_sharded_unstructured_trajectory(family):
                                atol=1e-10)
 
 
-def test_sharded_tdep_c_rejected():
+def test_sharded_tdep_c_supported():
+    """Time Dependent C + sharded engines is supported since round 2
+    (K(t) rebuilt SHARDED in-step); trajectory equivalence is covered by
+    tests/test_tdep_c.py::test_tdep_unstructured_engines_match — here we
+    just pin that construction succeeds and stiffness_at stays sharded."""
+    from tpuwave.parallel.cells import ShardedCellOperator
     from tpuwave.parallel.sharding import device_mesh
     um = perturbed_mesh(5, seed=13)
     case = standing_mode(**{"Time Dependent C": "true",
                             "C": {"Function expression": "1 + 0.1*sin(t)",
                                   "Variable names": "x, y, t"}})
-    with pytest.raises(ValueError, match="sharded"):
-        UnstructuredDiscretization(load_params(case), mesh=um,
+    d = UnstructuredDiscretization(load_params(case), mesh=um,
                                    device_mesh=device_mesh(8))
+    assert isinstance(d.stiffness_at(0.2), ShardedCellOperator)
 
 
 # ---------------------------------------------------------------------------
