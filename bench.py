@@ -63,10 +63,15 @@ def emit(metric: str, value: float) -> None:
 
 def _deadline_exit():
     """Hard-deadline exit from the watchdog thread: best-so-far lines are
-    already flushed, so leave rc=0 if we measured anything at all."""
-    sys.stderr.write("# bench budget exhausted; exiting with best-so-far\n")
-    sys.stderr.flush()
-    os._exit(0 if _best_value > 0 else 1)
+    already flushed, so leave rc=0 if we measured anything at all.
+
+    Takes ``_emit_lock`` first so an emit() in flight on the main thread
+    finishes its flushed print before the process dies — otherwise the
+    driver could json-parse a truncated final stdout line."""
+    with _emit_lock:
+        sys.stderr.write("# bench budget exhausted; exiting with best-so-far\n")
+        sys.stderr.flush()
+        os._exit(0 if _best_value > 0 else 1)
 
 
 def _cpu_reexec(reason: str):

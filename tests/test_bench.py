@@ -19,7 +19,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_bench_emits_one_json_line():
+def test_bench_emits_incremental_json_lines():
     env = dict(os.environ,
                PALLAS_AXON_POOL_IPS="",
                JAX_PLATFORMS="cpu",

@@ -1,0 +1,226 @@
+"""Fast grid-stencil engine on the product surface (models/fast_engine.py).
+
+Pins the round-3 contract: driven time-dependent Dirichlet data and
+quadrature-consistent forcing run on the stencil fast path with
+trajectories matching the parity engine to f64 solver tolerance
+(reference rhs assembly WaveTheta.cpp:119-186, derived acceleration BCs
+WaveNewmark.cpp:177-262), and the CLI reaches the fast engine via
+``--engine fast|auto`` with identical run-folder artifacts.
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuwave.models.discretization import Discretization
+from tpuwave.models.fast_engine import (FastNewmarkSolver, FastThetaSolver,
+                                        fast_engine_ineligible_reason)
+from tpuwave.models.newmark import NewmarkSolver
+from tpuwave.models.theta import ThetaSolver
+from tpuwave.utils.params import load_params
+
+from tests.test_schemes import standing_mode
+
+DRIVEN = {
+    "F": {"Function expression": "sin(3*pi*x)*cos(2*pi*y)*cos(5*t)",
+          "Variable names": "x, y, t"},
+    "G": {"Function expression": "0.1*sin(2*t)*(1+x*y)",
+          "Variable names": "x, y, t"},
+    "DGDT": {"Function expression": "0.2*cos(2*t)*(1+x*y)",
+             "Variable names": "x, y, t"},
+}
+
+
+def driven_case(**over):
+    case = standing_mode(**DRIVEN)
+    case.pop("Solution")
+    case.update(over)
+    return case
+
+
+def _run(solver, p):
+    st = solver.initial_state()
+    t, info = 0.0, None
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        st, info = solver.step(st, t)
+    return st, info
+
+
+@pytest.mark.parametrize("fam,over", [
+    ("theta", {"Theta": "0.5"}),
+    ("theta", {"Theta": "1.0"}),
+    ("newmark", {"Beta": "0.25"}),
+    ("newmark", {"Beta": "0.0"}),
+])
+def test_driven_forced_matches_parity(fam, over):
+    """Driven g(t) + forcing: fast engine == parity engine to f64 CG
+    tolerance (measured agreement ~1e-14; same iteration counts)."""
+    p = load_params(driven_case(**over))
+    d = Discretization(p)
+    if fam == "theta":
+        ref, fast = ThetaSolver(d), FastThetaSolver(d)
+    else:
+        ref, fast = NewmarkSolver(d), FastNewmarkSolver(d)
+    st_r, info_r = _run(ref, p)
+    st_f, info_f = _run(fast, p)
+    nu = float(jnp.linalg.norm(st_r.u))
+    nv = float(jnp.linalg.norm(st_r.v))
+    assert float(jnp.linalg.norm(st_r.u - st_f.u)) < 1e-11 * nu
+    assert float(jnp.linalg.norm(st_r.v - st_f.v)) < 1e-11 * nv
+    assert int(info_r["iterations_1"]) == int(info_f["iterations_1"])
+
+
+def test_driven_scan_path_matches_per_step():
+    """ScanMixin whole-loop scans reproduce the per-step trajectory (the
+    runner's chunked fast path) on a driven problem."""
+    p = load_params(driven_case())
+    d = Discretization(p)
+    fast = FastThetaSolver(d)
+    st_steps, _ = _run(fast, p)
+    times = []
+    t = 0.0
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        times.append(t)
+    st_scan, infos = fast.run_steps(fast.initial_state(), times)
+    assert float(jnp.linalg.norm(st_steps.u - st_scan.u)) == 0.0
+    assert infos["iterations_1"].shape == (len(times),)
+
+
+def test_grid_load_matches_parity_load_vector():
+    """grid_load is the SAME r+1-rule quadrature assembly as the parity
+    Discretization.load_vector (reference WaveTheta.cpp:164-172) — they
+    agree to f64 roundoff, not just in accuracy class."""
+    p = load_params(driven_case())
+    d = Discretization(p)
+    fast = FastThetaSolver(d)
+    for t in (0.0, 0.37, 1.42):
+        L_ref = d.load_vector(t)
+        L_fast = fast.fs.grid_load(p.f.evaluate, t).reshape(-1)
+        rel = float(jnp.linalg.norm(L_ref - L_fast)
+                    / jnp.linalg.norm(L_ref))
+        assert rel < 1e-13
+
+
+def test_mms_rough_forcing_spatial_order():
+    """MMS with a rough forcing: the consistent load keeps the fast
+    engine at the P1 spatial order (L2 slope ~2; a vertex-lumped load
+    measurably degrades the constant). u_ex = sin(3 pi x) sin(2 pi y)
+    cos t -> f = (13 pi^2 - 1) u_ex."""
+    mms = {
+        "U0": {"Function expression": "sin(3*pi*x)*sin(2*pi*y)",
+               "Variable names": "x, y"},
+        "V0": {"Function expression": "0.0", "Variable names": "x, y"},
+        "F": {"Function expression":
+              "(13*pi^2 - 1)*sin(3*pi*x)*sin(2*pi*y)*cos(t)",
+              "Variable names": "x, y, t"},
+        "G": {"Function expression": "0.0", "Variable names": "x, y, t"},
+        "DGDT": {"Function expression": "0.0", "Variable names": "x, y, t"},
+        "Solution": {"Function expression":
+                     "sin(3*pi*x)*sin(2*pi*y)*cos(t)",
+                     "Variable names": "x, y, t"},
+        "T": "0.1", "Dt": "0.002", "Theta": "0.5",
+    }
+    errs = []
+    for nel in (16, 32):
+        p = load_params(standing_mode(**mms, Nel=str(nel)))
+        d = Discretization(p)
+        fast = FastThetaSolver(d)
+        st, _ = _run(fast, p)
+        errs.append(float(d.errors(st.u, p.t_final)[2]))
+    slope = np.log2(errs[0] / errs[1])
+    assert 1.8 < slope < 2.2, (errs, slope)
+
+
+def test_leapfrog_driven_forcing_mms():
+    """Explicit lumped leapfrog with driven g AND consistent forcing
+    converges at order 2 on the same rough MMS (models/fast.py
+    leapfrog_step_driven + grid_load)."""
+    from tpuwave.models.fast import FastWaveSolver
+
+    def u_ex(x, y, t):
+        return jnp.sin(3 * jnp.pi * x) * jnp.sin(2 * jnp.pi * y) * jnp.cos(t)
+
+    def f_fn(x, y, t):
+        return (13 * jnp.pi ** 2 - 1) * u_ex(x, y, t)
+
+    def g_fn(x, y, t):
+        return jnp.zeros_like(x)
+
+    errs = []
+    for nel in (16, 32):
+        dt = 0.2 / nel  # CFL-safe, scaled
+        fs = FastWaveSolver((nel, nel), ((0.0, 0.0), (1.0, 1.0)), dt,
+                            beta=0.0, dtype=jnp.float64)
+        st = fs.initial_leapfrog_state(lambda xs, ys: u_ex(xs, ys, 0.0),
+                                       f_fn=f_fn, g_fn=g_fn)
+        n = int(round(0.1 / dt))
+        t = dt  # initial_leapfrog_state already took the first step
+        for _ in range(n - 1):
+            t += dt
+            st = fs.leapfrog_step_driven(st, t, g_fn, f_fn)
+        xs, ys = fs.grid_coords()
+        err = float(jnp.linalg.norm(st.u - u_ex(xs, ys, t))
+                    / jnp.linalg.norm(u_ex(xs, ys, t)))
+        errs.append(err)
+    slope = np.log2(errs[0] / errs[1])
+    assert 1.7 < slope < 2.4, (errs, slope)
+
+
+def test_ineligible_reasons():
+    assert fast_engine_ineligible_reason(
+        Discretization(load_params(driven_case()))) is None
+    p2 = Discretization(load_params(driven_case(R="2")))
+    assert "P1" in fast_engine_ineligible_reason(p2)
+    varc = Discretization(load_params(driven_case(
+        C={"Function expression": "1.0 + 0.5*x",
+           "Variable names": "x, y, t"})))
+    assert "constant" in fast_engine_ineligible_reason(varc)
+
+
+# ---------------------------------------------------------------------------
+# CLI routing
+# ---------------------------------------------------------------------------
+
+def _write(tmp_path, case, name="case.json"):
+    path = tmp_path / name
+    path.write_text(json.dumps(case))
+    return path
+
+
+def _cli(main, path, tmp_path, root, extra=()):
+    return main([str(path), "--results-root", str(tmp_path / root),
+                 "--mesh-root", str(tmp_path / "mesh"), "--quiet", *extra])
+
+
+def test_cli_engine_fast_matches_parity(tmp_path):
+    """`--engine fast` produces the standard run folder with CSVs matching
+    `--engine parity` digit-for-digit on a driven + forced case."""
+    from tpuwave.cli import theta as cli_theta
+    case = driven_case(**{"Log Every": "1", "T": "0.05"})
+    path = _write(tmp_path, case)
+    assert _cli(cli_theta.main, path, tmp_path, "fast",
+                ("--engine", "fast")) == 0
+    assert _cli(cli_theta.main, path, tmp_path, "par",
+                ("--engine", "parity")) == 0
+    sub = "theta-case/run-R1-N16x16-dt0_01-T0_05-theta0_5"
+    for csv in ("probe.csv", "energy.csv", "iterations.csv"):
+        fa = (tmp_path / "fast" / sub / csv).read_text()
+        pa = (tmp_path / "par" / sub / csv).read_text()
+        assert fa == pa, csv
+
+
+def test_cli_engine_auto_routes_and_falls_back(tmp_path, capsys):
+    from tpuwave.cli import newmark as cli_newmark
+    case = driven_case(**{"T": "0.03"})
+    path = _write(tmp_path, case)
+    assert _cli(cli_newmark.main, path, tmp_path, "a") == 0
+    # auto on an ineligible (P2) problem silently falls back to parity
+    path2 = _write(tmp_path, driven_case(R="2", T="0.03"), "p2.json")
+    assert _cli(cli_newmark.main, path2, tmp_path, "b") == 0
+    # explicit --engine fast on the P2 problem is a hard error
+    assert _cli(cli_newmark.main, path2, tmp_path, "c",
+                ("--engine", "fast")) == 1

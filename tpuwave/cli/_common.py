@@ -43,6 +43,14 @@ def run_main(family: str, make_solver, argv=None) -> int:
                         help="capture a jax.profiler trace into this directory")
     parser.add_argument("--phase-timing", action="store_true",
                         help="print per-phase wall-clock breakdown")
+    parser.add_argument("--engine", choices=("auto", "fast", "parity"),
+                        default="auto",
+                        help="solver engine: fast = grid-stencil operators "
+                             "(structured P1 rectangle, constant C; same "
+                             "step algebra incl. driven g(t) and forcing, "
+                             "models/fast_engine.py), parity = the general "
+                             "gather-path engine, auto = fast when "
+                             "eligible else parity")
     parser.add_argument("--precond",
                         choices=["jacobi", "chebyshev", "mg", "auto"],
                         default="jacobi",
@@ -123,7 +131,24 @@ def run_main(family: str, make_solver, argv=None) -> int:
     try:
         disc = make_discretization(
             params, unstructured_sharding=args.unstructured_sharding)
-        solver = make_solver(disc, precond=args.precond)
+        solver = None
+        if args.engine in ("auto", "fast"):
+            from tpuwave.models.fast_engine import (
+                fast_engine_ineligible_reason, make_fast_solver)
+            reason = fast_engine_ineligible_reason(disc)
+            if reason is None:
+                solver = make_fast_solver(disc, family, precond=args.precond)
+                if primary:
+                    print("  Engine: fast (grid-stencil)")
+            elif args.engine == "fast":
+                print(f"--engine fast unavailable for this problem: {reason}"
+                      "\nHint: use --engine auto (falls back to the parity "
+                      "engine) or --engine parity.", file=sys.stderr)
+                return 1
+            elif primary:
+                print(f"  Engine: parity (fast engine ineligible: {reason})")
+        if solver is None:
+            solver = make_solver(disc, precond=args.precond)
         cfg = RunConfig(results_root=args.results_root,
                         mesh_root=args.mesh_root, quiet=args.quiet,
                         checkpoint_every=args.checkpoint_every,

@@ -333,12 +333,36 @@ class FastWaveSolver:
     # leapfrog (two-array) explicit path — same trajectory as the lumped
     # Newmark beta=0 path, minimal HBM traffic
     # ------------------------------------------------------------------
-    def initial_leapfrog_state(self, u0_fn, v0_fn=None) -> LeapfrogState:
+    def initial_leapfrog_state(self, u0_fn, v0_fn=None, f_fn=None,
+                               g_fn=None) -> LeapfrogState:
         """(u^1, u^0): the first step is taken via the 3-array scheme so the
-        trajectory matches the Newmark path bit-for-bit from step 2 on."""
-        st = self.initial_state(u0_fn, v0_fn)
-        st1 = self._explicit_step(st)
-        return LeapfrogState(u=st1.u, u_prev=st.u)
+        trajectory matches the Newmark path bit-for-bit from step 2 on.
+
+        Optional ``f_fn`` makes the start forcing-aware (consistent load in
+        a^0 and the half-step, reference WaveNewmark.cpp:298-343 — without
+        it a strong forcing costs one order in an MMS test); optional
+        ``g_fn`` pins u^1 boundary data at t = dt.
+        """
+        if f_fn is None and g_fn is None:
+            st = self.initial_state(u0_fn, v0_fn)
+            st1 = self._explicit_step(st)
+            return LeapfrogState(u=st1.u, u_prev=st.u)
+        dt = self.dt
+        xs, ys = self.grid_coords()
+        u0 = jnp.asarray(u0_fn(xs, ys), dtype=self.dtype)
+        v0 = (jnp.zeros(self.shape, self.dtype) if v0_fn is None
+              else jnp.asarray(v0_fn(xs, ys), dtype=self.dtype))
+        rhs = -self._stiff_diff(u0)
+        if f_fn is not None:
+            rhs = rhs + self.grid_load(f_fn, 0.0)
+        a0 = jnp.where(self.boundary, 0.0, rhs * self.inv_lumped)
+        u1 = u0 + dt * v0 + (0.5 * dt * dt) * a0
+        if g_fn is None:
+            u1 = jnp.where(self.boundary, 0.0, u1)
+        else:
+            gv = jnp.asarray(g_fn(xs, ys, dt), self.dtype)
+            u1 = jnp.where(self.boundary, jnp.broadcast_to(gv, u1.shape), u1)
+        return LeapfrogState(u=u1.astype(self.dtype), u_prev=u0)
 
     def leapfrog_step(self, state: LeapfrogState) -> LeapfrogState:
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
@@ -353,35 +377,98 @@ class FastWaveSolver:
     # pinned directly each step — enables production runs of driven
     # problems like the sine-membrane preset on the fast path
     # ------------------------------------------------------------------
-    def leapfrog_step_driven(self, state: LeapfrogState, t, g_fn) -> LeapfrogState:
+    def leapfrog_step_driven(self, state: LeapfrogState, t, g_fn,
+                             f_fn=None) -> LeapfrogState:
         """One leapfrog step with u|dOmega = g_fn(x, y, t) at the NEW time.
 
         Interior recurrence identical to leapfrog_step; boundary nodes are
         pinned to g (the theta-family convention, exact boundary tracking).
-        ``t`` is the time being stepped TO (t^{n+1}).
+        ``t`` is the time being stepped TO (t^{n+1}). Optional ``f_fn``
+        adds the quadrature-consistent forcing load F(t^n) (the semi-
+        discrete recurrence reads M a^n = F^n - K u^n, so f acts at the
+        FROM time t - dt; :meth:`grid_load`).
         """
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
         u, u_prev = state
-        u_next = 2.0 * u - u_prev - dt2 * (self.stiff(u) * self.inv_lumped)
+        accel = -self.stiff(u) * self.inv_lumped
+        if f_fn is not None:
+            accel = accel + self.grid_load(f_fn, t - self.dt) * self.inv_lumped
+        u_next = 2.0 * u - u_prev + dt2 * accel
         xs, ys = self.grid_coords()
         g_vals = jnp.asarray(g_fn(xs, ys, t), self.dtype)
         u_next = jnp.where(self.boundary, g_vals, u_next).astype(self.dtype)
         return LeapfrogState(u=u_next, u_prev=u)
 
-    def run_leapfrog_driven(self, state: LeapfrogState, times,
-                            g_fn) -> LeapfrogState:
+    def run_leapfrog_driven(self, state: LeapfrogState, times, g_fn,
+                            f_fn=None) -> LeapfrogState:
         """Scan over explicit time stamps (accumulated like the reference
-        loop) with the driven boundary."""
+        loop) with the driven boundary (and optional consistent forcing)."""
         times = jnp.asarray(times, self.dtype)
 
         def step(carry_t):
             st, idx = carry_t
-            st = self.leapfrog_step_driven(st, times[idx], g_fn)
+            st = self.leapfrog_step_driven(st, times[idx], g_fn, f_fn)
             return (st, idx + 1)
 
-        runner = cached_scan(self, ("lf_driven", id(g_fn), len(times)),
-                             step, len(times))
+        runner = cached_scan(self, ("lf_driven", id(g_fn), id(f_fn),
+                                    len(times)), step, len(times))
         out, _ = runner((state, jnp.asarray(0, jnp.int32)))
+        return out
+
+    # ------------------------------------------------------------------
+    # quadrature-consistent load: L_i = sum_T det w_q phi_i(q) f(x_Tq)
+    # by the assembly (r+1) rule — the grid counterpart of the reference's
+    # per-step forcing cell loop (WaveTheta.cpp:164-172), replacing the
+    # earlier vertex-lumped approximation (a different accuracy class for
+    # rough f). Six f evaluations on (ny, nx) planes with iota-generated
+    # coordinates + 18 shifted adds, all fused by XLA; jit-traceable in t.
+    # ------------------------------------------------------------------
+    def _load_data(self):
+        try:
+            return self.__load_cache
+        except AttributeError:
+            pass
+        from tpuwave.ops.stencil import P1_CLASS_CORNERS
+        quad = gauss_simplex(2)
+        sh = self.space.shape_at(quad)
+        vals = np.asarray(sh.values)                    # (Q, 3)
+        ref = np.asarray(quad.points)                   # (Q, 2)
+        frac = np.empty((2, len(ref), 2))
+        for k in range(2):
+            c0, c1, c2_ = (np.asarray(c, float) for c in P1_CLASS_CORNERS[k])
+            frac[k] = (c0[None]
+                       + ref[:, 0:1] * (c1 - c0)[None]
+                       + ref[:, 1:2] * (c2_ - c0)[None])
+        self.__load_cache = (vals, frac, np.asarray(quad.weights),
+                             float(self.mesh.det_j))
+        return self.__load_cache
+
+    def grid_load(self, f_fn, t):
+        """Consistent P1 load vector on the (ny+1, nx+1) vertex grid.
+
+        ``f_fn(x, y, t)`` is evaluated at the 2x3 assembly quadrature
+        points of every triangle; contributions scatter to the three
+        incident vertices by slice-adds (exact everywhere, including
+        boundary rows — no roll wrap involved).
+        """
+        from tpuwave.ops.stencil import P1_CLASS_CORNERS
+        vals, frac, w, det = self._load_data()
+        ny, nx = self.mesh.ny, self.mesh.nx
+        (x0, y0) = self.mesh.origin
+        hx, hy = self.mesh.hx, self.mesh.hy
+        ix = jax.lax.broadcasted_iota(self.dtype, (ny, nx), 1)
+        iy = jax.lax.broadcasted_iota(self.dtype, (ny, nx), 0)
+        out = jnp.zeros(self.shape, self.dtype)
+        for k in range(2):
+            for q in range(frac.shape[1]):
+                fx, fy = float(frac[k, q, 0]), float(frac[k, q, 1])
+                fv = jnp.broadcast_to(jnp.asarray(
+                    f_fn(x0 + (ix + fx) * hx, y0 + (iy + fy) * hy, t),
+                    self.dtype), (ny, nx))
+                for a in range(3):
+                    ox, oy = P1_CLASS_CORNERS[k][a]
+                    out = out.at[oy:oy + ny, ox:ox + nx].add(
+                        (det * float(w[q]) * float(vals[q, a])) * fv)
         return out
 
     def leapfrog_velocity(self, state_next: LeapfrogState,
@@ -461,7 +548,9 @@ class FastWaveSolver:
         stiffness is evaluated at the time being stepped FROM (``t`` =
         t^n; the state lands at t^n + dt). Optional ``g_fn`` pins
         time-dependent Dirichlet data at t^{n+1}; optional ``f_fn`` adds
-        nodal forcing (lumped load: f interpolated at the vertices).
+        the quadrature-consistent forcing load F(t^n) assembled by the
+        r+1 rule (:meth:`grid_load` — same accuracy class as the
+        reference's per-step forcing cell loop, WaveTheta.cpp:164-172).
         """
         from tpuwave.ops.stencil import apply_varcoef_planes
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
@@ -470,10 +559,7 @@ class FastWaveSolver:
         ku = apply_varcoef_planes(planes, u)
         accel = -ku * self.inv_lumped
         if f_fn is not None:
-            # lumped load: M_L^-1 (M_L f(x_i)) = nodal f values
-            xs, ys = self.grid_coords()
-            fv = jnp.asarray(f_fn(xs, ys, t), self.dtype)
-            accel = accel + jnp.broadcast_to(fv, u.shape)
+            accel = accel + self.grid_load(f_fn, t) * self.inv_lumped
         u_next = 2.0 * u - u_prev + dt2 * accel
         if g_fn is None:
             u_next = jnp.where(self.boundary, 0.0, u_next)
@@ -492,6 +578,12 @@ class FastWaveSolver:
         The whole scan is jitted and cached per (n_steps, c_fn, g_fn,
         f_fn): an un-jitted ``lax.scan`` leaves the per-step planes
         unfused (measured 27.8 ms vs 1.6 ms per 2048^2 step on the chip).
+
+        Cache hits require STABLE function objects: pass the same
+        c_fn/g_fn/f_fn callables across calls (module-level functions or
+        closures held by the caller), not fresh lambdas — a new lambda is
+        a new key and recompiles. The cache keeps only the most recent
+        few entries so fresh-lambda callers cannot grow it without bound.
         """
         times = jnp.asarray(times, self.dtype)
         key = ("tdep", int(times.shape[0]), c_fn, g_fn, f_fn)
@@ -500,6 +592,8 @@ class FastWaveSolver:
             cache = self._tdep_scan_cache = {}
         run = cache.get(key)
         if run is None:
+            while len(cache) >= 4:  # evict oldest compiled scans
+                cache.pop(next(iter(cache)))
             n = int(times.shape[0])
 
             @jax.jit

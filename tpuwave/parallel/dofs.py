@@ -95,15 +95,20 @@ def build_dof_plan(cell_dofs, n_dofs: int, centroid_y,
     order = np.argsort(cy, kind="stable")
     band_cells = np.array_split(order, n_bands)
 
-    counts = np.zeros((n_dofs, n_bands), dtype=np.int32)
-    for b, idx in enumerate(band_cells):
-        np.add.at(counts[:, b], cells[idx].ravel(), 1)
-    touched = counts > 0
-    band_ids = np.arange(n_bands)[None, :]
+    # streaming min/max touch per DoF: one O(n_dofs) bool scratch reused
+    # per band instead of a dense (n_dofs, n_bands) counts matrix — host
+    # memory stays O(n_dofs) however many bands the HBM-limited meshes
+    # this engine serves are split into
     big = n_bands + 1
-    min_touch = np.min(np.where(touched, band_ids, big), axis=1)
-    max_touch = np.max(np.where(touched, band_ids, -1), axis=1)
-    untouched = ~touched.any(axis=1)
+    min_touch = np.full(n_dofs, big, dtype=np.int64)
+    max_touch = np.full(n_dofs, -1, dtype=np.int64)
+    touched_b = np.empty(n_dofs, dtype=bool)
+    for b, idx in enumerate(band_cells):
+        touched_b[:] = False
+        touched_b[cells[idx].ravel()] = True
+        np.minimum(min_touch, np.where(touched_b, b, big), out=min_touch)
+        np.maximum(max_touch, np.where(touched_b, b, -1), out=max_touch)
+    untouched = max_touch < 0
     min_touch[untouched] = 0
     max_touch[untouched] = 0
     # owner = middle of the touching range: a DoF touched by bands
@@ -209,14 +214,16 @@ class ShardedDofOperator:
         if _presharded:
             af = a_full
         else:
-            af = np.asarray(a_full)
-            nloc = af.shape[-1]
-            # permute cells into band order; -1 pads become zero matrices
+            src = np.asarray(a_full)
+            # permute cells into band order; -1 pads become zero matrices.
+            # Built directly in the target dtype (one permuted copy, no
+            # np.where broadcast temp) — the single copy is what
+            # device_put needs to ship band-contiguous data anyway.
             perm = plan.cell_perm
-            af = np.where((perm >= 0)[:, None, None],
-                          af[np.clip(perm, 0, None)],
-                          np.zeros((1, nloc, nloc), af.dtype))
-            af = jax.device_put(jnp.asarray(af, dtype=dtype),
+            af = np.asarray(src[np.clip(perm, 0, None)],
+                            dtype=np.dtype(dtype))
+            af[perm < 0] = 0.0
+            af = jax.device_put(jnp.asarray(af),
                                 NamedSharding(mesh, P(ax, None, None)))
         self.a_full = af
         self.n_local = int(af.shape[-1])
