@@ -155,6 +155,96 @@ def check_fwi_fwd_adjoint():
     return max(err_fwd, err_val, _maxerr(g_pal, g_ref))
 
 
+def check_mg_pallas_newmark():
+    """PallasGmg fine level + the fused newmark_rhs_r0 / newmark_update
+    solve-setup kernels (run_implicit_mg_pallas, Newmark-AA)."""
+    from tpuwave.models.fast import FastWaveSolver
+    s = FastWaveSolver((96, 96), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                       scheme="newmark", beta=0.25, gamma=0.5,
+                       lumped=False, dtype=jnp.float32)
+    st = s.initial_state(u0)
+    want = s.run_implicit_mg(st, 8)
+    got = s.run_implicit_mg_pallas(st, 8, block_rows=16,
+                                   interpret=INTERPRET)
+    return _maxerr(got.u, want.u)
+
+
+def check_mg_pallas_theta():
+    """theta_r0u / theta_r0v fused setup kernels + PallasGmg on the
+    theta family (run_implicit_mg_pallas, CN)."""
+    from tpuwave.models.fast import FastWaveSolver
+    s = FastWaveSolver((96, 96), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                       scheme="theta", theta=0.5, lumped=False,
+                       dtype=jnp.float32)
+    st = s.initial_state(u0)
+    want = s.run_implicit_mg(st, 8)
+    got = s.run_implicit_mg_pallas(st, 8, block_rows=16,
+                                   interpret=INTERPRET)
+    return _maxerr(got.u, want.u)
+
+
+def check_implicit_2term():
+    """recurrence_r0 fused setup + constrained apply + PallasGmg on the
+    displacement-form path (run_implicit_mg_2term)."""
+    from tpuwave.models.fast import FastWaveSolver
+    s = FastWaveSolver((96, 96), ((0.0, 0.0), (1.0, 1.0)), 0.01,
+                       scheme="newmark", beta=0.25, gamma=0.5,
+                       lumped=False, dtype=jnp.float32)
+    st = s.initial_state_consistent(u0)
+    pair = s.implicit_2term_init(st)
+    want = s.run_implicit_mg_2term(pair, 8, pallas=False)
+    got = s.run_implicit_mg_2term(pair, 8, pallas=True, block_rows=16,
+                                  interpret=INTERPRET)
+    return max(_maxerr(got.u, want.u), _maxerr(got.u_prev, want.u_prev))
+
+
+def check_fwi_ring_sponge():
+    """Ring boundary-save multistep + damped (sponge) varcoef kernels:
+    the fused reversal-adjoint storage flavour (ops/pallas_varcoef.py)."""
+    from tpuwave.models.inverse import FwiProblem
+
+    def prob(engine):
+        return FwiProblem((48, 40), ((0.0, 0.0), (1.0, 1.0)), 2e-3, 96,
+                          source=(0.45, 0.55),
+                          receivers=[(0.4, 0.45), (0.55, 0.62)],
+                          dtype=jnp.float32, engine=engine,
+                          adjoint="reversal", sponge_width=0.15,
+                          boundary_save="ring", pallas_block_rows=16,
+                          pallas_steps_per_call=8,
+                          pallas_interpret=INTERPRET)
+
+    ref, pal = prob("stencil"), prob("pallas")
+    rng = np.random.default_rng(1)
+    c2_true = jnp.asarray(1.0 + 0.3 * rng.random(ref.n_cells),
+                          dtype=jnp.float32)
+    obs = ref.simulate(c2_true)
+    err_fwd = _maxerr(pal.simulate(c2_true), obs)
+    c2_init = jnp.ones(ref.n_cells, jnp.float32)
+    v_ref, g_ref = jax.value_and_grad(ref.misfit)(c2_init, obs)
+    v_pal, g_pal = jax.value_and_grad(pal.misfit)(c2_init, obs)
+    err_val = abs(float(v_pal) - float(v_ref)) / max(1e-30, abs(float(v_ref)))
+    return max(err_fwd, err_val, _maxerr(g_pal, g_ref))
+
+
+def check_tdep_leapfrog():
+    """Time-dependent-C leapfrog (in-scan varcoef plane rebuild,
+    models/fast.py::run_leapfrog_tdep). XLA path, certified ON CHIP: a
+    time-constant c must reproduce the constant-stencil scan exactly up
+    to f32 reassociation noise."""
+    from tpuwave.models.fast import FastWaveSolver
+    s = FastWaveSolver((127, 127), ((0.0, 0.0), (1.0, 1.0)), 1e-3,
+                       beta=0.0, dtype=jnp.float32)
+    lf = s.initial_leapfrog_state(u0)
+    want = s.run_leapfrog_scan(lf, 32)
+
+    def c_fn(xs, ys, t):
+        return jnp.ones_like(xs)
+
+    times = 1e-3 * (1.0 + jnp.arange(32, dtype=jnp.float32))
+    got = s.run_leapfrog_tdep(lf, times, c_fn)
+    return max(_maxerr(got.u, want.u), _maxerr(got.u_prev, want.u_prev))
+
+
 CHECKS = [
     # (name, fn, relative tolerance)  -- f32 stencil trajectories accumulate
     # O(n_steps * eps) reassociation noise; tolerances sized accordingly
@@ -162,8 +252,13 @@ CHECKS = [
     ("leapfrog_multistep_k32", check_leapfrog_k32, 2e-4),
     ("implicit_cg_constrained_apply", check_implicit_cg, 2e-3),
     ("implicit_chebyshev_block", check_implicit_cheby, 2e-3),
+    ("mg_pallas_newmark_r0_update", check_mg_pallas_newmark, 2e-3),
+    ("mg_pallas_theta_r0u_r0v", check_mg_pallas_theta, 2e-3),
+    ("implicit_2term_recurrence_r0", check_implicit_2term, 2e-3),
     ("p2_canvas_constrained_apply", check_p2_canvas, 5e-4),
     ("fwi_varcoef_fwd_adjoint", check_fwi_fwd_adjoint, 5e-3),
+    ("fwi_ring_sponge_multistep", check_fwi_ring_sponge, 5e-3),
+    ("tdep_varcoef_leapfrog", check_tdep_leapfrog, 2e-5),
 ]
 
 

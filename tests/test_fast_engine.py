@@ -175,10 +175,50 @@ def test_ineligible_reasons():
         Discretization(load_params(driven_case()))) is None
     p2 = Discretization(load_params(driven_case(R="2")))
     assert "P1" in fast_engine_ineligible_reason(p2)
+    # spatially varying c IS eligible (static varcoef planes)
     varc = Discretization(load_params(driven_case(
         C={"Function expression": "1.0 + 0.5*x",
            "Variable names": "x, y, t"})))
-    assert "constant" in fast_engine_ineligible_reason(varc)
+    assert fast_engine_ineligible_reason(varc) is None
+
+
+@pytest.mark.parametrize("fam", ["theta", "newmark"])
+def test_varcoef_matches_parity(fam):
+    """Spatially varying c on the fast engine (static 9-plane operator):
+    same element algebra as the parity assembly -> f64 agreement."""
+    case = driven_case(C={"Function expression": "1.0 + 0.5*x + 0.25*y*y",
+                          "Variable names": "x, y, t"})
+    p = load_params(case)
+    d = Discretization(p)
+    if fam == "theta":
+        ref, fast = ThetaSolver(d), FastThetaSolver(d)
+    else:
+        ref, fast = NewmarkSolver(d), FastNewmarkSolver(d)
+    st_r, info_r = _run(ref, p)
+    st_f, info_f = _run(fast, p)
+    assert float(jnp.linalg.norm(st_r.u - st_f.u)) \
+        < 1e-11 * float(jnp.linalg.norm(st_r.u))
+    assert int(info_r["iterations_1"]) == int(info_f["iterations_1"])
+
+
+@pytest.mark.parametrize("fam", ["theta", "newmark"])
+def test_tdep_matches_parity(fam):
+    """`Time Dependent C` on the fast engine: per-step plane rebuild
+    inside the jitted step (theta carries K(t^n) scales) — matches the
+    parity engine's per-step operator rebuild to f64 tolerance."""
+    from tests.test_tdep_c import tdep_case
+    p = load_params(tdep_case(Dt="0.02", T="0.1"))
+    d = Discretization(p)
+    if fam == "theta":
+        ref, fast = ThetaSolver(d), FastThetaSolver(d)
+    else:
+        ref, fast = NewmarkSolver(d), FastNewmarkSolver(d)
+    st_r, _ = _run(ref, p)
+    st_f, _ = _run(fast, p)
+    assert float(jnp.linalg.norm(st_r.u - st_f.u)) \
+        < 1e-10 * float(jnp.linalg.norm(st_r.u))
+    # MMS accuracy carried over (Nel=16 discretisation error ~8e-3)
+    assert float(d.errors(st_f.u, p.t_final)[2]) < 2e-2
 
 
 # ---------------------------------------------------------------------------

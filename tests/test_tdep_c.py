@@ -176,15 +176,28 @@ def test_tdep_end_to_end_unstructured(tmp_path):
     assert r.rel_l2 < 0.02
 
 
-def test_mg_precond_rejected():
-    # mg setup is static (built once from K(0)); only jacobi/chebyshev
-    # re-bound the changing operator per step
-    p = load_params(tdep_case())
-    d = Discretization(p)
-    with pytest.raises(ValueError):
-        ThetaSolver(d, precond="mg")
-    with pytest.raises(ValueError):
-        NewmarkSolver(d, precond="mg")
+def test_mg_precond_frozen_hierarchy():
+    """mg with `Time Dependent C`: the V-cycle hierarchy is frozen at the
+    t=0 rms wave speed. A fixed SPD preconditioner is VALID for the
+    per-step-varying SPD system (CG re-converges every solve; only
+    iteration counts drift with |c(t) - c_ref|) — trajectories match the
+    jacobi path to solver tolerance."""
+    p = load_params(tdep_case(Dt="0.02", T="0.1"))
+    for cls in (ThetaSolver, NewmarkSolver):
+        d = Discretization(p)
+        s_j = cls(d, precond="jacobi")
+        s_m = cls(d, precond="mg")
+        st_j, info_j = s_j.initial_state(), None
+        st_m, info_m = s_m.initial_state(), None
+        t = 0.0
+        while t < p.t_final - 1e-12:
+            t += p.dt
+            st_j, info_j = s_j.step(st_j, t)
+            st_m, info_m = s_m.step(st_m, t)
+        nu = float(np.linalg.norm(np.asarray(st_j.u)))
+        assert float(np.linalg.norm(np.asarray(st_j.u - st_m.u))) < 1e-8 * nu
+        # the frozen V-cycle still converges the drifting system promptly
+        assert int(info_m["iterations_1"]) <= int(info_j["iterations_1"]) + 5
 
 
 def test_chebyshev_precond_matches_jacobi():
@@ -361,3 +374,72 @@ def test_tdep_unstructured_chebyshev_sharded():
         sc, _ = che.step(sc, t)
     np.testing.assert_allclose(np.asarray(sc.u), np.asarray(sj.u),
                                rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# fast P2: variable-coefficient block-stencil (round-3 tdep matrix closure)
+# ---------------------------------------------------------------------------
+
+def test_p2_varcoef_stencil_matches_parity_operator():
+    """P2VarcoefStencil with c frozen at t* applies the SAME matrix as the
+    parity P2 assembly (Discretization.stiffness_at) — column-by-column
+    dense comparison on a tiny mesh."""
+    import jax.numpy as jnp
+    from tpuwave.models.fast_p2 import P2FastSolver
+
+    case = standing_mode(Nel="4,3", R="2",
+                         **{"C": {"Function expression": "1 + 0.4*x*sin(t) + 0.2*y",
+                                  "Variable names": "x, y, t"},
+                            "Time Dependent C": "true"})
+    p = load_params(case)
+    d = Discretization(p)
+    s = P2FastSolver((4, 3), p.geometry, p.dt, scheme="newmark",
+                     dtype=jnp.float64)
+    k_fast = s._stiff_at(p.c.evaluate, 0.7)
+    dense_ref = np.asarray(d.stiffness_at(0.7).to_dense())
+    n = d.n_dofs
+    cols = []
+    for j in range(n):
+        e = jnp.zeros(n, jnp.float64).at[j].set(1.0)
+        cols.append(np.asarray(k_fast(e)))
+    dense_fast = np.stack(cols, axis=1)
+    np.testing.assert_allclose(dense_fast, dense_ref, rtol=1e-12,
+                               atol=1e-13)
+    # exact assembled diagonal too
+    np.testing.assert_allclose(np.asarray(k_fast.diagonal()),
+                               np.diag(dense_ref), rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("scheme", ["newmark", "theta"])
+def test_p2_fast_tdep_matches_parity(scheme):
+    """P2 fast tdep stepping == parity tdep engine to f64 CG tolerance on
+    the homogeneous MMS case."""
+    import jax.numpy as jnp
+    from tpuwave.models.fast_p2 import P2FastSolver
+
+    case = tdep_case(Nel="8", R="2", Dt="0.02", T="0.08",
+                     F={"Function expression": "0.0",
+                        "Variable names": "x, y, t"})
+    case.pop("Solution")
+    p = load_params(case)
+    d = Discretization(p)
+    ref = (NewmarkSolver if scheme == "newmark" else ThetaSolver)(d)
+    st_r, t = ref.initial_state(), 0.0
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        st_r, _ = ref.step(st_r, t)
+
+    s = P2FastSolver((8, 8), p.geometry, p.dt, scheme=scheme,
+                     beta=p.beta, gamma=p.gamma, theta=p.theta,
+                     dtype=jnp.float64)
+    u0 = p.u0
+    st = s.initial_state_tdep(
+        lambda xs, ys: u0.evaluate(xs, ys, 0.0), p.c.evaluate)
+    times = []
+    t = 0.0
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        times.append(t)
+    st = s.run_scan_tdep(st, times, p.c.evaluate)
+    nu = float(np.linalg.norm(np.asarray(st_r.u)))
+    assert float(np.linalg.norm(np.asarray(st.u - st_r.u))) < 1e-9 * nu

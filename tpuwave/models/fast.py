@@ -516,9 +516,12 @@ class FastWaveSolver:
             float(self.mesh.det_j))
         return self.__tdep_cache
 
-    def _tdep_planes(self, c_fn, t):
-        from tpuwave.ops.stencil import assemble_varcoef_planes
-        g_class, frac, w, det = self._tdep_data()
+    def _tdep_scales(self, c_fn, t):
+        """(ny, nx, 2) per-triangle scales det * sum_q w_q c^2(x_q, t):
+        the compact payload from which the varcoef planes are assembled
+        (carried across steps by the tdep engines — array form, so it is
+        also checkpoint-safe)."""
+        _, frac, w, det = self._tdep_data()
         ny, nx = self.mesh.ny, self.mesh.nx
         (x0, y0), _ = self.mesh.geometry
         hx, hy = self.mesh.hx, self.mesh.hy
@@ -538,7 +541,16 @@ class FastWaveSolver:
             sk = det * acc                              # (ny, nx)
             s = sk[..., None] if s is None else jnp.concatenate(
                 [s, sk[..., None]], axis=-1)
-        return assemble_varcoef_planes(s, g_class, ny, nx, self.dtype)
+        return s
+
+    def _planes_from_scales(self, s):
+        from tpuwave.ops.stencil import assemble_varcoef_planes
+        g_class = self._tdep_data()[0]
+        return assemble_varcoef_planes(s, g_class, self.mesh.ny,
+                                       self.mesh.nx, self.dtype)
+
+    def _tdep_planes(self, c_fn, t):
+        return self._planes_from_scales(self._tdep_scales(c_fn, t))
 
     def leapfrog_step_tdep(self, state: LeapfrogState, t, c_fn,
                            g_fn=None, f_fn=None) -> LeapfrogState:

@@ -13,12 +13,23 @@ time-dependent g (reference solve_u/solve_v WaveTheta.cpp:251-339), the
 derived acceleration boundary formulas (WaveNewmark.cpp:177-262), the
 theta-weighted quadrature-consistent forcing (WaveTheta.cpp:119-186), the
 consistent a0 solve (WaveNewmark.cpp:298-390), and the same
-ReductionControl stopping contract — but on the constant 7-point grid
-stencils of ops/stencil.py instead of the gather -> batched-matvec ->
-segment_sum path (measured ~11x faster per operator apply). Driven
-presets (sine-membrane, oscillating-boundary, square-pulsing) therefore
-run at grid-stencil speed with trajectories matching the parity engine to
-solver tolerance.
+ReductionControl stopping contract — but on grid-plane operators instead
+of the gather -> batched-matvec -> segment_sum path (measured ~11x faster
+per operator apply). Driven presets (sine-membrane, oscillating-boundary,
+square-pulsing) therefore run at grid-stencil speed with trajectories
+matching the parity engine to solver tolerance.
+
+Wave-speed coverage (the full reference problem class):
+
+* constant c          -> constant 7-point stencils (ops/stencil.py)
+* spatially varying c -> static variable-coefficient 9-plane operator
+                         (assemble_varcoef_planes; identical element
+                         algebra to the parity assembly — per-class G
+                         scaled by det sum_q w_q c^2(x_q))
+* `Time Dependent C`  -> the planes are rebuilt from c(x, y, t) INSIDE
+                         the jitted step; the theta family carries the
+                         K(t^n) planes across steps (one build per step,
+                         mirroring models/theta.py's payload carry)
 
 State vectors stay FLAT (n_dofs,) so the run driver's diagnostics/IO
 (models/runner.py, via the parity ``Discretization``) work unchanged; the
@@ -28,7 +39,7 @@ DoF numbering is row-major over the grid, core/mesh.py:12).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,16 +57,27 @@ class FastGridState(NamedTuple):
     u: jax.Array   # flat (n_dofs,)
     v: jax.Array
     a: jax.Array   # consistent acceleration (Newmark); zeros for theta
+    #: K(t^n) varcoef scale array (ny, nx, 2) carried across steps under
+    #: `Time Dependent C` (theta family only; None otherwise) — mirrors
+    #: ThetaState.k_payload; array form keeps it checkpoint-safe
+    k_payload: Optional[jax.Array] = None
+
+
+class _Op(NamedTuple):
+    """Grid operator triple: apply(u), assembled diagonal (scalar or
+    plane), and an upper eigenvalue bound (for the f32 backward-error
+    stopping floor and Chebyshev)."""
+    apply: Callable
+    diag: Any
+    lam_hi: Any
 
 
 def fast_engine_ineligible_reason(disc) -> Optional[str]:
-    """None when ``disc`` can run on the grid-stencil engine, else why not.
-
-    Eligibility = the compile-time-constant-stencil set: structured
-    rectangle triangulation, P1 elements, spatially-and-temporally
-    constant wave speed (`Time Dependent C` runs route to the parity
-    engine, whose per-step operator rebuild supports them).
-    """
+    """None when ``disc`` can run on the grid-stencil engine, else why
+    not. Eligibility = structured rectangle triangulation with P1
+    elements; the wave speed may be constant, spatially varying, or
+    (with `Time Dependent C`) time-dependent — each maps to a grid-plane
+    operator form (module docstring)."""
     from tpuwave.core.mesh import StructuredTriMesh
     p = disc.params
     if type(disc) is not Discretization or \
@@ -63,11 +85,6 @@ def fast_engine_ineligible_reason(disc) -> Optional[str]:
         return "mesh is not a generated structured rectangle"
     if p.r != 1:
         return f"fast engine is P1-only (R = {p.r})"
-    if p.c.constant_value is None:
-        return "wave speed C is not a constant expression"
-    if p.time_dependent_c:
-        return "Time Dependent C needs the per-step operator rebuild of " \
-               "the parity engine"
     if min(p.nel) < 2:
         return "mesh has no interior band (Nel < 2)"
     return None
@@ -96,8 +113,17 @@ class _FastEngineBase(ScanMixin):
         self.disc = disc
         p = disc.params
         self.dt = p.dt
+        c_const = p.c.constant_value
+        self.time_dep_c = p.time_dependent_c and p.c.time_dependent
+        if self.time_dep_c:
+            self._c_mode = "tdep"
+        elif c_const is None:
+            self._c_mode = "varcoef"
+        else:
+            self._c_mode = "const"
         self.fs = FastWaveSolver(
-            p.nel, p.geometry, p.dt, c=float(p.c.constant_value),
+            p.nel, p.geometry, p.dt,
+            c=1.0 if c_const is None else float(c_const),
             scheme=self.method_name, beta=p.beta, gamma=p.gamma,
             theta=p.theta, lumped=False, dtype=disc.dtype)
         fs = self.fs
@@ -108,36 +134,105 @@ class _FastEngineBase(ScanMixin):
         self._g = p.g
         self._dgdt = p.dgdt
         self._f = p.f if not p.f.is_zero else None
+        self._c_eval = p.c.evaluate
 
-        # preconditioner for the implicit system (M + coef K); the theta
-        # v-system is the bare mass — mesh-independent conditioning,
-        # Jacobi always (models/fast.py::_theta_step note)
-        coef = (p.beta * p.dt * p.dt if self.method_name == "newmark"
-                else (p.theta * p.dt) ** 2)
+        #: system coefficient: M + coef * K
+        self.coef = (p.beta * p.dt * p.dt if self.method_name == "newmark"
+                     else (p.theta * p.dt) ** 2)
+
+        from tpuwave.solve.cheby_iter import stencil_symbol_bounds
+        self._mass_op = _Op(fs.mass, fs.mass.stencil[1][1],
+                            stencil_symbol_bounds(fs.mass.stencil)[1])
+        if self._c_mode == "const":
+            self._k_static = _Op(fs.stiff, fs.stiff.stencil[1][1],
+                                 stencil_symbol_bounds(fs.stiff.stencil)[1])
+        elif self._c_mode == "varcoef":
+            # static 9-plane operator, built once (concrete device arrays)
+            self._k_static = self._k_from_scales(
+                fs._tdep_scales(self._c_eval, 0.0))
+        else:
+            self._k_static = None   # rebuilt per step from c(x, y, t)
+
+        # preconditioner for the implicit system; the theta v-system is
+        # the bare mass — mesh-independent conditioning, Jacobi always
+        # (models/fast.py::_theta_step note)
         if precond == "auto":
             from tpuwave.solve.multigrid import auto_precond
-            precond = auto_precond(disc, coef)
+            precond = auto_precond(disc, self.coef)
         self.precond = precond
-        if precond == "jacobi":
-            self._prec_sys = 1.0 / fs.system.stencil[1][1]
-        elif precond == "mg":
-            self._prec_sys = fs.gmg_preconditioner()
-        elif precond == "chebyshev":
-            # AMG stand-in with the ANALYTIC stencil-symbol bound for
-            # lambda_max(D^-1 A) (solve/cheby_iter.py) — no power
-            # iteration needed on the constant stencil
-            from tpuwave.solve.chebyshev import ChebyshevPreconditioner
-            from tpuwave.solve.cheby_iter import stencil_symbol_bounds
-            hi = stencil_symbol_bounds(fs.system.stencil)[1]
-            diag = fs.system.stencil[1][1]
-            self._prec_sys = ChebyshevPreconditioner(
-                fs.system, jnp.asarray(diag, self.dtype),
-                lambda_max=hi / diag, degree=cheby_degree)
+        self.cheby_degree = int(cheby_degree)
+        if precond == "mg":
+            # geometric V-cycle. Non-constant / time-dependent c freezes
+            # the hierarchy at the rms wave speed (a FIXED SPD V-cycle
+            # stays a valid CG preconditioner for a varying SPD system —
+            # models/theta.py frozen-coefficient note)
+            from tpuwave.solve.multigrid import gmg_for_system
+            if c_const is None:
+                from tpuwave.models.theta import _frozen_c_ref
+                c_ref = _frozen_c_ref(disc)
+            else:
+                c_ref = float(c_const)
+            self._prec_sys = gmg_for_system(
+                (fs.mesh.nx, fs.mesh.ny), fs.mesh.geometry, c_ref,
+                self.coef)
+        elif precond in ("jacobi", "chebyshev"):
+            self._prec_sys = None   # derived from the (per-step) system op
         else:
             raise ValueError(f"Unknown preconditioner {precond!r}")
         self._prec_mass = 1.0 / fs.mass.stencil[1][1]
 
         self._step = jax.jit(self._step_impl)
+
+    # -- operator construction -----------------------------------------
+    def _k_from_planes(self, planes) -> _Op:
+        """Varcoef K operator from 9 coefficient planes: Gershgorin
+        majorant sum_d |w_d[I]| as the eigenvalue bound."""
+        from tpuwave.ops.stencil import apply_varcoef_planes
+
+        def apply(u, _p=planes):
+            return apply_varcoef_planes(_p, u)
+        lam_hi = sum(jnp.max(jnp.abs(w)) for w in planes.values())
+        return _Op(apply, planes[(0, 0)], lam_hi)
+
+    def _k_from_scales(self, s) -> _Op:
+        return self._k_from_planes(self.fs._planes_from_scales(s))
+
+    def _k_at(self, t) -> _Op:
+        if self._k_static is not None:
+            return self._k_static
+        return self._k_from_scales(self.fs._tdep_scales(self._c_eval, t))
+
+    def _system_of(self, k_op: _Op) -> _Op:
+        coef = self.coef
+        if coef == 0.0:   # theta = 0 / beta = 0: the system is bare mass
+            return self._mass_op
+        m = self._mass_op
+
+        def apply(u):
+            return m.apply(u) + coef * k_op.apply(u)
+        return _Op(apply, m.diag + coef * k_op.diag,
+                   m.lam_hi + coef * k_op.lam_hi)
+
+    def _sys_precond(self, sys_op: _Op):
+        """Resolve the preconditioner for (this step's) system operator."""
+        if self.precond == "mg":
+            return self._prec_sys
+        inv_diag = 1.0 / sys_op.diag
+        if self.precond == "jacobi":
+            return inv_diag
+        # chebyshev: built on the CONSTRAINED apply is unnecessary here —
+        # the symbol/Gershgorin bound majorises the constrained operator
+        # (pinned rows are pure diagonal) exactly as in models/theta.py
+        from tpuwave.solve.chebyshev import chebyshev_apply
+        apply_c = self._constrained_apply(sys_op)
+        dmin = jnp.min(jnp.asarray(sys_op.diag))
+        lmax = sys_op.lam_hi / dmin
+        deg = self.cheby_degree
+
+        def prec(r):
+            return chebyshev_apply(apply_c, inv_diag, r, lambda_max=lmax,
+                                   degree=deg)
+        return prec
 
     # -- helpers -------------------------------------------------------
     def _plane(self, expr, t):
@@ -153,34 +248,46 @@ class _FastEngineBase(ScanMixin):
         return jnp.broadcast_to(jnp.asarray(
             expr.evaluate(xs, ys, t), self.dtype), self.fs.shape)
 
-    def _constrain(self, op, rhs, g_plane, x_prev, *, g_zero: bool):
+    def _constrained_apply(self, op: _Op):
+        fs = self.fs
+
+        def apply_c(w):
+            return jnp.where(fs.interior,
+                             op.apply(jnp.where(fs.interior, w, 0.0)),
+                             op.diag * w)
+        return apply_c
+
+    def _constrain(self, op: _Op, rhs, g_plane, x_prev, *, g_zero: bool):
         """Grid-plane form of ops.operators.constrain_system (deal.II
         apply_boundary_values with eliminate_columns=true): pinned
         diagonal boundary rows, rhs lifted by -A(g 1_b), warm start with
         boundary entries set to g. ``g_zero`` statically skips the lift
         apply for homogeneous data."""
         fs = self.fs
-        diag = op.stencil[1][1]
+        apply_c = self._constrained_apply(op)
         if g_zero:
-            def apply_c(w):
-                return jnp.where(fs.interior,
-                                 op(jnp.where(fs.interior, w, 0.0)), diag * w)
             rhs_c = jnp.where(fs.interior, rhs, 0.0)
             x0 = jnp.where(fs.interior, x_prev, 0.0)
             return apply_c, rhs_c, x0
         g_ext = jnp.where(fs.boundary, g_plane, 0.0)
-
-        def apply_c(w):
-            return jnp.where(fs.interior,
-                             op(jnp.where(fs.interior, w, 0.0)), diag * w)
-        rhs_c = jnp.where(fs.interior, rhs - op(g_ext), diag * g_ext)
+        rhs_c = jnp.where(fs.interior, rhs - op.apply(g_ext),
+                          op.diag * g_ext)
         x0 = jnp.where(fs.boundary, g_ext, x_prev)
         return apply_c, rhs_c, x0
 
-    def _abs_tol(self, rhs, x0, op):
-        return self.fs._solve_abs_tol(rhs, x0, op)
+    def _abs_tol(self, rhs, x0, op: _Op):
+        """Reference 1e-12 floor in f64; backward-error floor in f32
+        (models/fast.py::_solve_abs_tol rationale), with the operator
+        bound taken from the _Op triple (symbol bound for constant
+        stencils, Gershgorin majorant for varcoef planes)."""
+        if self.dtype == jnp.float64:
+            return 1e-12
+        eta = 8 * float(jnp.finfo(self.dtype).eps)
+        return eta * (op.lam_hi * jnp.linalg.norm(x0)
+                      + jnp.linalg.norm(rhs))
 
-    def _solve(self, op, rhs, g_plane, x_prev, precond, *, g_zero: bool):
+    def _solve(self, op: _Op, rhs, g_plane, x_prev, precond, *,
+               g_zero: bool):
         apply_c, rhs_c, x0 = self._constrain(op, rhs, g_plane, x_prev,
                                              g_zero=g_zero)
         return pcg(apply_c, rhs_c, x0, precond_inv_diag=precond,
@@ -192,9 +299,10 @@ class _FastEngineBase(ScanMixin):
 
 
 class FastThetaSolver(_FastEngineBase):
-    """theta-method on the grid stencils — parity algebra of
+    """theta-method on the grid planes — parity algebra of
     models/theta.py (reference WaveTheta.cpp:119-339) at fast-path speed,
-    including time-dependent Dirichlet g and theta-weighted forcing."""
+    including time-dependent Dirichlet g, theta-weighted forcing, and
+    variable / time-dependent wave speed."""
 
     method_name = "theta"
 
@@ -206,14 +314,33 @@ class FastThetaSolver(_FastEngineBase):
         d = self.disc
         u0 = jnp.asarray(d.interpolate(d.params.u0), self.dtype)
         v0 = jnp.asarray(d.interpolate(d.params.v0), self.dtype)
-        return FastGridState(u=u0, v=v0, a=jnp.zeros_like(u0))
+        pay = (self.fs._tdep_scales(self._c_eval, 0.0)
+               if self._c_mode == "tdep" else None)
+        return FastGridState(u=u0, v=v0, a=jnp.zeros_like(u0),
+                             k_payload=pay)
 
     def _step_impl(self, state: FastGridState, t):
         fs = self.fs
         dt, th = self.dt, fs.theta
         u = state.u.reshape(fs.shape)
         v = state.v.reshape(fs.shape)
-        mu, ku, mv = fs.mass(u), fs.stiff(u), fs.mass(v)
+
+        pay_np1 = None
+        if self._c_mode == "tdep":
+            # K^n from the carried payload (built as K^{n+1} last step);
+            # K^{n+1} rebuilt from c(x, y, t) — one build per step
+            k_n = (self._k_from_scales(state.k_payload)
+                   if state.k_payload is not None
+                   else self._k_at(t - dt))
+            pay_np1 = fs._tdep_scales(self._c_eval, t)
+            k_np1 = self._k_from_scales(pay_np1)
+        else:
+            k_n = k_np1 = self._k_at(t)
+        sys_op = self._system_of(k_np1)
+        prec_sys = self._sys_precond(sys_op)
+
+        mu, ku, mv = self._mass_op.apply(u), k_n.apply(u), \
+            self._mass_op.apply(v)
 
         if self._f is not None:
             f_avg = (th * fs.grid_load(self._f.evaluate, t)
@@ -225,20 +352,21 @@ class FastThetaSolver(_FastEngineBase):
         rhs_u = mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv
         if f_avg is not None:
             rhs_u = rhs_u + (th * dt * dt) * f_avg
-        res_u = self._solve(fs.system, rhs_u, self._plane(self._g, t), u,
-                            self._prec_sys, g_zero=self._g.is_zero)
+        res_u = self._solve(sys_op, rhs_u, self._plane(self._g, t), u,
+                            prec_sys, g_zero=self._g.is_zero)
         u_new = res_u.x.astype(self.dtype)
 
         # v system (WaveTheta.cpp:188-249, 296-339)
-        rhs_v = mv - (dt * (1.0 - th)) * ku - (dt * th) * fs.stiff(u_new)
+        rhs_v = mv - (dt * (1.0 - th)) * ku - (dt * th) * k_np1.apply(u_new)
         if f_avg is not None:
             rhs_v = rhs_v + dt * f_avg
-        res_v = self._solve(fs.mass, rhs_v, self._plane(self._dgdt, t), v,
+        res_v = self._solve(self._mass_op, rhs_v,
+                            self._plane(self._dgdt, t), v,
                             self._prec_mass, g_zero=self._dgdt.is_zero)
         v_new = res_v.x.astype(self.dtype)
 
         new_state = FastGridState(u=u_new.reshape(-1), v=v_new.reshape(-1),
-                                  a=state.a)
+                                  a=state.a, k_payload=pay_np1)
         info = {
             "iterations_1": res_u.iterations,
             "iterations_2": res_v.iterations,
@@ -249,10 +377,11 @@ class FastThetaSolver(_FastEngineBase):
 
 
 class FastNewmarkSolver(_FastEngineBase):
-    """Newmark-beta on the grid stencils — parity algebra of
+    """Newmark-beta on the grid planes — parity algebra of
     models/newmark.py (reference WaveNewmark.cpp:116-390) at fast-path
     speed: consistent-mass a-solve (also at beta = 0), derived
-    acceleration boundary formulas, consistent a0, per-step forcing."""
+    acceleration boundary formulas, consistent a0, per-step forcing,
+    variable / time-dependent wave speed."""
 
     method_name = "newmark"
 
@@ -272,20 +401,20 @@ class FastNewmarkSolver(_FastEngineBase):
         return (g_p - 2.0 * g_0 + g_m) / (dt * dt)
 
     def initial_state(self) -> FastGridState:
-        """u0, v0 interpolation + consistent M a0 = F(0) - K u0 with
+        """u0, v0 interpolation + consistent M a0 = F(0) - K(0) u0 with
         a0|b = (g(dt) - 2 g(0) + g(-dt)) / dt^2 (reference :298-390)."""
         d, fs, dt = self.disc, self.fs, self.dt
         u0 = jnp.asarray(d.interpolate(d.params.u0), self.dtype)
         v0 = jnp.asarray(d.interpolate(d.params.v0), self.dtype)
         u0g = u0.reshape(fs.shape)
-        rhs = -fs.stiff(u0g)
+        rhs = -self._k_at(0.0).apply(u0g)
         if self._f is not None:
             rhs = rhs + fs.grid_load(self._f.evaluate, 0.0)
         g_p = self._plane(self._g, dt)
         g_0 = self._plane(self._g, 0.0)
         g_m = self._plane(self._g, -dt)
         a0_bc = (g_p - 2.0 * g_0 + g_m) / (dt * dt)
-        res = self._solve(fs.mass, rhs, a0_bc, jnp.zeros_like(u0g),
+        res = self._solve(self._mass_op, rhs, a0_bc, jnp.zeros_like(u0g),
                           self._prec_mass, g_zero=self._g.is_zero)
         self.initial_iterations = int(res.iterations)
         return FastGridState(u=u0, v=v0,
@@ -298,14 +427,19 @@ class FastNewmarkSolver(_FastEngineBase):
         v = state.v.reshape(fs.shape)
         a = state.a.reshape(fs.shape)
 
+        # the elastic force acts at t^{n+1} (models/newmark.py tdep note)
+        k_np1 = self._k_at(t)
+        sys_op = self._system_of(k_np1)
+        prec_sys = self._sys_precond(sys_op)
+
         # z = u + dt v + dt^2 (1/2 - beta) a  (WaveNewmark.cpp:123-126)
         z = u + dt * v + (dt * dt * (0.5 - beta)) * a
-        rhs = -fs.stiff(z)
+        rhs = -k_np1.apply(z)
         if self._f is not None:
             rhs = rhs + fs.grid_load(self._f.evaluate, t)
 
         a_bc = self._accel_bc_plane(t, z)
-        res = self._solve(fs.system, rhs, a_bc, a, self._prec_sys,
+        res = self._solve(sys_op, rhs, a_bc, a, prec_sys,
                           g_zero=self._g.is_zero)
         a_new = res.x.astype(self.dtype)
 

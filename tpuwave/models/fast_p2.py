@@ -216,6 +216,135 @@ class P2FastSolver:
         from tpuwave.models.fast import cached_scan
         return cached_scan(self, "p2flat", self.step, n_steps)(state)
 
+    # ------------------------------------------------------------------
+    # time-dependent wave speed: K(t) as the variable-coefficient P2
+    # block-stencil (ops/stencil_p2.py::P2VarcoefStencil) rebuilt from
+    # c(x, y, t) INSIDE the jitted step — the P2 counterpart of
+    # FastWaveSolver's tdep paths (`Time Dependent C` at fast-P2 speed;
+    # parity counterpart: Discretization.stiffness_at with R=2)
+    # ------------------------------------------------------------------
+    def _tdep_p2_data(self):
+        try:
+            return self.__tdep_cache
+        except AttributeError:
+            pass
+        from tpuwave.ops.stencil_p2 import p2_varcoef_data
+        self.__tdep_cache = p2_varcoef_data(self.space, gauss_simplex(3))
+        return self.__tdep_cache
+
+    def _tdep_scales(self, c_fn, t):
+        """(2, Q, ny, nx) planes det * w_q * c^2(x_ekq, t) (traceable)."""
+        G, frac, w, det = self._tdep_p2_data()
+        ny, nx = self.ny, self.nx
+        (x0, y0) = self.mesh.origin
+        hx, hy = self.mesh.hx, self.mesh.hy
+        ix = jax.lax.broadcasted_iota(self.dtype, (ny, nx), 1)
+        iy = jax.lax.broadcasted_iota(self.dtype, (ny, nx), 0)
+        rows = []
+        for k in range(2):
+            qrows = []
+            for q in range(frac.shape[1]):
+                fx, fy = float(frac[k, q, 0]), float(frac[k, q, 1])
+                xs = x0 + (ix + fx) * hx
+                ys = y0 + (iy + fy) * hy
+                c2 = jnp.asarray(c_fn(xs, ys, t), self.dtype) ** 2
+                c2 = jnp.broadcast_to(c2, (ny, nx))
+                qrows.append((det * float(w[q])) * c2)
+            rows.append(jnp.stack(qrows))
+        return jnp.stack(rows)
+
+    def _stiff_at(self, c_fn, t):
+        from tpuwave.ops.stencil_p2 import P2VarcoefStencil
+        G = self._tdep_p2_data()[0]
+        return P2VarcoefStencil(self.space, self._tdep_scales(c_fn, t), G,
+                                self.dtype)
+
+    def step_tdep(self, state: P2State, t, c_fn) -> P2State:
+        """One step with K = K(t) (homogeneous BCs, zero forcing — the
+        P2-fast scope). The elastic force acts at t^{n+1} for Newmark and
+        is theta-weighted K^n/K^{n+1} for the theta family, matching the
+        parity tdep semantics (models/newmark.py, models/theta.py)."""
+        dt = self.dt
+        interior = self._interior
+        sys_coef = (self.beta * dt * dt if self.scheme == "newmark"
+                    else (self.theta * dt) ** 2)
+        k_np1 = self._stiff_at(c_fn, t)
+        system = self.mass.axpy_varcoef(sys_coef, k_np1)
+        sys_prec = 1.0 / system.diagonal()
+        if self.scheme == "newmark":
+            beta, gamma = self.beta, self.gamma
+            u, v, a = state
+            z = u + dt * v + (dt * dt * (0.5 - beta)) * a
+            rhs = jnp.where(interior, -k_np1(z), 0.0)
+            res = pcg(self._constrained(system, interior), rhs,
+                      jnp.where(interior, a, 0.0),
+                      precond_inv_diag=sys_prec, abs_tol=self._abs_tol,
+                      max_iter=self._max_iter, reduction=self.cg_reduction)
+            a_new = res.x.astype(self.dtype)
+            u_new = z + (beta * dt * dt) * a_new
+            v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
+            return P2State(u=u_new, v=v_new, a=a_new)
+        th = self.theta
+        k_n = self._stiff_at(c_fn, t - dt)
+        u, v, a = state
+        mu, ku, mv = self.mass(u), k_n(u), self.mass(v)
+        rhs_u = jnp.where(interior,
+                          mu - (dt * dt * th * (1.0 - th)) * ku + dt * mv,
+                          0.0)
+        res_u = pcg(self._constrained(system, interior), rhs_u,
+                    jnp.where(interior, u, 0.0),
+                    precond_inv_diag=sys_prec, abs_tol=self._abs_tol,
+                    max_iter=self._max_iter, reduction=self.cg_reduction)
+        u_new = res_u.x.astype(self.dtype)
+        rhs_v = jnp.where(interior,
+                          mv - (dt * (1.0 - th)) * ku
+                          - (dt * th) * k_np1(u_new), 0.0)
+        res_v = pcg(self._constrained(self.mass, interior), rhs_v,
+                    jnp.where(interior, v, 0.0),
+                    precond_inv_diag=self._mass_prec,
+                    abs_tol=self._abs_tol, max_iter=self._max_iter,
+                    reduction=self.cg_reduction)
+        return P2State(u=u_new, v=res_v.x.astype(self.dtype), a=a)
+
+    def initial_state_tdep(self, u0_fn, c_fn, v0_fn=None) -> P2State:
+        """initial_state with the consistent a0 solved against K(0)."""
+        st = self.initial_state(u0_fn, v0_fn)
+        if self.scheme == "theta":
+            return st
+        interior = self._interior
+        rhs = jnp.where(interior, -self._stiff_at(c_fn, 0.0)(st.u), 0.0)
+        res = pcg(self._constrained(self.mass, interior), rhs,
+                  jnp.zeros_like(st.u), precond_inv_diag=self._mass_prec,
+                  abs_tol=self._abs_tol, max_iter=self._max_iter,
+                  reduction=self.cg_reduction)
+        return P2State(u=st.u, v=st.v, a=res.x.astype(self.dtype))
+
+    def run_scan_tdep(self, state: P2State, times, c_fn) -> P2State:
+        """Whole-loop jitted scan over FROM... the reference accumulation
+        time stamps (each entry is the t^{n+1} being stepped TO), with
+        K(t) rebuilt in-scan. Cached per (n_steps, c_fn) — pass stable
+        function objects (see FastWaveSolver.run_leapfrog_tdep)."""
+        times = jnp.asarray(times, self.dtype)
+        key = ("p2tdep", int(times.shape[0]), c_fn, self.scheme)
+        cache = getattr(self, "_tdep_scan_cache", None)
+        if cache is None:
+            cache = self._tdep_scan_cache = {}
+        run = cache.get(key)
+        if run is None:
+            while len(cache) >= 4:
+                cache.pop(next(iter(cache)))
+            n = int(times.shape[0])
+
+            @jax.jit
+            def run(state, ts):
+                def body(st, t):
+                    return self.step_tdep(st, t, c_fn), None
+                st, _ = jax.lax.scan(body, state, ts, length=n)
+                return st
+
+            cache[key] = run
+        return run(state, times)
+
 
 class P2CanvasState(NamedTuple):
     u: jax.Array  # (4, Hc, Wc) canvas stacks, plane order V,H,W,D

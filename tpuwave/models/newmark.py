@@ -66,12 +66,6 @@ class NewmarkSolver(ScanMixin):
         #: resolved preconditioner choice ('jacobi'/'chebyshev'/'mg')
         self.precond = precond
         self.cheby_degree = int(cheby_degree)
-        if self.time_dep_c and precond not in ("jacobi", "chebyshev"):
-            raise ValueError(
-                "Time Dependent C supports the jacobi and chebyshev "
-                "preconditioners (the matrix changes every step; chebyshev "
-                "re-bounds the spectrum per step via Gershgorin, but mg "
-                "setup is static)")
 
         # matrix_a = M + beta dt^2 K (WaveNewmark.cpp:110-112)
         self.matrix_a = disc.mass.axpy(p.beta * p.dt * p.dt, disc.stiffness)
@@ -86,11 +80,16 @@ class NewmarkSolver(ScanMixin):
                 self.matrix_a, self.diag_a, lambda_max=lmax,
                 degree=cheby_degree)
         elif precond == "mg":
-            # geometric multigrid for the a-system (solve/multigrid.py;
-            # structured P1, constant C only) — pays at large beta dt^2/h^2
+            # geometric multigrid for the a-system (solve/multigrid.py) —
+            # pays at large beta dt^2/h^2. With `Time Dependent C` the
+            # hierarchy is frozen at the t=0 rms wave speed (a fixed SPD
+            # V-cycle stays a valid preconditioner for the per-step-
+            # varying system; see models/theta.py).
+            from tpuwave.models.theta import _frozen_c_ref
             from tpuwave.solve.multigrid import gmg_flat_preconditioner
             self.prec_a = gmg_flat_preconditioner(
-                disc, p.beta * p.dt * p.dt)
+                disc, p.beta * p.dt * p.dt,
+                c_ref=_frozen_c_ref(disc) if self.time_dep_c else None)
         elif precond not in ("jacobi", "chebyshev"):
             raise ValueError(f"Unknown preconditioner {precond!r}")
 
@@ -151,7 +150,8 @@ class NewmarkSolver(ScanMixin):
             k_np1 = d.stiffness_at(t)
             matrix_a = d.mass.axpy(beta * dt * dt, k_np1)
             diag_a = matrix_a.diagonal()
-            prec_a = 1.0 / diag_a
+            # mg: frozen-coefficient V-cycle from __init__ (see theta.py)
+            prec_a = self.prec_a if self.precond == "mg" else 1.0 / diag_a
             rhs = -k_np1(z)
         else:
             matrix_a, diag_a, prec_a = self.matrix_a, self.diag_a, self.prec_a

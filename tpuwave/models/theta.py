@@ -34,6 +34,17 @@ from tpuwave.solve.cg import pcg
 __all__ = ["ThetaSolver", "ThetaState"]
 
 
+def _frozen_c_ref(disc) -> float:
+    """Reference constant for the frozen-coefficient mg hierarchy under
+    `Time Dependent C`: rms of c(x, y, 0) over the DoF support points."""
+    import numpy as np
+    x = np.asarray(disc.dof_coords[:, 0], dtype=float)
+    y = np.asarray(disc.dof_coords[:, 1], dtype=float)
+    cv = np.broadcast_to(
+        np.asarray(disc.params.c.evaluate(x, y, 0.0), dtype=float), x.shape)
+    return float(np.sqrt(np.mean(cv ** 2)))
+
+
 class ThetaState(NamedTuple):
     u: jax.Array
     v: jax.Array
@@ -65,12 +76,6 @@ class ThetaSolver(ScanMixin):
         #: resolved preconditioner choice ('jacobi'/'chebyshev'/'mg')
         self.precond = precond
         self.cheby_degree = int(cheby_degree)
-        if self.time_dep_c and precond not in ("jacobi", "chebyshev"):
-            raise ValueError(
-                "Time Dependent C supports the jacobi and chebyshev "
-                "preconditioners (the matrix changes every step; chebyshev "
-                "re-bounds the spectrum per step via Gershgorin, but mg "
-                "setup is static)")
 
         # matrix_u = M + (theta dt)^2 K; matrix_v = M (WaveTheta.cpp:110-116),
         # merged into single fused element operators.
@@ -93,10 +98,17 @@ class ThetaSolver(ScanMixin):
         elif precond == "mg":
             # geometric multigrid V-cycle for the u-system: dt-independent
             # CG iteration counts in the large-dt (stiffness-dominated)
-            # regime (solve/multigrid.py; structured P1, constant C only)
+            # regime (solve/multigrid.py; structured discretisations).
+            # With `Time Dependent C` the hierarchy is built ONCE from the
+            # rms wave speed at t = 0 (frozen coefficient): a fixed SPD
+            # V-cycle remains a valid CG preconditioner for the per-step-
+            # varying SPD system — CG re-converges every solve, only the
+            # iteration count degrades gracefully as |c(t) - c_ref| grows
+            # (measured in tests/test_tdep_c.py).
             from tpuwave.solve.multigrid import gmg_flat_preconditioner
             self.prec_u = gmg_flat_preconditioner(
-                disc, (p.theta * p.dt) ** 2)
+                disc, (p.theta * p.dt) ** 2,
+                c_ref=_frozen_c_ref(disc) if self.time_dep_c else None)
         elif precond not in ("jacobi", "chebyshev"):
             raise ValueError(f"Unknown preconditioner {precond!r}")
 
@@ -137,7 +149,9 @@ class ThetaSolver(ScanMixin):
             k_np1 = d.stiffness_from_payload(pay_np1)
             matrix_u = d.mass.axpy((th * dt) ** 2, k_np1)
             diag_u = matrix_u.diagonal()
-            prec_u = 1.0 / diag_u
+            # mg: the frozen-coefficient V-cycle built in __init__ stays
+            # the preconditioner for every (varying) per-step system
+            prec_u = self.prec_u if self.precond == "mg" else 1.0 / diag_u
             ku = k_n(u_n)
         else:
             k_np1 = d.stiffness

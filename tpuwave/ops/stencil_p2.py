@@ -38,7 +38,7 @@ from tpuwave.core.mesh import FeSpace
 
 __all__ = ["P2PlaneStencil", "p2_plane_shapes", "flat_to_planes",
            "planes_to_flat", "canvas_shape", "planes_to_canvases",
-           "canvases_to_planes"]
+           "canvases_to_planes", "p2_varcoef_data", "P2VarcoefStencil"]
 
 # local-DoF -> (plane, (di, dj)) cell-relative positions, per element class
 # (ordering matches core.mesh.FeSpace.cell_dofs: v0 v1 v2 e01 e12 e20)
@@ -188,6 +188,12 @@ class P2PlaneStencil:
             outs[a] = coeff * term if outs[a] is None else outs[a] + coeff * term
         return jnp.stack(outs)
 
+    def axpy_varcoef(self, coef: float,
+                     other: "P2VarcoefStencil") -> "P2VarcoefStencil":
+        """M + coef * K(t) with K a varcoef stencil: returns a varcoef
+        operator whose constant part is this stencil."""
+        return other.with_constant_part(self, coef)
+
     def axpy(self, coef: float, other: "P2PlaneStencil") -> "P2PlaneStencil":
         merged = object.__new__(P2PlaneStencil)
         merged.nx, merged.ny = self.nx, self.ny
@@ -200,3 +206,143 @@ class P2PlaneStencil:
         merged.plane_diag = {p: merged.coeffs.get((p, p, 0, 0), 1.0)
                              for p in _PLANES}
         return merged
+
+
+# ---------------------------------------------------------------------------
+# variable-coefficient P2 operator (time/space-dependent wave speed)
+# ---------------------------------------------------------------------------
+
+def p2_varcoef_data(space: FeSpace, quad):
+    """Host constants for the varcoef P2 stiffness on the structured grid.
+
+    Returns ``(G, frac, w, det)``: per-class per-quad gradient products
+    G[k, q, i, j] = grad phi_i(q) . grad phi_j(q) (physical), fractional
+    quadrature offsets frac[k, q, 2] within the unit grid cell, quadrature
+    weights w[q], and the constant |det J|. The element matrix at time t is
+    K_e = det * sum_q w_q c^2(x_eq, t) G[k, q] — unlike P1, G is
+    q-DEPENDENT for quadratics, so the scales must be kept per (k, q).
+    """
+    from tpuwave.ops.stencil import P1_CLASS_CORNERS
+    sh = space.shape_at(quad)
+    grads = np.asarray(space.physical_grads(sh))        # (2, Q, 6, 2)
+    G = np.einsum("kqia,kqja->kqij", grads, grads)      # (2, Q, 6, 6)
+    ref = np.asarray(quad.points)                       # (Q, 2)
+    frac = np.empty((2, len(ref), 2))
+    for k in range(2):
+        c0, c1, c2_ = (np.asarray(c, float) for c in P1_CLASS_CORNERS[k])
+        frac[k] = (c0[None]
+                   + ref[:, 0:1] * (c1 - c0)[None]
+                   + ref[:, 1:2] * (c2_ - c0)[None])
+    return G, frac, np.asarray(quad.weights), float(space.mesh.det_j)
+
+
+class P2VarcoefStencil:
+    """Variable-coefficient P2 stiffness (plus optional constant part).
+
+    ``scales``: (2, Q, ny, nx) per-class/per-quad-point planes
+    det * w_q * c^2(x_ekq, t) — traceable, so the operator can be rebuilt
+    inside a jitted step for `Time Dependent C`. Application is 72
+    coefficient-weighted slice-adds on the common canvas (the varcoef
+    generalisation of P2PlaneStencil.__call__: every element-matrix entry
+    couples fixed plane positions, scaled by its own (ny, nx) plane).
+    """
+
+    def __init__(self, space: FeSpace, scales, G, dtype,
+                 const_op: "P2PlaneStencil" = None, const_coef: float = 1.0,
+                 var_coef: float = 1.0):
+        self.nx, self.ny = space.mesh.nx, space.mesh.ny
+        self.shapes = p2_plane_shapes(self.nx, self.ny)
+        self.dtype = dtype
+        self.n_dofs = space.n_dofs
+        self.scales = scales                  # (2, Q, ny, nx) traced ok
+        self.G = np.asarray(G)                # (2, Q, 6, 6) host constants
+        self.const_op = const_op
+        self.const_coef = float(const_coef)
+        self.var_coef = float(var_coef)
+
+    def with_constant_part(self, const_op: "P2PlaneStencil",
+                           var_coef: float) -> "P2VarcoefStencil":
+        out = object.__new__(P2VarcoefStencil)
+        out.nx, out.ny = self.nx, self.ny
+        out.shapes = self.shapes
+        out.dtype = self.dtype
+        out.n_dofs = self.n_dofs
+        out.scales = self.scales
+        out.G = self.G
+        out.const_op = const_op
+        out.const_coef = 1.0
+        out.var_coef = float(var_coef)
+        return out
+
+    def _coeff_plane(self, k: int, i: int, j: int):
+        """sum_q scales[k, q] * G[k, q, i, j] -> (ny, nx)."""
+        acc = None
+        for q in range(self.G.shape[1]):
+            g = float(self.G[k, q, i, j])
+            if g == 0.0:
+                continue
+            term = g * self.scales[k, q]
+            acc = term if acc is None else acc + term
+        return acc
+
+    def _canvas_shape(self):
+        return (self.ny + 3, self.nx + 3)
+
+    def __call__(self, x):
+        planes = flat_to_planes(x, self.nx, self.ny)
+        cs = self._canvas_shape()
+        canv = {}
+        for p in _PLANES:
+            r, c = self.shapes[p]
+            canv[p] = jnp.zeros(cs, self.dtype).at[1:1 + r, 1:1 + c].set(
+                planes[p])
+        out = {p: jnp.zeros(cs, self.dtype) for p in _PLANES}
+        ny, nx = self.ny, self.nx
+        vc = self.var_coef
+        for k in range(2):
+            pos = _P2_POSITIONS[k]
+            for i in range(6):
+                pa, (xa, ya) = pos[i]
+                for j in range(6):
+                    pb, (xb, yb) = pos[j]
+                    cp = self._coeff_plane(k, i, j)
+                    if cp is None:
+                        continue
+                    src = canv[pb][1 + yb:1 + yb + ny, 1 + xb:1 + xb + nx]
+                    out[pa] = out[pa].at[1 + ya:1 + ya + ny,
+                                         1 + xa:1 + xa + nx].add(
+                        (vc * cp) * src)
+        result = {}
+        for p in _PLANES:
+            r, c = self.shapes[p]
+            result[p] = out[p][1:1 + r, 1:1 + c]
+        y = planes_to_flat(result)
+        if self.const_op is not None:
+            y = y + self.const_coef * self.const_op(x)
+        return y
+
+    def diagonal(self):
+        """Flat EXACT assembled diagonal (per-node: boundary rows are only
+        consumed through BC pinning, but the varcoef diagonal genuinely
+        varies per node, so assemble it instead of broadcasting)."""
+        cs = self._canvas_shape()
+        ny, nx = self.ny, self.nx
+        diag = {p: jnp.zeros(cs, self.dtype) for p in _PLANES}
+        for k in range(2):
+            pos = _P2_POSITIONS[k]
+            for i in range(6):
+                pa, (xa, ya) = pos[i]
+                cp = self._coeff_plane(k, i, i)
+                if cp is None:
+                    continue
+                diag[pa] = diag[pa].at[1 + ya:1 + ya + ny,
+                                       1 + xa:1 + xa + nx].add(
+                    self.var_coef * cp)
+        parts = []
+        for p in _PLANES:
+            r, c = self.shapes[p]
+            parts.append(diag[p][1:1 + r, 1:1 + c].reshape(-1))
+        d = jnp.concatenate(parts)
+        if self.const_op is not None:
+            d = d + self.const_coef * self.const_op.diagonal()
+        return d

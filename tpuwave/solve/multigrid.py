@@ -430,7 +430,8 @@ def auto_precond(disc, stiff_coef: float) -> str:
     return "mg" if q >= AUTO_MG_THRESHOLD else "jacobi"
 
 
-def gmg_flat_preconditioner(disc, stiff_coef: float, **kw) -> Callable:
+def gmg_flat_preconditioner(disc, stiff_coef: float, c_ref=None,
+                            **kw) -> Callable:
     """GMG V-cycle as a FLAT-DoF-vector preconditioner for the general
     (parity) solvers (models/theta.py, models/newmark.py), whose state is
     the flat DoF vector of models/discretization.py.
@@ -449,17 +450,19 @@ def gmg_flat_preconditioner(disc, stiff_coef: float, **kw) -> Callable:
     mesh = disc.mesh
     if not type(mesh) is StructuredTriMesh:
         raise ValueError("mg preconditioner needs the structured mesh")
-    if p.c.constant_value is None:
-        raise ValueError("mg preconditioner needs a constant wave speed C")
+    c_val = p.c.constant_value if c_ref is None else float(c_ref)
+    if c_val is None:
+        raise ValueError("mg preconditioner needs a constant wave speed C "
+                         "(or an explicit c_ref frozen coefficient)")
     if p.r == 2:
         return p2_gmg_for_system(mesh.nel, mesh.geometry,
-                                 float(p.c.constant_value), stiff_coef,
+                                 float(c_val), stiff_coef,
                                  dtype=disc.dtype, **kw)
     if p.r != 1:
         raise ValueError("mg preconditioner supports only R=1/R=2")
     shape = (mesh.ny + 1, mesh.nx + 1)
     inner = gmg_for_system(mesh.nel, mesh.geometry,
-                           float(p.c.constant_value), stiff_coef, **kw)
+                           float(c_val), stiff_coef, **kw)
 
     def precond(r):
         return inner(r.reshape(shape)).reshape(-1)
