@@ -41,6 +41,16 @@ import jax.numpy as jnp
 
 REFERENCE_BASELINE = 1.14e7  # DoF*steps/s, reference p=32 explicit Newmark
 
+# --- roofline model constants (printed to stderr per measured path) ----
+# flop/DoF-step of the leapfrog update: 7-pt stencil (7 mul + 6 add) +
+# lumped-mass scale + 2u - u_prev - dt^2 a combine ~ 17; round up to the
+# RESULTS.md accounting of ~20 to include boundary masking selects.
+FLOP_PER_DOF_STEP = 20.0
+# v5e headline peaks for context: HBM ~819 GB/s; MXU 197 TFLOP/s bf16
+# (f32 via 3-pass decomposition ~1/3 of that); VPU f32 is O(4) TFLOP/s.
+HBM_GBPS_PEAK = 819.0
+MXU_TFLOPS_BF16 = 197.0
+
 _best_value = 0.0
 _emit_lock = threading.Lock()
 
@@ -174,6 +184,21 @@ def main():
                 if time.monotonic() > deadline - 20:
                     break
             value = solver.n_dofs * chunk / best
+            # roofline accounting (VERDICT round-2 weak item 1): us/step,
+            # model HBM traffic of the k-blocked kernel (2 reads + 2
+            # writes per k steps, 4 B each), effective TFLOP/s and the
+            # peak fractions — printed so every bench run carries its own
+            # MFU context
+            us_step = best / chunk * 1e6
+            k = (int(path[len("pallas-k"):]) if path.startswith("pallas-k")
+                 else 1)
+            gbps = solver.n_dofs * 4.0 * 4 / k / (us_step * 1e-6) / 1e9
+            tflops = FLOP_PER_DOF_STEP * value / 1e12
+            print(f"# roofline {path}: {us_step:.1f} us/step, "
+                  f"model HBM {gbps:.0f} GB/s ({gbps / HBM_GBPS_PEAK:.0%} "
+                  f"of ~{HBM_GBPS_PEAK:.0f}), {tflops:.2f} TFLOP/s "
+                  f"effective ({tflops / MXU_TFLOPS_BF16:.1%} of MXU bf16 "
+                  f"peak; stencil runs on the VPU)", file=sys.stderr)
             emit(f"explicit Newmark (leapfrog, lumped) DoF*steps/s, "
                  f"{nel}x{nel} P1, f32, {platform}, {path} kernel", value)
         except Exception as e:  # pallas may be unavailable on some backends

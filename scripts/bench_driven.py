@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Chip bench for DRIVEN (time-dependent Dirichlet) cases at 4096^2.
+
+Round-2 verdict: the 9372x headline applied only to free vibration; the
+driven presets could run only at gather-path speed. Round 3 put driven
+g(t) + quadrature-consistent forcing on the fast paths — this script
+measures them at the bench scale (sine-membrane-style drive: an
+oscillating strip on one edge, reference parameters/sine-membrane.json):
+
+  * explicit leapfrog, driven boundary (lumped; run_leapfrog_driven)
+  * explicit leapfrog, driven + consistent forcing load
+  * implicit CN via the product fast engine (FastThetaSolver, MG-PCG)
+    with driven g — the --engine fast CLI path at scale
+
+Usage (chip): python -u scripts/bench_driven.py [--nel 4096 --steps 64]
+Copy the rows into RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).resolve().parent.parent
+                          / ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def u0_fn(xs, ys):
+    return jnp.zeros_like(xs)
+
+
+def g_fn(xs, ys, t):
+    # sine-membrane-style drive: sin(4 pi t) on the x in [0, 1/3] strip of
+    # the y=0 edge (the boundary mask selects the edge; the where selects
+    # the strip)
+    return jnp.where((ys <= 0.0) & (xs <= 1.0 / 3.0),
+                     jnp.sin(4.0 * jnp.pi * t), 0.0)
+
+
+def f_fn(xs, ys, t):
+    return jnp.sin(2.0 * jnp.pi * xs) * jnp.sin(jnp.pi * ys) \
+        * jnp.cos(3.0 * t)
+
+
+def sync(x):
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nel", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--skip", nargs="*", default=[],
+                    choices=["driven", "forced", "implicit"])
+    args = ap.parse_args()
+
+    from tpuwave.models.fast import FastWaveSolver
+
+    nel, steps = args.nel, args.steps
+    geo = ((0.0, 0.0), (1.0, 1.0))
+    dt = 8e-5
+    print(f"# platform={jax.devices()[0].platform} nel={nel} steps={steps}",
+          flush=True)
+
+    s = FastWaveSolver((nel, nel), geo, dt, beta=0.0, dtype=jnp.float32)
+    times = dt * (1.0 + jnp.arange(steps, dtype=jnp.float32))
+
+    def bench(label, run, state):
+        t0 = time.perf_counter()
+        out = run(state)
+        sync(out.u)
+        print(f"# {label}: compile+first {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(out)
+            sync(out.u)
+            best = min(best, time.perf_counter() - t0)
+        print(f"{label}: {best / steps * 1e6:9.1f} us/step  "
+              f"{s.n_dofs * steps / best:.3e} DoF*steps/s", flush=True)
+
+    if "driven" not in args.skip:
+        lf = s.initial_leapfrog_state(u0_fn, g_fn=g_fn)
+        bench("explicit driven g(t)          ",
+              lambda st: s.run_leapfrog_driven(st, times, g_fn), lf)
+
+    if "forced" not in args.skip:
+        lf = s.initial_leapfrog_state(u0_fn, f_fn=f_fn, g_fn=g_fn)
+        bench("explicit driven + forcing load",
+              lambda st: s.run_leapfrog_driven(st, times, g_fn, f_fn), lf)
+
+    if "implicit" not in args.skip:
+        # the product --engine fast CLI path at scale: CN, driven strip,
+        # MG-PCG (built via the engine adapter on a synthetic param set)
+        from tpuwave.models.fast_engine import FastThetaSolver
+        from tpuwave.utils.params import load_params
+        case = {
+            "Nel": str(nel), "R": "1", "T": "1.0", "Theta": "0.5",
+            "Dt": str(1e-3), "Save Solution": "false", "Log Every": "0",
+            "C": {"Function expression": "1.0", "Variable names": "x, y, t"},
+            "F": {"Function expression": "0.0", "Variable names": "x, y, t"},
+            "U0": {"Function expression": "0.0", "Variable names": "x, y"},
+            "V0": {"Function expression": "0.0", "Variable names": "x, y"},
+            "G": {"Function expression":
+                  "if(y < 0.0001 && x < 0.34, sin(4*pi*t), 0)",
+                  "Variable names": "x, y, t"},
+            "DGDT": {"Function expression":
+                     "if(y < 0.0001 && x < 0.34, 4*pi*cos(4*pi*t), 0)",
+                     "Variable names": "x, y, t"},
+        }
+        from tpuwave import config
+        config.use_x64(False)
+        from tpuwave.models.discretization import Discretization
+        d = Discretization(load_params(case), dtype=jnp.float32)
+        eng = FastThetaSolver(d, precond="mg")
+        st = eng.initial_state()
+        ts = 1e-3 * (1.0 + jnp.arange(steps, dtype=jnp.float32))
+
+        def run(state):
+            out, infos = eng.run_steps(state, ts)
+            return out
+
+        t0 = time.perf_counter()
+        out = run(st)
+        sync(out.u)
+        print(f"# implicit CN driven (fast engine, mg): compile+first "
+              f"{time.perf_counter() - t0:.1f} s", flush=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(out)
+            sync(out.u)
+            best = min(best, time.perf_counter() - t0)
+        print(f"implicit CN driven (fast engine, mg, dt=1e-3): "
+              f"{best / steps * 1e6:9.1f} us/step  "
+              f"{d.n_dofs * steps / best:.3e} DoF*steps/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,14 +22,31 @@ from tpuwave.utils.params import Params, load_params
 __all__ = ["solve", "build_solver"]
 
 
-def build_solver(params: Params, family: str = "theta", **solver_kwargs):
-    """Discretise and construct a stepper ('theta' or 'newmark')."""
+def build_solver(params: Params, family: str = "theta",
+                 engine: str = "auto", **solver_kwargs):
+    """Discretise and construct a stepper ('theta' or 'newmark').
+
+    ``engine``: 'auto' (DEFAULT — the fast grid-stencil engine whenever
+    the problem is a structured P1 rectangle, falling back to the parity
+    engine), 'fast' (require it; ValueError when ineligible) or 'parity'
+    (the general gather-path engine). Mirrors the CLI ``--engine`` flag.
+    """
+    if family not in ("theta", "newmark"):
+        raise ValueError(f"Unknown solver family {family!r}")
     disc = make_discretization(params)
+    if engine in ("auto", "fast"):
+        from tpuwave.models.fast_engine import (
+            fast_engine_ineligible_reason, make_fast_solver)
+        reason = fast_engine_ineligible_reason(disc)
+        if reason is None:
+            return make_fast_solver(disc, family, **solver_kwargs)
+        if engine == "fast":
+            raise ValueError(f"engine='fast' unavailable: {reason}")
+    elif engine != "parity":
+        raise ValueError(f"Unknown engine {engine!r}")
     if family == "theta":
         return ThetaSolver(disc, **solver_kwargs)
-    if family == "newmark":
-        return NewmarkSolver(disc, **solver_kwargs)
-    raise ValueError(f"Unknown solver family {family!r}")
+    return NewmarkSolver(disc, **solver_kwargs)
 
 
 def solve(parameters, family: str = "theta", *, problem_name: Optional[str] = None,
