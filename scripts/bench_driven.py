@@ -61,7 +61,8 @@ def main():
     ap.add_argument("--nel", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["driven", "forced", "implicit"])
+                    choices=["driven", "driven-pallas", "forced",
+                             "implicit"])
     args = ap.parse_args()
 
     from tpuwave.models.fast import FastWaveSolver
@@ -95,6 +96,11 @@ def main():
         bench("explicit driven g(t)          ",
               lambda st: s.run_leapfrog_driven(st, times, g_fn), lf)
 
+    if "driven-pallas" not in args.skip:
+        lf = s.initial_leapfrog_state(u0_fn, g_fn=g_fn)
+        bench("explicit driven g(t), pallas  ",
+              lambda st: s.run_leapfrog_driven_pallas(st, times, g_fn), lf)
+
     if "forced" not in args.skip:
         lf = s.initial_leapfrog_state(u0_fn, f_fn=f_fn, g_fn=g_fn)
         bench("explicit driven + forcing load",
@@ -121,9 +127,10 @@ def main():
         }
         from tpuwave import config
         config.use_x64(False)
-        from tpuwave.models.discretization import Discretization
-        d = Discretization(load_params(case), dtype=jnp.float32)
-        eng = FastThetaSolver(d, precond="mg")
+        # Params-based construction -> O(grid) diagnostics; the gather
+        # Discretization's tile-padded buffers would exceed HBM here
+        eng = FastThetaSolver(load_params(case), precond="mg")
+        d = eng.disc
         st = eng.initial_state()
         ts = 1e-3 * (1.0 + jnp.arange(steps, dtype=jnp.float32))
 

@@ -264,3 +264,88 @@ def test_cli_engine_auto_routes_and_falls_back(tmp_path, capsys):
     # explicit --engine fast on the P2 problem is a hard error
     assert _cli(cli_newmark.main, path2, tmp_path, "c",
                 ("--engine", "fast")) == 1
+
+
+def test_leapfrog_driven_pallas_matches_xla():
+    """run_leapfrog_driven_pallas (fused kernel + O(perimeter) boundary
+    overlay, + consistent forcing pass) reproduces the XLA driven
+    leapfrog exactly in f64 interpret mode."""
+    from tpuwave.models.fast import FastWaveSolver
+
+    def g_fn(x, y, t):
+        return 0.1 * jnp.sin(3.0 * t) * (1.0 + x * y)
+
+    def f_fn(x, y, t):
+        return jnp.sin(2 * jnp.pi * x) * jnp.cos(jnp.pi * y) * jnp.cos(t)
+
+    fs = FastWaveSolver((24, 20), ((0.0, 0.0), (1.0, 1.0)), 5e-3,
+                        beta=0.0, dtype=jnp.float64)
+    st = fs.initial_leapfrog_state(
+        lambda xs, ys: jnp.sin(jnp.pi * xs) * jnp.sin(jnp.pi * ys),
+        f_fn=f_fn, g_fn=g_fn)
+    times = 5e-3 * (1.0 + np.arange(12))
+    want = st
+    for t in times:
+        want = fs.leapfrog_step_driven(want, float(t), g_fn, f_fn)
+    got = fs.run_leapfrog_driven_pallas(st, times, g_fn, f_fn,
+                                        block_rows=8, interpret=True)
+    nu = float(jnp.linalg.norm(want.u))
+    assert float(jnp.linalg.norm(got.u - want.u)) < 1e-13 * nu
+    # and without forcing
+    st2 = fs.initial_leapfrog_state(
+        lambda xs, ys: jnp.sin(jnp.pi * xs) * jnp.sin(jnp.pi * ys),
+        g_fn=g_fn)
+    want2 = st2
+    for t in times:
+        want2 = fs.leapfrog_step_driven(want2, float(t), g_fn)
+    got2 = fs.run_leapfrog_driven_pallas(st2, times, g_fn,
+                                         block_rows=8, interpret=True)
+    assert float(jnp.linalg.norm(got2.u - want2.u)) \
+        < 1e-13 * float(jnp.linalg.norm(want2.u))
+
+
+def test_grid_diagnostics_matches_parity():
+    """GridDiagnostics (O(grid) surface used by Params-built fast
+    engines) reproduces the parity Discretization's energy / errors /
+    probe / interpolate to f64 summation roundoff — identical at the
+    CSVs' %.6g formatting."""
+    from tpuwave.models.grid_diag import GridDiagnostics
+
+    for c_expr in ("1.0", "1.0 + 0.5*x + 0.25*y*y"):
+        case = standing_mode(Nel="13,9",
+                             C={"Function expression": c_expr,
+                                "Variable names": "x, y, t"})
+        p = load_params(case)
+        d = Discretization(p)
+        g = GridDiagnostics(p)
+        rng = np.random.default_rng(3)
+        u = jnp.asarray(rng.standard_normal(d.n_dofs))
+        v = jnp.asarray(rng.standard_normal(d.n_dofs))
+        e_ref, e_grid = float(d.energy(u, v)), float(g.energy(u, v))
+        assert abs(e_ref - e_grid) < 1e-12 * abs(e_ref)
+        pr_ref, pr_grid = float(d.probe(u)), float(g.probe(u))
+        assert abs(pr_ref - pr_grid) < 1e-13 * max(1.0, abs(pr_ref))
+        er = [float(x) for x in d.errors(u, 0.3)]
+        eg = [float(x) for x in g.errors(u, 0.3)]
+        for a, b in zip(er, eg):
+            assert abs(a - b) < 1e-11 * abs(a), (er, eg)
+        iu_r = np.asarray(d.interpolate(p.u0))
+        iu_g = np.asarray(g.interpolate(p.u0))
+        np.testing.assert_allclose(iu_g, iu_r, rtol=0, atol=1e-14)
+
+
+def test_params_built_engine_runs_and_matches(tmp_path):
+    """make_fast_solver(Params, ...) (the bench-scale product path) gives
+    the same trajectory and diagnostics as the Discretization-built
+    engine."""
+    from tpuwave.models.fast_engine import make_fast_solver
+    p = load_params(driven_case(T="0.04"))
+    d = Discretization(p)
+    s_d = make_fast_solver(d, "newmark")
+    s_p = make_fast_solver(p, "newmark")
+    st_d, _ = _run(s_d, p)
+    st_p, _ = _run(s_p, p)
+    assert float(jnp.linalg.norm(st_d.u - st_p.u)) == 0.0
+    e_d = float(s_d.disc.energy(st_d.u, st_d.v))
+    e_p = float(s_p.disc.energy(st_p.u, st_p.v))
+    assert abs(e_d - e_p) < 1e-12 * abs(e_d)

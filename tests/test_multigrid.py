@@ -782,8 +782,10 @@ def test_auto_precond_resolution():
 
 
 def test_auto_precond_ineligible_cases_fall_back():
-    """auto never errors where mg would: time-dependent C resolves to
-    jacobi (mg construction would raise)."""
+    """auto stays conservative under time-dependent C (resolves to
+    jacobi); an EXPLICIT mg request builds the frozen-coefficient
+    hierarchy instead of raising (round 3 — a fixed SPD V-cycle is a
+    valid preconditioner for the per-step-varying system)."""
     from tests.test_schemes import standing_mode
     from tpuwave.models.discretization import Discretization
     from tpuwave.models.theta import ThetaSolver
@@ -797,9 +799,8 @@ def test_auto_precond_ineligible_cases_fall_back():
     d = Discretization(load_params(case))
     s = ThetaSolver(d, precond="auto")
     assert s.precond == "jacobi"
-    # same config with explicit mg raises (matrix changes every step)
-    with pytest.raises(ValueError):
-        ThetaSolver(d, precond="mg")
+    s_mg = ThetaSolver(d, precond="mg")
+    assert s_mg.precond == "mg" and callable(s_mg.prec_u)
 
 
 def test_auto_precond_matches_jacobi_trajectory():

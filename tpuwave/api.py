@@ -33,16 +33,23 @@ def build_solver(params: Params, family: str = "theta",
     """
     if family not in ("theta", "newmark"):
         raise ValueError(f"Unknown solver family {family!r}")
-    disc = make_discretization(params)
     if engine in ("auto", "fast"):
         from tpuwave.models.fast_engine import (
             fast_engine_ineligible_reason, make_fast_solver)
+        # generated rectangles route on Params alone (O(grid) diagnostics,
+        # no gather-path Discretization build — scales to bench meshes)
+        reason = fast_engine_ineligible_reason(params)
+        if reason is None:
+            return make_fast_solver(params, family, **solver_kwargs)
+        disc = make_discretization(params)
         reason = fast_engine_ineligible_reason(disc)
         if reason is None:
             return make_fast_solver(disc, family, **solver_kwargs)
         if engine == "fast":
             raise ValueError(f"engine='fast' unavailable: {reason}")
-    elif engine != "parity":
+    elif engine == "parity":
+        disc = make_discretization(params)
+    else:
         raise ValueError(f"Unknown engine {engine!r}")
     if family == "theta":
         return ThetaSolver(disc, **solver_kwargs)

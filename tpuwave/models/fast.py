@@ -471,6 +471,95 @@ class FastWaveSolver:
                         (det * float(w[q]) * float(vals[q, a])) * fv)
         return out
 
+    def run_leapfrog_driven_pallas(self, state: LeapfrogState, times, g_fn,
+                                   f_fn=None, block_rows: int = 128,
+                                   interpret: bool = False) -> LeapfrogState:
+        """Driven leapfrog on the fused Pallas kernel.
+
+        The kernel computes the interior update and zeroes boundary rows
+        (its homogeneous contract); the driven data are then overlaid on
+        the four boundary edges with O(perimeter) slice updates — exactly
+        the algebra of :meth:`leapfrog_step_driven` (interior recurrence
+        + pinned g at t^{n+1}), at fused-kernel speed. Optional ``f_fn``
+        adds the consistent forcing load (one extra elementwise pass).
+        Temporal blocking (k > 1) is NOT offered here: boundary data
+        changes every sub-step, which breaks the wide-halo autonomy the
+        multistep kernel relies on.
+        """
+        from tpuwave.ops.pallas_kernels import leapfrog_step_pallas
+
+        h, w = self.shape
+        hp = -(-h // block_rows) * block_rows
+        wp = -(-w // 128) * 128
+        coef = self.dt * self.dt / self.mesh.det_j
+        stencil = self.stiff.stencil
+        times = jnp.asarray(times, self.dtype)
+        n = int(times.shape[0])
+
+        (x0, y0) = self.mesh.origin
+        hx, hy = self.mesh.hx, self.mesh.hy
+
+        def edge_coords(dtype):
+            xs_row = x0 + hx * jnp.arange(w, dtype=dtype)        # (w,)
+            ys_col = y0 + hy * jnp.arange(h, dtype=dtype)        # (h,)
+            return xs_row, ys_col
+
+        def step(carry, t):
+            cu, cup = carry
+            un = leapfrog_step_pallas(
+                cu, cup, stencil=stencil, coef=coef, block_rows=block_rows,
+                true_rows=h, true_cols=w, interpret=interpret)
+            if f_fn is not None:
+                dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
+                load = self.grid_load(f_fn, t - self.dt) * self.inv_lumped
+                add = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(
+                    dt2 * load)
+                ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+                inter = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
+                un = jnp.where(inter, un + add, un)
+            # overlay the driven boundary (4 edges, O(perimeter))
+            xs_row, ys_col = edge_coords(self.dtype)
+            y0v = jnp.asarray(y0, self.dtype)
+            y1v = jnp.asarray(y0 + hy * (h - 1), self.dtype)
+            x0v = jnp.asarray(x0, self.dtype)
+            x1v = jnp.asarray(x0 + hx * (w - 1), self.dtype)
+            g_bot = jnp.broadcast_to(jnp.asarray(
+                g_fn(xs_row, jnp.full_like(xs_row, y0v), t),
+                self.dtype), (w,))
+            g_top = jnp.broadcast_to(jnp.asarray(
+                g_fn(xs_row, jnp.full_like(xs_row, y1v), t),
+                self.dtype), (w,))
+            g_lft = jnp.broadcast_to(jnp.asarray(
+                g_fn(jnp.full_like(ys_col, x0v), ys_col, t),
+                self.dtype), (h,))
+            g_rgt = jnp.broadcast_to(jnp.asarray(
+                g_fn(jnp.full_like(ys_col, x1v), ys_col, t),
+                self.dtype), (h,))
+            un = un.at[0, :w].set(g_bot)
+            un = un.at[h - 1, :w].set(g_top)
+            un = un.at[:h, 0].set(g_lft)
+            un = un.at[:h, w - 1].set(g_rgt)
+            return (un, cu), None
+
+        key = ("lf_driven_pallas", id(g_fn), id(f_fn), n, block_rows,
+               interpret)
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        run = cache.get(key)
+        if run is None:
+            @jax.jit
+            def run(u_pad, up_pad, ts):
+                (u_f, up_f), _ = jax.lax.scan(step, (u_pad, up_pad), ts,
+                                              length=n)
+                return u_f, up_f
+            cache[key] = run
+        u_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(state.u)
+        up_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(state.u_prev)
+        u_f, up_f = run(u_pad, up_pad, times)
+        return LeapfrogState(u=u_f[:h, :w], u_prev=up_f[:h, :w])
+
     def leapfrog_velocity(self, state_next: LeapfrogState,
                           state: LeapfrogState):
         """v^n = (u^{n+1} - u^{n-1}) / (2 dt)."""

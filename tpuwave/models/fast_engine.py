@@ -48,6 +48,7 @@ from tpuwave.models._scan import ScanMixin
 from tpuwave.models.discretization import Discretization
 from tpuwave.models.fast import FastWaveSolver
 from tpuwave.solve.cg import pcg
+from tpuwave.utils.params import Params
 
 __all__ = ["FastGridState", "FastThetaSolver", "FastNewmarkSolver",
            "fast_engine_ineligible_reason", "make_fast_solver"]
@@ -72,17 +73,30 @@ class _Op(NamedTuple):
     lam_hi: Any
 
 
-def fast_engine_ineligible_reason(disc) -> Optional[str]:
-    """None when ``disc`` can run on the grid-stencil engine, else why
-    not. Eligibility = structured rectangle triangulation with P1
-    elements; the wave speed may be constant, spatially varying, or
-    (with `Time Dependent C`) time-dependent — each maps to a grid-plane
-    operator form (module docstring)."""
-    from tpuwave.core.mesh import StructuredTriMesh
-    p = disc.params
-    if type(disc) is not Discretization or \
-            type(disc.mesh) is not StructuredTriMesh:
-        return "mesh is not a generated structured rectangle"
+def fast_engine_ineligible_reason(problem) -> Optional[str]:
+    """None when ``problem`` (a Params or a built Discretization) can run
+    on the grid-stencil engine, else why not. Eligibility = structured
+    rectangle triangulation with P1 elements; the wave speed may be
+    constant, spatially varying, or (with `Time Dependent C`)
+    time-dependent — each maps to a grid-plane operator form (module
+    docstring).
+
+    Passing Params routes diagnostics through the O(grid)
+    :class:`~tpuwave.models.grid_diag.GridDiagnostics` surface — the
+    product path at bench scale, where building the gather-path parity
+    ``Discretization`` would exceed HBM (its O(n_cells)-shaped buffers
+    tile-pad 42-64x on TPU).
+    """
+    if isinstance(problem, Params):
+        p = problem
+        if p.mesh_file is not None:
+            return "imported mesh (factory routes recognisable rectangles)"
+    else:
+        from tpuwave.core.mesh import StructuredTriMesh
+        p = problem.params
+        if type(problem) is not Discretization or \
+                type(problem.mesh) is not StructuredTriMesh:
+            return "mesh is not a generated structured rectangle"
     if p.r != 1:
         return f"fast engine is P1-only (R = {p.r})"
     if min(p.nel) < 2:
@@ -90,14 +104,19 @@ def fast_engine_ineligible_reason(disc) -> Optional[str]:
     return None
 
 
-def make_fast_solver(disc: Discretization, family: str, *,
+def make_fast_solver(problem, family: str, *,
                      precond: str = "jacobi", cheby_degree: int = 3):
-    """Factory used by the CLI ``--engine fast|auto`` routing."""
+    """Factory used by the CLI/api ``engine fast|auto`` routing.
+
+    ``problem``: a Params (O(grid) diagnostics — the scalable product
+    path) or an already-built structured Discretization (its gather-path
+    diagnostics are then reused, byte-identical to the parity engine).
+    """
     if family == "theta":
-        return FastThetaSolver(disc, precond=precond,
+        return FastThetaSolver(problem, precond=precond,
                                cheby_degree=cheby_degree)
     if family == "newmark":
-        return FastNewmarkSolver(disc, precond=precond,
+        return FastNewmarkSolver(problem, precond=precond,
                                  cheby_degree=cheby_degree)
     raise ValueError(f"unknown solver family {family!r}")
 
@@ -105,11 +124,16 @@ def make_fast_solver(disc: Discretization, family: str, *,
 class _FastEngineBase(ScanMixin):
     """Shared plumbing: operators, boundary/forcing data, elimination."""
 
-    def __init__(self, disc: Discretization, *, precond: str = "jacobi",
+    def __init__(self, problem, *, precond: str = "jacobi",
                  cheby_degree: int = 3):
-        reason = fast_engine_ineligible_reason(disc)
+        reason = fast_engine_ineligible_reason(problem)
         if reason is not None:
             raise ValueError(f"fast engine unavailable: {reason}")
+        if isinstance(problem, Params):
+            from tpuwave.models.grid_diag import GridDiagnostics
+            disc = GridDiagnostics(problem)
+        else:
+            disc = problem
         self.disc = disc
         p = disc.params
         self.dt = p.dt

@@ -112,11 +112,18 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
             pcout(f"  Recognised as a structured {p.nel[0]}x{p.nel[1]} "
                   "rectangle -> structured engines")
     if cfg.write_mesh and primary and not imported_mesh:
-        try:
-            write_mesh_vtk(mesh_file_name(cfg.mesh_root, p.nel, p.geometry),
-                           d.mesh.vertex_coords, d.mesh.cells)
-        except OSError:
-            pass
+        if d.mesh.n_cells > 2_000_000:
+            # bench-scale meshes: the serial VTK snapshot alone would be
+            # ~100s of MB of host IO (the reference writes it always, but
+            # never ran meshes this size)
+            pcout("  (mesh VTK snapshot skipped: > 2M cells)")
+        else:
+            try:
+                write_mesh_vtk(
+                    mesh_file_name(cfg.mesh_root, p.nel, p.geometry),
+                    d.mesh.vertex_coords, d.mesh.cells)
+            except OSError:
+                pass
 
     folder = run_folder_name(cfg.results_root, problem_name, p.r, p.nel,
                              p.dt, p.t_final, solver.method_params_suffix())
@@ -174,16 +181,24 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
     if n_pieces == 0:
         import jax
         n_pieces = len(jax.local_devices())
+
     # shard id per cell: contiguous row blocks of the structured mesh by
     # centroid y — the same domain decomposition the sharded grid solvers
     # use (rows over the device mesh), so the ``partitioning`` field shows
-    # the real shard layout (reference: MPI rank per cell)
-    coords = np.asarray(d.mesh.vertex_coords)
-    cy = coords[np.asarray(d.mesh.cells), 1].mean(axis=1)
-    y0, y1 = coords[:, 1].min(), coords[:, 1].max()
-    cell_shard = np.minimum(
-        (np.maximum(cy - y0, 0.0) / max(y1 - y0, 1e-300)
-         * n_pieces).astype(np.int64), n_pieces - 1)
+    # the real shard layout (reference: MPI rank per cell). Built lazily:
+    # the O(n_cells) host arrays are only materialised when VTU output is
+    # actually written (at bench-scale meshes they cost ~GBs).
+    _shard_cache = []
+
+    def cell_shard():
+        if not _shard_cache:
+            coords = np.asarray(d.mesh.vertex_coords)
+            cy = coords[np.asarray(d.mesh.cells), 1].mean(axis=1)
+            y0, y1 = coords[:, 1].min(), coords[:, 1].max()
+            _shard_cache.append(np.minimum(
+                (np.maximum(cy - y0, 0.0) / max(y1 - y0, 1e-300)
+                 * n_pieces).astype(np.int64), n_pieces - 1))
+        return _shard_cache[0]
 
     # multi-host: each process writes only the pieces owned by its local
     # devices (row-block shard i of n lives on jax.devices()[i] when the
@@ -213,7 +228,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
             ex = d.interpolate(p.solution, t)
             point_data["u_exact"] = np.asarray(d.vertex_values(ex))
         write_vtu_record(folder, "solution", timestep, d.mesh.vertex_coords,
-                         d.mesh.cells, point_data, cell_shard=cell_shard,
+                         d.mesh.cells, point_data, cell_shard=cell_shard(),
                          only_pieces=local_pieces, write_record=primary)
 
     timestep_number = 0
