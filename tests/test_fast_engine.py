@@ -349,3 +349,24 @@ def test_params_built_engine_runs_and_matches(tmp_path):
     e_d = float(s_d.disc.energy(st_d.u, st_d.v))
     e_p = float(s_p.disc.energy(st_p.u, st_p.v))
     assert abs(e_d - e_p) < 1e-12 * abs(e_d)
+
+
+@pytest.mark.parametrize("fam,prec", [("theta", "jacobi"),
+                                      ("newmark", "mg"),
+                                      ("theta", "chebyshev")])
+def test_pallas_solve_engine_matches_xla(fam, prec):
+    """The fused-Pallas solve path of the product engine (use_pallas)
+    reproduces the XLA solve path on a driven + forced problem
+    (interpret mode on CPU; Mosaic-compiled certification is the chip
+    gate's mg/cg checks)."""
+    from tpuwave.models.fast_engine import make_fast_solver
+    p = load_params(driven_case(Nel="24", T="0.04"))
+    s_x = make_fast_solver(p, fam, precond=prec)
+    s_p = make_fast_solver(p, fam, precond=prec, use_pallas=True,
+                           pallas_block_rows=8, pallas_interpret=True)
+    assert s_p._use_pallas
+    st_x, info_x = _run(s_x, p)
+    st_p, info_p = _run(s_p, p)
+    nu = float(jnp.linalg.norm(st_x.u))
+    assert float(jnp.linalg.norm(st_x.u - st_p.u)) < 1e-11 * nu
+    assert int(info_x["iterations_1"]) == int(info_p["iterations_1"])

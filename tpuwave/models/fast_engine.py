@@ -65,12 +65,15 @@ class FastGridState(NamedTuple):
 
 
 class _Op(NamedTuple):
-    """Grid operator triple: apply(u), assembled diagonal (scalar or
-    plane), and an upper eigenvalue bound (for the f32 backward-error
-    stopping floor and Chebyshev)."""
+    """Grid operator quad: apply(u), assembled diagonal (scalar or
+    plane), an upper eigenvalue bound (for the f32 backward-error
+    stopping floor and Chebyshev), and — for constant-coefficient
+    operators — the 3x3 stencil (enables the fused Pallas solve path;
+    None for varcoef/tdep operators)."""
     apply: Callable
     diag: Any
     lam_hi: Any
+    stencil: Any = None
 
 
 def fast_engine_ineligible_reason(problem) -> Optional[str]:
@@ -105,7 +108,8 @@ def fast_engine_ineligible_reason(problem) -> Optional[str]:
 
 
 def make_fast_solver(problem, family: str, *,
-                     precond: str = "jacobi", cheby_degree: int = 3):
+                     precond: str = "jacobi", cheby_degree: int = 3,
+                     **engine_kwargs):
     """Factory used by the CLI/api ``engine fast|auto`` routing.
 
     ``problem``: a Params (O(grid) diagnostics — the scalable product
@@ -114,10 +118,10 @@ def make_fast_solver(problem, family: str, *,
     """
     if family == "theta":
         return FastThetaSolver(problem, precond=precond,
-                               cheby_degree=cheby_degree)
+                               cheby_degree=cheby_degree, **engine_kwargs)
     if family == "newmark":
         return FastNewmarkSolver(problem, precond=precond,
-                                 cheby_degree=cheby_degree)
+                                 cheby_degree=cheby_degree, **engine_kwargs)
     raise ValueError(f"unknown solver family {family!r}")
 
 
@@ -125,7 +129,9 @@ class _FastEngineBase(ScanMixin):
     """Shared plumbing: operators, boundary/forcing data, elimination."""
 
     def __init__(self, problem, *, precond: str = "jacobi",
-                 cheby_degree: int = 3):
+                 cheby_degree: int = 3, use_pallas=None,
+                 pallas_block_rows: int = 128,
+                 pallas_interpret: bool = False):
         reason = fast_engine_ineligible_reason(problem)
         if reason is not None:
             raise ValueError(f"fast engine unavailable: {reason}")
@@ -166,10 +172,12 @@ class _FastEngineBase(ScanMixin):
 
         from tpuwave.solve.cheby_iter import stencil_symbol_bounds
         self._mass_op = _Op(fs.mass, fs.mass.stencil[1][1],
-                            stencil_symbol_bounds(fs.mass.stencil)[1])
+                            stencil_symbol_bounds(fs.mass.stencil)[1],
+                            fs.mass.stencil)
         if self._c_mode == "const":
             self._k_static = _Op(fs.stiff, fs.stiff.stencil[1][1],
-                                 stencil_symbol_bounds(fs.stiff.stencil)[1])
+                                 stencil_symbol_bounds(fs.stiff.stencil)[1],
+                                 fs.stiff.stencil)
         elif self._c_mode == "varcoef":
             # static 9-plane operator, built once (concrete device arrays)
             self._k_static = self._k_from_scales(
@@ -205,7 +213,72 @@ class _FastEngineBase(ScanMixin):
             raise ValueError(f"Unknown preconditioner {precond!r}")
         self._prec_mass = 1.0 / fs.mass.stencil[1][1]
 
+        # fused Pallas solve path: every CG matvec (and the MG fine
+        # level) as halo-DMA Mosaic kernels. Auto-on when running f32 on
+        # an accelerator with constant-coefficient operators and a grid
+        # big enough for the kernels; rhs/BC-lift assembly stays XLA
+        # (one pass per solve — the matvecs dominate).
+        h, w = fs.shape
+        self._pblock = int(pallas_block_rows)
+        self._pinterp = bool(pallas_interpret)
+        hp = -(-h // self._pblock) * self._pblock
+        wp = -(-w // 128) * 128
+        self._pad_shape = (hp, wp)
+        if use_pallas is None:
+            try:
+                on_accel = jax.devices()[0].platform not in ("cpu",)
+            except Exception:
+                on_accel = False
+            use_pallas = (on_accel and self.dtype == jnp.float32
+                          and self._c_mode == "const"
+                          and hp // self._pblock >= 2)
+        self._use_pallas = bool(use_pallas)
+        if self._use_pallas and precond == "mg":
+            from tpuwave.solve.multigrid import PallasGmgPreconditioner
+            base = self._prec_sys
+            if len(base.levels) >= 2:
+                self._prec_sys = PallasGmgPreconditioner(
+                    base.levels, base.coarse_theta, base.coarse_coeffs,
+                    block_rows=self._pblock, interpret=self._pinterp)
+            else:
+                self._use_pallas = False
+
         self._step = jax.jit(self._step_impl)
+
+    # -- fused Pallas solve path ----------------------------------------
+    def _solve_pallas(self, op: _Op, rhs_c, x0, precond):
+        from tpuwave.ops.pallas_kernels import (
+            constrained_stencil_apply_pallas)
+        fs = self.fs
+        h, w = fs.shape
+        hp, wp = self._pad_shape
+        st, diag = op.stencil, op.stencil[1][1]
+
+        def apply_p(xp):
+            return constrained_stencil_apply_pallas(
+                xp, stencil=st, diag=diag, block_rows=self._pblock,
+                true_rows=h, true_cols=w, interpret=self._pinterp)
+
+        if self.precond == "chebyshev" and callable(precond):
+            # the XLA-built chebyshev closure acts on unpadded grids;
+            # rebuild it over the fused padded apply (the PallasGmg mg
+            # preconditioner is padded-native and passes through)
+            from tpuwave.solve.chebyshev import chebyshev_apply
+            dmin = jnp.min(jnp.asarray(op.diag))
+            lmax = op.lam_hi / dmin
+            deg = self.cheby_degree
+
+            def precond(r):
+                return chebyshev_apply(apply_p, 1.0 / diag, r,
+                                       lambda_max=lmax, degree=deg)
+
+        def pad(x):
+            return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
+
+        res = pcg(apply_p, pad(rhs_c), pad(x0), precond_inv_diag=precond,
+                  abs_tol=self._abs_tol(rhs_c, x0, op),
+                  max_iter=self._max_iter, reduction=fs.cg_reduction)
+        return res._replace(x=res.x[:h, :w])
 
     # -- operator construction -----------------------------------------
     def _k_from_planes(self, planes) -> _Op:
@@ -234,8 +307,12 @@ class _FastEngineBase(ScanMixin):
 
         def apply(u):
             return m.apply(u) + coef * k_op.apply(u)
+        st = None
+        if k_op.stencil is not None:
+            st = tuple(tuple(mc + coef * kc for mc, kc in zip(mr, kr))
+                       for mr, kr in zip(m.stencil, k_op.stencil))
         return _Op(apply, m.diag + coef * k_op.diag,
-                   m.lam_hi + coef * k_op.lam_hi)
+                   m.lam_hi + coef * k_op.lam_hi, st)
 
     def _sys_precond(self, sys_op: _Op):
         """Resolve the preconditioner for (this step's) system operator."""
@@ -314,6 +391,8 @@ class _FastEngineBase(ScanMixin):
                g_zero: bool):
         apply_c, rhs_c, x0 = self._constrain(op, rhs, g_plane, x_prev,
                                              g_zero=g_zero)
+        if self._use_pallas and op.stencil is not None:
+            return self._solve_pallas(op, rhs_c, x0, precond)
         return pcg(apply_c, rhs_c, x0, precond_inv_diag=precond,
                    abs_tol=self._abs_tol(rhs_c, x0, op),
                    max_iter=self._max_iter, reduction=self.fs.cg_reduction)
