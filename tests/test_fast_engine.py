@@ -370,3 +370,27 @@ def test_pallas_solve_engine_matches_xla(fam, prec):
     nu = float(jnp.linalg.norm(st_x.u))
     assert float(jnp.linalg.norm(st_x.u - st_p.u)) < 1e-11 * nu
     assert int(info_x["iterations_1"]) == int(info_p["iterations_1"])
+
+
+@pytest.mark.parametrize("preset", ["sine-membrane", "oscillating-boundary",
+                                    "square-pulsing"])
+@pytest.mark.parametrize("fam", ["theta", "newmark"])
+def test_driven_presets_fast_matches_parity(parameters_dir, preset, fam):
+    """The round-3 done criterion verbatim: the three DRIVEN presets run
+    on the fast engine with trajectories matching the parity engine to
+    f64 tolerance (shortened T; full-length fast-engine artifacts live in
+    analysis/data/full-runs/)."""
+    import json
+    case = json.loads((parameters_dir / f"{preset}.json").read_text())
+    case["T"] = "0.1"
+    case["Save Solution"] = "false"
+    p = load_params(case)
+    d = Discretization(p)
+    if fam == "theta":
+        ref, fast = ThetaSolver(d), FastThetaSolver(d)
+    else:
+        ref, fast = NewmarkSolver(d), FastNewmarkSolver(d)
+    st_r, _ = _run(ref, p)
+    st_f, _ = _run(fast, p)
+    nu = float(jnp.linalg.norm(st_r.u)) + 1e-30
+    assert float(jnp.linalg.norm(st_r.u - st_f.u)) < 1e-10 * nu, preset
