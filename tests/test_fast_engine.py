@@ -394,3 +394,40 @@ def test_driven_presets_fast_matches_parity(parameters_dir, preset, fam):
     st_f, _ = _run(fast, p)
     nu = float(jnp.linalg.norm(st_r.u)) + 1e-30
     assert float(jnp.linalg.norm(st_r.u - st_f.u)) < 1e-10 * nu, preset
+
+
+def test_cli_fast_engine_checkpoint_resume(tmp_path):
+    """--checkpoint-every/--resume through the fast engine: the resumed
+    run reproduces the uninterrupted trajectory (FastGridState fields,
+    including the optional tdep payload slot, round-trip the npz)."""
+    from tpuwave.cli import theta as cli_theta
+    case = driven_case(**{"T": "0.06", "Log Every": "2",
+                          "Time Dependent C": "true",
+                          "C": {"Function expression":
+                                "sqrt(1 + 0.5*sin(2*t))",
+                                "Variable names": "x, y, t"}})
+    path = _write(tmp_path, case)
+    # uninterrupted reference
+    assert _cli(cli_theta.main, path, tmp_path, "full") == 0
+    # interrupted at step 3 (wall-clock limit can't be set via CLI, so
+    # emulate by running T=0.03 into the same folder, then resuming the
+    # full T with --resume from the checkpoint)
+    case_half = dict(case, T="0.03")
+    p_half = _write(tmp_path, case_half, "case_half.json")
+    assert _cli(cli_theta.main, p_half, tmp_path, "res",
+                ("--checkpoint-every", "1")) == 0
+    import shutil
+    half_dir = tmp_path / "res" / \
+        "theta-case_half/run-R1-N16x16-dt0_01-T0_03-theta0_5"
+    full_dir = tmp_path / "res" / \
+        "theta-case/run-R1-N16x16-dt0_01-T0_06-theta0_5"
+    full_dir.mkdir(parents=True)
+    for f in half_dir.glob("checkpoint_*.npz"):
+        shutil.copy(f, full_dir / f.name)
+    assert _cli(cli_theta.main, path, tmp_path, "res", ("--resume",)) == 0
+    got = (full_dir / "probe.csv").read_text()
+    want = (tmp_path / "full" /
+            "theta-case/run-R1-N16x16-dt0_01-T0_06-theta0_5/probe.csv"
+            ).read_text()
+    # rows logged after the resume point must match the uninterrupted run
+    assert got.splitlines()[-1] == want.splitlines()[-1]
