@@ -62,13 +62,18 @@ def run_main(family: str, make_solver, argv=None) -> int:
                              "stiffness-dominated and mg-eligible, else "
                              "jacobi)")
     parser.add_argument("--unstructured-sharding",
-                        choices=("none", "cells", "dofs"), default="none",
+                        choices=("none", "cells", "dofs", "dofs2d"),
+                        default="none",
                         help="parallel engine for imported unstructured "
                              "meshes: cells = cell-sharded operators with "
                              "replicated DoF vectors (parallel/cells.py); "
-                             "dofs = DoF-partitioned banded vectors with "
-                             "neighbor ghost exchange, O(n_dofs/n_devices) "
-                             "memory (parallel/dofs.py)")
+                             "dofs = DoF-partitioned 1-D y-band vectors "
+                             "with neighbor ghost exchange, "
+                             "O(n_dofs/n_devices) memory "
+                             "(parallel/dofs.py); dofs2d = 2-D block "
+                             "partition with 8-neighbor exchange for "
+                             "meshes wide in both axes "
+                             "(parallel/dofs2d.py)")
     parser.add_argument("--vtu-pieces", type=int, default=1,
                         help="VTU pieces per output record, one per shard "
                              "(0 = one per local device)")
@@ -130,6 +135,7 @@ def run_main(family: str, make_solver, argv=None) -> int:
 
     try:
         solver = None
+        disc = None
         if args.engine in ("auto", "fast"):
             from tpuwave.models.fast_engine import (
                 fast_engine_ineligible_reason, make_fast_solver)
@@ -151,10 +157,7 @@ def run_main(family: str, make_solver, argv=None) -> int:
                 if reason is None:
                     solver = make_fast_solver(disc, family,
                                               precond=args.precond)
-                else:
-                    solver = None if args.engine == "fast" else \
-                        make_solver(disc, precond=args.precond)
-            if solver is not None and primary:
+            if primary and solver is not None:
                 print("  Engine: fast (grid-stencil)")
             if solver is None:
                 if args.engine == "fast":
@@ -166,9 +169,13 @@ def run_main(family: str, make_solver, argv=None) -> int:
                 if primary:
                     print(f"  Engine: parity (fast engine ineligible: "
                           f"{reason})")
+                if disc is not None:
+                    solver = make_solver(disc, precond=args.precond)
         if solver is None:
-            disc = make_discretization(
-                params, unstructured_sharding=args.unstructured_sharding)
+            if disc is None:
+                disc = make_discretization(
+                    params,
+                    unstructured_sharding=args.unstructured_sharding)
             solver = make_solver(disc, precond=args.precond)
         cfg = RunConfig(results_root=args.results_root,
                         mesh_root=args.mesh_root, quiet=args.quiet,

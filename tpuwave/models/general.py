@@ -51,11 +51,13 @@ def make_discretization(params: Params, dtype=None, *,
 
     ``unstructured_sharding``: parallel engine for genuinely unstructured
     imports — "none" (single-device operators), "cells" (cell-sharded,
-    replicated vectors, parallel/cells.py) or "dofs" (DoF-partitioned
-    banded vectors, parallel/dofs.py) over a 1-D mesh of all devices.
+    replicated vectors, parallel/cells.py), "dofs" (DoF-partitioned
+    1-D y-band vectors, parallel/dofs.py) or "dofs2d" (2-D block
+    partition with 8-neighbor ghost exchange, parallel/dofs2d.py — for
+    meshes wide in both axes) over a mesh of all devices.
     Ignored for structured meshes (those shard via the grid solvers).
     """
-    if unstructured_sharding not in ("none", "cells", "dofs"):
+    if unstructured_sharding not in ("none", "cells", "dofs", "dofs2d"):
         raise ValueError(f"unknown unstructured_sharding "
                          f"{unstructured_sharding!r}")
     if params.mesh_file is not None:
@@ -71,7 +73,9 @@ def make_discretization(params: Params, dtype=None, *,
             device_mesh = make_mesh()
         return UnstructuredDiscretization(
             params, dtype=dtype, mesh=mesh, device_mesh=device_mesh,
-            dof_sharded=unstructured_sharding == "dofs")
+            dof_sharded=unstructured_sharding in ("dofs", "dofs2d"),
+            dof_partition="2d" if unstructured_sharding == "dofs2d"
+            else "1d")
     return Discretization(params, dtype=dtype)
 
 
@@ -87,7 +91,7 @@ class UnstructuredDiscretization(Discretization):
 
     def __init__(self, params: Params, dtype=None,
                  mesh: UnstructuredTriMesh = None, device_mesh=None,
-                 dof_sharded: bool = False):
+                 dof_sharded: bool = False, dof_partition: str = "1d"):
         # deliberately NOT calling super().__init__ — the structured
         # constructor builds class-constant geometry that does not exist
         # here. Generic methods (interpolate, boundary_values, energy,
@@ -136,19 +140,39 @@ class UnstructuredDiscretization(Discretization):
             if dof_sharded:
                 # DoF-partitioned domain decomposition: cells AND vectors
                 # sharded, nearest-neighbor ghost exchange per apply —
-                # O(n_dofs / n_devices) memory per chip (parallel/dofs.py)
-                from tpuwave.parallel.dofs import (ShardedDofOperator,
-                                                   build_dof_plan)
-                cy = self.mesh.vertex_coords[self.mesh.cells].mean(
-                    axis=1)[:, 1]
-                plan = build_dof_plan(cell_dofs, self.n_dofs, cy,
-                                      int(device_mesh.devices.size))
+                # O(n_dofs / n_devices) memory per chip. "1d" = y-band
+                # partition (parallel/dofs.py), "2d" = block partition
+                # with 8-neighbor exchange (parallel/dofs2d.py)
+                n_dev = int(device_mesh.devices.size)
+                if dof_partition == "2d":
+                    from tpuwave.parallel.dofs2d import (
+                        ShardedDofOperator2D, build_dof_plan_2d)
+                    cen = self.mesh.vertex_coords[self.mesh.cells].mean(
+                        axis=1)
+                    px = max(int(np.sqrt(n_dev)), 1)
+                    while n_dev % px:
+                        px -= 1
+                    plan = build_dof_plan_2d(cell_dofs, self.n_dofs, cen,
+                                             sp.dof_coords,
+                                             (n_dev // px, px))
+                    op_cls = ShardedDofOperator2D
+                elif dof_partition == "1d":
+                    from tpuwave.parallel.dofs import (ShardedDofOperator,
+                                                       build_dof_plan)
+                    cy = self.mesh.vertex_coords[self.mesh.cells].mean(
+                        axis=1)[:, 1]
+                    plan = build_dof_plan(cell_dofs, self.n_dofs, cy,
+                                          n_dev)
+                    op_cls = ShardedDofOperator
+                else:
+                    raise ValueError(
+                        f"unknown dof_partition {dof_partition!r}")
                 self.dof_plan = plan
                 self.n_vec = plan.n_vec
-                self.mass = ShardedDofOperator.from_operator(
-                    self.mass, plan, device_mesh)
-                self.stiffness = ShardedDofOperator.from_operator(
-                    self.stiffness, plan, device_mesh)
+                self.mass = op_cls.from_operator(self.mass, plan,
+                                                 device_mesh)
+                self.stiffness = op_cls.from_operator(self.stiffness, plan,
+                                                      device_mesh)
             else:
                 # cell-parallel decomposition: cells + element matrices
                 # sharded, DoF vectors replicated, one psum per apply
@@ -278,10 +302,10 @@ class UnstructuredDiscretization(Discretization):
         """Rebuild K(t) from :meth:`stiffness_payload_at`, matching the
         engine (plain / cell-sharded / DoF-partitioned)."""
         if self.dof_plan is not None:
-            from tpuwave.parallel.dofs import ShardedDofOperator
-            return ShardedDofOperator(self.dof_plan, payload,
-                                      self.mass.mesh, dtype=self.dtype,
-                                      _presharded=True)
+            # 1-D band or 2-D block engine — same constructor surface
+            return type(self.mass)(self.dof_plan, payload,
+                                   self.mass.mesh, dtype=self.dtype,
+                                   _presharded=True)
         from tpuwave.parallel.cells import ShardedCellOperator
         if isinstance(self.mass, ShardedCellOperator):
             return ShardedCellOperator(self.mass.cell_dofs, self.n_dofs,
