@@ -204,3 +204,32 @@ def test_run_steps_diag_cache_keys_on_diag_fn(tmp_path):
     _, info_b = s.run_steps_diag(st, times, diag_b)
     assert float(np.asarray(info_a["val"])[0]) != 0.0
     assert float(np.asarray(info_b["val"]).sum()) == 0.0
+
+
+def test_scan_path_arbitrary_log_every_matches_per_step(tmp_path):
+    """log_every > 1 (the preset-default cadence) runs as chunked scans
+    with host diagnostics at chunk ends — CSV bytes identical to the
+    per-step loop (forced via phase_timing)."""
+    import json
+    from tests.test_schemes import standing_mode
+    from tpuwave.cli import newmark as cli_newmark
+
+    case = standing_mode(Nel="12", T="0.1", Dt="0.01",
+                         **{"Log Every": "3", "Print Every": "2",
+                            "Save Solution": "false"})
+    path = tmp_path / "case.json"
+    path.write_text(json.dumps(case))
+
+    def run(root, extra=()):
+        assert cli_newmark.main(
+            [str(path), "--results-root", str(tmp_path / root),
+             "--mesh-root", str(tmp_path / "mesh"), "--quiet",
+             *extra]) == 0
+        sub = "newmark-case/run-R1-N12x12-dt0_01-T0_1-gamma0_5-beta0_25"
+        return tmp_path / root / sub
+
+    scan_dir = run("scan")
+    step_dir = run("step", ("--phase-timing",))
+    for csv in ("energy.csv", "error.csv", "probe.csv", "iterations.csv"):
+        assert (scan_dir / csv).read_text() == \
+            (step_dir / csv).read_text(), csv

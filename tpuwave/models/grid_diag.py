@@ -85,6 +85,13 @@ class GridDiagnostics:
         else:
             self._sol = None
 
+        # the plane-arithmetic diagnostics decompose into O(100) small
+        # ops; jit them so each call is ONE device dispatch (eager
+        # execution made the preset-cadence logging dispatch-bound)
+        self.energy = jax.jit(self._energy_impl)
+        if self._sol is not None:
+            self.errors = jax.jit(self._errors_impl)
+
     # -- coordinates ----------------------------------------------------
     def _grid_coords(self):
         (x0, y0) = self.mesh.origin
@@ -149,9 +156,10 @@ class GridDiagnostics:
             total = s if total is None else total + s
         return total
 
-    def energy(self, u, v):
+    def _energy_impl(self, u, v):
         """E = 1/2 (v^T M v + u^T K u) (reference WaveEquationBase.cpp:
-        148-154; K contains c^2, frozen at t = 0 like the reference)."""
+        148-154; K contains c^2, frozen at t = 0 like the reference).
+        Public surface: ``self.energy`` (jitted in __init__)."""
         ug = jnp.asarray(u, self.dtype).reshape(self.shape)
         vg = jnp.asarray(v, self.dtype).reshape(self.shape)
         em = self._quad_form(vg, self._m_class)
@@ -216,7 +224,7 @@ class GridDiagnostics:
                             np.asarray(quad.weights) * float(self.mesh.det_j))
         return self.__err_cache
 
-    def errors(self, u, t):
+    def _errors_impl(self, u, t):
         vals, grads, frac, w = self._err_data()
         sol = self._sol
         ny, nx = self.mesh.ny, self.mesh.nx

@@ -264,10 +264,16 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
                and restored is None and not cfg.phase_timing)
     if scan_ok and ((log_every == 0 and hasattr(solver, "run_steps"))
                     or (log_every == 1
-                        and hasattr(solver, "run_steps_diag"))):
+                        and hasattr(solver, "run_steps_diag"))
+                    or (log_every > 1 and hasattr(solver, "run_steps"))):
         import jax.numpy as jnp
 
         with_diag = log_every == 1
+        #: log_every > 1 (the preset-default cadence): scan chunks of
+        #: exactly log_every steps so every chunk END is a log point,
+        #: where energy/errors/probe run as one host-side device call —
+        #: per-step dispatch eliminated at any logging cadence
+        host_diag = log_every > 1
         has_sol = p.has_exact_solution
 
         def diag_fn(st, t):
@@ -276,7 +282,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
                 out["err"] = jnp.stack(d.errors(st.u, t))
             return out
 
-        chunk_len = 256
+        chunk_len = log_every if host_diag else 256
         i = 0
         while i < len(times):
             if cfg.max_wall_s is not None and \
@@ -320,11 +326,26 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
                     logs.log_probe(ts_no, tj, float(pr[j]))
                     logs.log_iterations(ts_no, tj, int(it1[j]),
                                         int(it2[j]))
+                elif host_diag and j == n_ok - 1 and not bad \
+                        and ts_no % log_every == 0:
+                    # full aligned chunk: its final state IS the log-point
+                    # state (the partial last chunk of a non-divisible run
+                    # ends off-cadence and logs nothing, like the per-step
+                    # loop)
+                    current_energy = float(d.energy(state.u, state.v))
+                    logs.log_energy(ts_no, tj, current_energy)
+                    if has_sol:
+                        logs.log_error(ts_no, tj,
+                                       *(float(x) for x in
+                                         d.errors(state.u, tj)))
+                    logs.log_probe(ts_no, tj, float(d.probe(state.u)))
+                    logs.log_iterations(ts_no, tj, int(it1[j]),
+                                        int(it2[j]))
                 if ts_no % p.print_every == 0:
                     line = (f"Step {ts_no:6d},  t={tj:9.3e}"
                             f",  ||u||={float(nu[j]):9.3e}"
                             f",  ||v||={float(nv[j]):9.3e}")
-                    if with_diag:
+                    if log_every > 0:
                         line += f",  E={current_energy:9.3e}"
                     pcout(line)
             timestep_number += n_ok
