@@ -122,9 +122,15 @@ def main():
     killer = threading.Timer(budget, _deadline_exit)
     killer.daemon = True
     killer.start()
-    # a SIGTERM (driver timeout) also exits cleanly with best-so-far
+    # a SIGTERM (driver timeout) also exits cleanly with best-so-far.
+    # The exit runs on a FRESH thread: the handler itself executes on the
+    # main thread, and _deadline_exit takes _emit_lock — if the signal
+    # landed mid-emit() the handler would self-deadlock on the lock the
+    # interrupted main thread holds. The helper thread simply waits for
+    # the in-flight print to finish, then exits.
     try:
-        signal.signal(signal.SIGTERM, lambda *_: _deadline_exit())
+        signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
+            target=_deadline_exit, daemon=True).start())
     except ValueError:
         pass  # not on the main thread (never happens, but harmless)
 

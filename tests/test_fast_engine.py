@@ -431,3 +431,35 @@ def test_cli_fast_engine_checkpoint_resume(tmp_path):
             ).read_text()
     # rows logged after the resume point must match the uninterrupted run
     assert got.splitlines()[-1] == want.splitlines()[-1]
+
+
+def test_newmark_nonzero_boundary_data_decays_like_parity():
+    """Review regression: with g == 0 but initial data NONZERO on the
+    boundary, the derived accel BC (g - z)/(beta dt^2) must still drive
+    u|boundary toward g (the homogeneous shortcut applies only to the
+    beta = 0 second-difference formula)."""
+    case = standing_mode(Nel="8", T="0.03", Dt="0.01", Beta="0.25",
+                         U0={"Function expression": "1 + x*y",
+                             "Variable names": "x, y"})
+    case.pop("Solution")
+    p = load_params(case)
+    d = Discretization(p)
+    ref, fast = NewmarkSolver(d), FastNewmarkSolver(d)
+    st_r, _ = _run(ref, p)
+    st_f, _ = _run(fast, p)
+    nu = float(jnp.linalg.norm(st_r.u))
+    assert float(jnp.linalg.norm(st_r.u - st_f.u)) < 1e-10 * nu
+    # and the boundary values have actually decayed toward g = 0
+    bnd = np.asarray(d.boundary_mask)
+    assert float(np.max(np.abs(np.asarray(st_f.u)[bnd]))) < 1e-5
+
+
+def test_api_parity_kwargs_keep_routing_to_parity():
+    """Review regression: parity-solver-specific kwargs (lumped_explicit)
+    through build_solver/solve keep working under the auto engine."""
+    import tpuwave
+    from tpuwave.models.newmark import NewmarkSolver as ParityNewmark
+    p = load_params(standing_mode(Nel="8", T="0.02", Dt="0.01",
+                                  Beta="0.0"))
+    s = tpuwave.build_solver(p, "newmark", lumped_explicit=True)
+    assert isinstance(s, ParityNewmark) and s.lumped_explicit

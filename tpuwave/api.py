@@ -33,24 +33,21 @@ def build_solver(params: Params, family: str = "theta",
     """
     if family not in ("theta", "newmark"):
         raise ValueError(f"Unknown solver family {family!r}")
-    if engine in ("auto", "fast"):
-        from tpuwave.models.fast_engine import (
-            fast_engine_ineligible_reason, make_fast_solver)
-        # generated rectangles route on Params alone (O(grid) diagnostics,
-        # no gather-path Discretization build — scales to bench meshes)
-        reason = fast_engine_ineligible_reason(params)
-        if reason is None:
-            return make_fast_solver(params, family, **solver_kwargs)
-        disc = make_discretization(params)
-        reason = fast_engine_ineligible_reason(disc)
-        if reason is None:
-            return make_fast_solver(disc, family, **solver_kwargs)
-        if engine == "fast":
-            raise ValueError(f"engine='fast' unavailable: {reason}")
-    elif engine == "parity":
-        disc = make_discretization(params)
-    else:
-        raise ValueError(f"Unknown engine {engine!r}")
+    # parity-solver-specific kwargs (e.g. lumped_explicit) keep routing to
+    # the parity engine under 'auto', preserving the pre-engine-routing
+    # build_solver contract; the fast engine accepts only these:
+    _fast_kwargs = {"precond", "cheby_degree", "use_pallas",
+                    "pallas_block_rows", "pallas_interpret"}
+    if engine == "auto" and set(solver_kwargs) - _fast_kwargs:
+        engine = "parity"
+    from tpuwave.models.fast_engine import resolve_engine
+    solver, disc, reason = resolve_engine(
+        params, family, engine,
+        make_disc=lambda: make_discretization(params), **solver_kwargs)
+    if solver is not None:
+        return solver
+    if reason is not None and engine == "fast":
+        raise ValueError(f"engine='fast' unavailable: {reason}")
     if family == "theta":
         return ThetaSolver(disc, **solver_kwargs)
     return NewmarkSolver(disc, **solver_kwargs)

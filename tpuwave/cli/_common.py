@@ -134,48 +134,26 @@ def run_main(family: str, make_solver, argv=None) -> int:
               f"{jax.process_count()} process(es)")
 
     try:
-        solver = None
-        disc = None
-        if args.engine in ("auto", "fast"):
-            from tpuwave.models.fast_engine import (
-                fast_engine_ineligible_reason, make_fast_solver)
-            # generated rectangles route on Params alone — the engine then
-            # uses the O(grid) diagnostics surface and never builds the
-            # gather-path Discretization (whose tile-padded element
-            # buffers exceed HBM at bench scale)
-            reason = fast_engine_ineligible_reason(params)
-            if reason is None:
-                solver = make_fast_solver(params, family,
-                                          precond=args.precond)
-            elif params.mesh_file is not None:
-                # imported meshes: build through the factory (which
-                # renumbers recognisable rectangles onto the structured
-                # engines) and retry on the resulting discretisation
-                disc = make_discretization(
-                    params, unstructured_sharding=args.unstructured_sharding)
-                reason = fast_engine_ineligible_reason(disc)
-                if reason is None:
-                    solver = make_fast_solver(disc, family,
-                                              precond=args.precond)
-            if primary and solver is not None:
+        from tpuwave.models.fast_engine import resolve_engine
+        solver, disc, reason = resolve_engine(
+            params, family, args.engine,
+            make_disc=lambda: make_discretization(
+                params, unstructured_sharding=args.unstructured_sharding),
+            precond=args.precond)
+        if solver is not None:
+            if primary:
                 print("  Engine: fast (grid-stencil)")
-            if solver is None:
-                if args.engine == "fast":
-                    print("--engine fast unavailable for this problem: "
-                          f"{reason}\nHint: use --engine auto (falls back "
-                          "to the parity engine) or --engine parity.",
-                          file=sys.stderr)
-                    return 1
-                if primary:
-                    print(f"  Engine: parity (fast engine ineligible: "
-                          f"{reason})")
-                if disc is not None:
-                    solver = make_solver(disc, precond=args.precond)
+        elif reason is not None:
+            if args.engine == "fast":
+                print("--engine fast unavailable for this problem: "
+                      f"{reason}\nHint: use --engine auto (falls back "
+                      "to the parity engine) or --engine parity.",
+                      file=sys.stderr)
+                return 1
+            if primary:
+                print(f"  Engine: parity (fast engine ineligible: "
+                      f"{reason})")
         if solver is None:
-            if disc is None:
-                disc = make_discretization(
-                    params,
-                    unstructured_sharding=args.unstructured_sharding)
             solver = make_solver(disc, precond=args.precond)
         cfg = RunConfig(results_root=args.results_root,
                         mesh_root=args.mesh_root, quiet=args.quiet,

@@ -51,7 +51,8 @@ from tpuwave.solve.cg import pcg
 from tpuwave.utils.params import Params
 
 __all__ = ["FastGridState", "FastThetaSolver", "FastNewmarkSolver",
-           "fast_engine_ineligible_reason", "make_fast_solver"]
+           "fast_engine_ineligible_reason", "make_fast_solver",
+           "resolve_engine"]
 
 
 class FastGridState(NamedTuple):
@@ -123,6 +124,38 @@ def make_fast_solver(problem, family: str, *,
         return FastNewmarkSolver(problem, precond=precond,
                                  cheby_degree=cheby_degree, **engine_kwargs)
     raise ValueError(f"unknown solver family {family!r}")
+
+
+def resolve_engine(params, family: str, engine: str, *, make_disc,
+                   **solver_kwargs):
+    """Shared ``--engine auto|fast|parity`` resolution for the CLI and
+    :mod:`tpuwave.api` (review finding: the two sites had drifted).
+
+    ``make_disc``: zero-arg callable building the parity discretisation
+    (invoked lazily — never for Params-eligible fast runs, so the
+    bench-scale product path stays O(grid)). Returns
+    ``(solver_or_None, disc_or_None, reason_or_None)``:
+
+    * solver set          -> a fast engine was built (disc may be None)
+    * solver None, parity -> caller builds the parity solver on ``disc``
+    * solver None + engine == 'fast' -> unsatisfiable; error with reason
+    """
+    if engine == "parity":
+        return None, make_disc(), None
+    if engine not in ("auto", "fast"):
+        raise ValueError(f"Unknown engine {engine!r}")
+    reason = fast_engine_ineligible_reason(params)
+    if reason is None:
+        return (make_fast_solver(params, family, **solver_kwargs),
+                None, None)
+    # the factory renumbers recognisable imported rectangles onto the
+    # structured engines — retry eligibility on the built discretisation
+    disc = make_disc()
+    reason2 = fast_engine_ineligible_reason(disc)
+    if reason2 is None:
+        return (make_fast_solver(disc, family, **solver_kwargs),
+                disc, None)
+    return None, disc, reason2
 
 
 class _FastEngineBase(ScanMixin):
@@ -542,8 +575,13 @@ class FastNewmarkSolver(_FastEngineBase):
             rhs = rhs + fs.grid_load(self._f.evaluate, t)
 
         a_bc = self._accel_bc_plane(t, z)
+        # NB for beta > 0 the derived BC (g - z)/(beta dt^2) is nonzero
+        # even for g == 0 whenever the state is nonzero on the boundary
+        # (inconsistent initial data decays to g, reference
+        # WaveNewmark.cpp:196-210) — the homogeneous shortcut applies
+        # only to the beta = 0 second-difference formula
         res = self._solve(sys_op, rhs, a_bc, a, prec_sys,
-                          g_zero=self._g.is_zero)
+                          g_zero=self._g.is_zero and fs.beta <= 1e-12)
         a_new = res.x.astype(self.dtype)
 
         u_new = z + (beta * dt * dt) * a_new

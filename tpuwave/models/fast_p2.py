@@ -253,22 +253,29 @@ class P2FastSolver:
             rows.append(jnp.stack(qrows))
         return jnp.stack(rows)
 
-    def _stiff_at(self, c_fn, t):
+    def _stiff_from_scales(self, s):
         from tpuwave.ops.stencil_p2 import P2VarcoefStencil
         G = self._tdep_p2_data()[0]
-        return P2VarcoefStencil(self.space, self._tdep_scales(c_fn, t), G,
-                                self.dtype)
+        return P2VarcoefStencil(self.space, s, G, self.dtype)
 
-    def step_tdep(self, state: P2State, t, c_fn) -> P2State:
+    def _stiff_at(self, c_fn, t):
+        return self._stiff_from_scales(self._tdep_scales(c_fn, t))
+
+    def step_tdep(self, state: P2State, t, c_fn, k_n_scales=None,
+                  k_np1_scales=None) -> P2State:
         """One step with K = K(t) (homogeneous BCs, zero forcing — the
         P2-fast scope). The elastic force acts at t^{n+1} for Newmark and
         is theta-weighted K^n/K^{n+1} for the theta family, matching the
-        parity tdep semantics (models/newmark.py, models/theta.py)."""
+        parity tdep semantics (models/newmark.py, models/theta.py).
+        ``k_n_scales``/``k_np1_scales`` let the scan carry the already-
+        built scale planes (run_scan_tdep) — one varcoef build per step
+        instead of two for the theta family."""
         dt = self.dt
         interior = self._interior
         sys_coef = (self.beta * dt * dt if self.scheme == "newmark"
                     else (self.theta * dt) ** 2)
-        k_np1 = self._stiff_at(c_fn, t)
+        k_np1 = (self._stiff_from_scales(k_np1_scales)
+                 if k_np1_scales is not None else self._stiff_at(c_fn, t))
         system = self.mass.axpy_varcoef(sys_coef, k_np1)
         sys_prec = 1.0 / system.diagonal()
         if self.scheme == "newmark":
@@ -285,7 +292,8 @@ class P2FastSolver:
             v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
             return P2State(u=u_new, v=v_new, a=a_new)
         th = self.theta
-        k_n = self._stiff_at(c_fn, t - dt)
+        k_n = (self._stiff_from_scales(k_n_scales)
+               if k_n_scales is not None else self._stiff_at(c_fn, t - dt))
         u, v, a = state
         mu, ku, mv = self.mass(u), k_n(u), self.mass(v)
         rhs_u = jnp.where(interior,
@@ -307,17 +315,25 @@ class P2FastSolver:
         return P2State(u=u_new, v=res_v.x.astype(self.dtype), a=a)
 
     def initial_state_tdep(self, u0_fn, c_fn, v0_fn=None) -> P2State:
-        """initial_state with the consistent a0 solved against K(0)."""
-        st = self.initial_state(u0_fn, v0_fn)
+        """u0/v0 interpolation with the consistent a0 solved against K(0)
+        (no wasted static-K a0 solve — interpolation inlined)."""
+        coords = self._plane_coords()
+        u0 = planes_to_flat({p: jnp.asarray(u0_fn(xs, ys), self.dtype)
+                             for p, (xs, ys) in coords.items()})
+        if v0_fn is None:
+            v0 = jnp.zeros_like(u0)
+        else:
+            v0 = planes_to_flat({p: jnp.asarray(v0_fn(xs, ys), self.dtype)
+                                 for p, (xs, ys) in coords.items()})
         if self.scheme == "theta":
-            return st
+            return P2State(u=u0, v=v0, a=jnp.zeros_like(u0))
         interior = self._interior
-        rhs = jnp.where(interior, -self._stiff_at(c_fn, 0.0)(st.u), 0.0)
+        rhs = jnp.where(interior, -self._stiff_at(c_fn, 0.0)(u0), 0.0)
         res = pcg(self._constrained(self.mass, interior), rhs,
-                  jnp.zeros_like(st.u), precond_inv_diag=self._mass_prec,
+                  jnp.zeros_like(u0), precond_inv_diag=self._mass_prec,
                   abs_tol=self._abs_tol, max_iter=self._max_iter,
                   reduction=self.cg_reduction)
-        return P2State(u=st.u, v=st.v, a=res.x.astype(self.dtype))
+        return P2State(u=u0, v=v0, a=res.x.astype(self.dtype))
 
     def run_scan_tdep(self, state: P2State, times, c_fn) -> P2State:
         """Whole-loop jitted scan over FROM... the reference accumulation
@@ -337,9 +353,16 @@ class P2FastSolver:
 
             @jax.jit
             def run(state, ts):
-                def body(st, t):
-                    return self.step_tdep(st, t, c_fn), None
-                st, _ = jax.lax.scan(body, state, ts, length=n)
+                # the theta family's K^n is last step's K^{n+1}: carry
+                # the scale planes so each step builds ONE operator
+                def body(carry, t):
+                    st, s_n = carry
+                    s_np1 = self._tdep_scales(c_fn, t)
+                    st = self.step_tdep(st, t, c_fn, k_n_scales=s_n,
+                                        k_np1_scales=s_np1)
+                    return (st, s_np1), None
+                s0 = self._tdep_scales(c_fn, ts[0] - self.dt)
+                (st, _), _ = jax.lax.scan(body, (state, s0), ts, length=n)
                 return st
 
             cache[key] = run

@@ -282,7 +282,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
                 out["err"] = jnp.stack(d.errors(st.u, t))
             return out
 
-        chunk_len = log_every if host_diag else 256
+        chunk_len = 256
         i = 0
         while i < len(times):
             if cfg.max_wall_s is not None and \
@@ -291,7 +291,15 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
                       f"{timestep_number}; aborting run.")
                 timed_out = True
                 break
-            chunk = times[i:i + chunk_len]
+            if host_diag:
+                # chunk up to the next log point, capped so the
+                # wall-clock check keeps its granularity at huge
+                # Log Every values; only log-point-aligned chunk ends
+                # trigger the host diagnostics below
+                until_log = log_every - (timestep_number % log_every)
+                chunk = times[i:i + min(until_log, chunk_len)]
+            else:
+                chunk = times[i:i + chunk_len]
             if with_diag:
                 state, infos = solver.run_steps_diag(state, chunk, diag_fn)
             else:
