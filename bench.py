@@ -21,6 +21,14 @@ parses the LAST JSON line on stdout):
     so even a wedged XLA compile cannot eat the whole budget;
   * the persistent XLA compile cache (.jax_cache/) makes warm reruns start
     in seconds -- `python bench.py` itself is the warmup.
+
+Run-to-run variance: each path reports the MIN of ``repeats`` timed
+chunks, but chunk-level minima under the remote-TPU (axon) tunnel still
+move a few percent between bench invocations (tunnel RTT jitter on the
+per-chunk sync + compile-server load; observed headline spread r02
+1.068e11 vs r03 1.017e11, ~5%). Differences within ~±5% between rounds
+are measurement noise, not kernel regressions; cross-check with the
+us/step roofline lines on stderr, which carry the same jitter.
 """
 
 from __future__ import annotations

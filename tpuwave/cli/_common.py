@@ -46,8 +46,9 @@ def run_main(family: str, make_solver, argv=None) -> int:
     parser.add_argument("--engine", choices=("auto", "fast", "parity"),
                         default="auto",
                         help="solver engine: fast = grid-stencil operators "
-                             "(structured P1 rectangle, constant C; same "
-                             "step algebra incl. driven g(t) and forcing, "
+                             "on structured rectangles (full problem "
+                             "class: driven g(t), forcing, constant / "
+                             "spatially varying / time-dependent C, "
                              "models/fast_engine.py), parity = the general "
                              "gather-path engine, auto = fast when "
                              "eligible else parity")
@@ -57,10 +58,11 @@ def run_main(family: str, make_solver, argv=None) -> int:
                         help="CG preconditioner (chebyshev = AMG stand-in "
                              "for stiffness-dominated theta systems; mg = "
                              "geometric multigrid, dt-independent iteration "
-                             "counts at CFL-breaking dt — structured R=1/2, "
-                             "constant C; auto = mg when the system is "
-                             "stiffness-dominated and mg-eligible, else "
-                             "jacobi)")
+                             "counts at CFL-breaking dt — structured "
+                             "R=1/2; varying/time-dependent C freezes the "
+                             "hierarchy at the rms wave speed; auto = mg "
+                             "when the system is stiffness-dominated and "
+                             "mg-eligible, else jacobi)")
     parser.add_argument("--unstructured-sharding",
                         choices=("none", "cells", "dofs", "dofs2d"),
                         default="none",
