@@ -61,9 +61,19 @@ def main():
     ap.add_argument("--nel", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["driven", "driven-pallas", "forced",
-                             "implicit"])
+                    choices=["driven", "driven-pallas", "driven-multistep",
+                             "forced", "implicit", "implicit-2term",
+                             "implicit-cheby"])
+    ap.add_argument("--only", nargs="*", default=None,
+                    choices=["driven", "driven-pallas", "driven-multistep",
+                             "forced", "implicit", "implicit-2term",
+                             "implicit-cheby"])
     args = ap.parse_args()
+    if args.only is not None:
+        all_names = ["driven", "driven-pallas", "driven-multistep",
+                     "forced", "implicit", "implicit-2term",
+                     "implicit-cheby"]
+        args.skip = [n for n in all_names if n not in args.only]
 
     from tpuwave.models.fast import FastWaveSolver
 
@@ -100,6 +110,17 @@ def main():
         lf = s.initial_leapfrog_state(u0_fn, g_fn=g_fn)
         bench("explicit driven g(t), pallas  ",
               lambda st: s.run_leapfrog_driven_pallas(st, times, g_fn), lf)
+
+    if "driven-multistep" not in args.skip:
+        # round-4: per-substep boundary injection INSIDE the k-step
+        # kernel (leapfrog_multistep_driven_pallas) — temporal blocking
+        # for driven problems
+        for k, br in ((8, 128), (16, 128), (32, 128)):
+            lf = s.initial_leapfrog_state(u0_fn, g_fn=g_fn)
+            bench(f"explicit driven, k={k:2d} blocked ",
+                  lambda st, k=k, br=br: s.run_leapfrog_driven_multistep(
+                      st, times, g_fn, steps_per_call=k, block_rows=br),
+                  lf)
 
     if "forced" not in args.skip:
         lf = s.initial_leapfrog_state(u0_fn, f_fn=f_fn, g_fn=g_fn)
@@ -152,6 +173,65 @@ def main():
         print(f"implicit CN driven (fast engine, mg, dt=1e-3): "
               f"{best / steps * 1e6:9.1f} us/step  "
               f"{d.n_dofs * steps / best:.3e} DoF*steps/s", flush=True)
+
+    def implicit_case():
+        return {
+            "Nel": str(nel), "R": "1", "T": "1.0", "Theta": "0.5",
+            "Dt": str(1e-3), "Save Solution": "false", "Log Every": "0",
+            "C": {"Function expression": "1.0", "Variable names": "x, y, t"},
+            "F": {"Function expression": "0.0", "Variable names": "x, y, t"},
+            "U0": {"Function expression": "0.0", "Variable names": "x, y"},
+            "V0": {"Function expression": "0.0", "Variable names": "x, y"},
+            "G": {"Function expression":
+                  "if(y < 0.0001 && x < 0.34, sin(4*pi*t), 0)",
+                  "Variable names": "x, y, t"},
+            "DGDT": {"Function expression":
+                     "if(y < 0.0001 && x < 0.34, 4*pi*cos(4*pi*t), 0)",
+                     "Variable names": "x, y, t"},
+        }
+
+    def bench_engine(label, eng):
+        st = eng.initial_state()
+        ts = 1e-3 * (1.0 + jnp.arange(steps, dtype=jnp.float32))
+
+        def run(state):
+            out, infos = eng.run_steps(state, ts)
+            return out
+
+        t0 = time.perf_counter()
+        out = run(st)
+        sync(out.u)
+        print(f"# {label}: compile+first {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(out)
+            sync(out.u)
+            best = min(best, time.perf_counter() - t0)
+        print(f"{label}: {best / steps * 1e6:9.1f} us/step  "
+              f"{eng.disc.n_dofs * steps / best:.3e} DoF*steps/s",
+              flush=True)
+
+    if "implicit-2term" not in args.skip:
+        # round-4: the displacement-form product engine (--solver 2term)
+        # with the driven boundary lift — the <= ~25 ms/step target
+        from tpuwave.models.fast_engine import make_fast_solver
+        from tpuwave.utils.params import load_params
+        from tpuwave import config
+        config.use_x64(False)
+        eng2 = make_fast_solver(load_params(implicit_case()), "theta",
+                                solver="2term", precond="mg")
+        bench_engine("implicit CN driven (2term, mg, dt=1e-3)", eng2)
+
+    if "implicit-cheby" not in args.skip:
+        from tpuwave.models.fast_engine import make_fast_solver
+        from tpuwave.utils.params import load_params
+        from tpuwave import config
+        config.use_x64(False)
+        engc = make_fast_solver(load_params(implicit_case()), "theta",
+                                solver="cheby")
+        bench_engine("implicit CN driven (cheby,    dt=1e-3)", engc)
 
 
 if __name__ == "__main__":

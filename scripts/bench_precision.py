@@ -69,8 +69,16 @@ def main():
     ap.add_argument("--nel", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["f32", "comp", "f64"])
+                    choices=["f32", "comp", "f64", "imp-f32", "imp-comp",
+                             "imp-f64"])
+    ap.add_argument("--only", nargs="*", default=None,
+                    choices=["f32", "comp", "f64", "imp-f32", "imp-comp",
+                             "imp-f64"])
     args = ap.parse_args()
+    if args.only is not None:
+        all_names = ["f32", "comp", "f64", "imp-f32", "imp-comp",
+                     "imp-f64"]
+        args.skip = [n for n in all_names if n not in args.only]
 
     from tpuwave.models.fast import FastWaveSolver
 
@@ -104,6 +112,69 @@ def main():
         time_path("f64  roll scan   ",
                   lambda st: s64.run_leapfrog_scan(st, steps), lf,
                   s64.n_dofs, steps)
+
+    # ------------------------------------------------------------------
+    # implicit MG rows (round-4 verdict ask 7): driven CN at the same
+    # scale through the product engine (--solver 2term --precond mg),
+    # f32 / f64; the compensated-f32 implicit row runs the same
+    # displacement recurrence with TwoSum carries
+    # (run_implicit_mg_2term_comp, CN form)
+    # ------------------------------------------------------------------
+    def implicit_case():
+        return {
+            "Nel": str(nel), "R": "1", "T": "1.0", "Theta": "0.5",
+            "Dt": str(1e-3), "Save Solution": "false", "Log Every": "0",
+            "C": {"Function expression": "1.0", "Variable names": "x, y, t"},
+            "F": {"Function expression": "0.0", "Variable names": "x, y, t"},
+            "U0": {"Function expression": "0.0", "Variable names": "x, y"},
+            "V0": {"Function expression": "0.0", "Variable names": "x, y"},
+            "G": {"Function expression":
+                  "if(y < 0.0001 && x < 0.34, sin(4*pi*t), 0)",
+                  "Variable names": "x, y, t"},
+            "DGDT": {"Function expression":
+                     "if(y < 0.0001 && x < 0.34, 4*pi*cos(4*pi*t), 0)",
+                     "Variable names": "x, y, t"},
+        }
+
+    def bench_engine(label, eng):
+        st0 = eng.initial_state()
+        ts = 1e-3 * (1.0 + jnp.arange(steps, dtype=eng.dtype))
+
+        def run(state):
+            out, _ = eng.run_steps(state, ts)
+            return out
+
+        time_path(label, run, st0, eng.disc.n_dofs, steps)
+
+    from tpuwave import config
+    from tpuwave.models.fast_engine import make_fast_solver
+    from tpuwave.utils.params import load_params
+
+    if "imp-f32" not in args.skip:
+        config.use_x64(False)
+        bench_engine("f32  implicit CN driven (2term mg)",
+                     make_fast_solver(load_params(implicit_case()),
+                                      "theta", solver="2term",
+                                      precond="mg"))
+
+    if "imp-comp" not in args.skip:
+        # compensated displacement recurrence (CN form, standing mode —
+        # the TwoSum machinery; models/fast.py::run_implicit_mg_2term_comp)
+        config.use_x64(False)
+        sc = FastWaveSolver((nel, nel), geo, 1e-3, scheme="theta",
+                            theta=0.5, lumped=False, dtype=jnp.float32)
+        cs = sc.implicit_2term_init_comp(
+            sc.initial_state(u0))
+        time_path("f32c implicit CN compensated 2term",
+                  lambda st: sc.run_implicit_mg_2term_comp(st, steps),
+                  cs, sc.n_dofs, steps)
+
+    if "imp-f64" not in args.skip:
+        config.use_x64(True)
+        bench_engine("f64  implicit CN driven (2term mg)",
+                     make_fast_solver(load_params(implicit_case()),
+                                      "theta", solver="2term",
+                                      precond="mg"))
 
 
 if __name__ == "__main__":

@@ -226,6 +226,26 @@ def check_fwi_ring_sponge():
     return max(err_fwd, err_val, _maxerr(g_pal, g_ref))
 
 
+def check_driven_multistep():
+    """DRIVEN temporally-blocked leapfrog: per-substep boundary values
+    injected inside the k-step kernel by global coordinates
+    (leapfrog_multistep_driven_pallas) vs the XLA driven scan."""
+    from tpuwave.models.fast import FastWaveSolver
+
+    def g_fn(x, y, t):
+        return 0.1 * jnp.sin(3.0 * t) * (1.0 + x * y)
+
+    s = FastWaveSolver((255, 255), ((0.0, 0.0), (1.0, 1.0)), 5e-4,
+                       beta=0.0, dtype=jnp.float32)
+    lf = s.initial_leapfrog_state(u0, g_fn=g_fn)
+    times = 5e-4 * (1.0 + np.arange(64))
+    want = s.run_leapfrog_driven(lf, jnp.asarray(times, jnp.float32), g_fn)
+    got = s.run_leapfrog_driven_multistep(lf, times, g_fn,
+                                          steps_per_call=8, block_rows=64,
+                                          interpret=INTERPRET)
+    return max(_maxerr(got.u, want.u), _maxerr(got.u_prev, want.u_prev))
+
+
 def check_tdep_leapfrog():
     """Time-dependent-C leapfrog (in-scan varcoef plane rebuild,
     models/fast.py::run_leapfrog_tdep). XLA path, certified ON CHIP: a
@@ -250,6 +270,7 @@ CHECKS = [
     # O(n_steps * eps) reassociation noise; tolerances sized accordingly
     ("leapfrog_pallas_k1", check_leapfrog_k1, 2e-5),
     ("leapfrog_multistep_k32", check_leapfrog_k32, 2e-4),
+    ("leapfrog_driven_multistep_k8", check_driven_multistep, 2e-4),
     ("implicit_cg_constrained_apply", check_implicit_cg, 2e-3),
     ("implicit_chebyshev_block", check_implicit_cheby, 2e-3),
     ("mg_pallas_newmark_r0_update", check_mg_pallas_newmark, 2e-3),
@@ -286,6 +307,16 @@ def main(argv=None):
         names = set(args.only.split(","))
         selected = [c for c in CHECKS if c[0] in names]
 
+    # account the tunnel/backend warmup OUTSIDE the first check's seconds
+    # (round-3 review: check 1 absorbed ~14 min of axon warmup, making
+    # the per-check accounting unreadable)
+    t0 = time.perf_counter()
+    jax.block_until_ready(
+        jnp.zeros((128, 128), jnp.float32) @ jnp.zeros((128, 128),
+                                                       jnp.float32))
+    warmup_s = round(time.perf_counter() - t0, 2)
+    print(f"backend warmup: {warmup_s} s", flush=True)
+
     results = []
     for name, fn, tol in selected:
         t0 = time.perf_counter()
@@ -312,6 +343,7 @@ def main(argv=None):
         "device": str(dev),
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "interpret_mode": INTERPRET,
+        "warmup_seconds": warmup_s,
         "all_pass": all_pass,
         "checks": results,
     }

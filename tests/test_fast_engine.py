@@ -173,8 +173,9 @@ def test_leapfrog_driven_forcing_mms():
 def test_ineligible_reasons():
     assert fast_engine_ineligible_reason(
         Discretization(load_params(driven_case()))) is None
+    # R=2 is fast-eligible since round 4 (models/fast_engine_p2.py)
     p2 = Discretization(load_params(driven_case(R="2")))
-    assert "P1" in fast_engine_ineligible_reason(p2)
+    assert fast_engine_ineligible_reason(p2) is None
     # spatially varying c IS eligible (static varcoef planes)
     varc = Discretization(load_params(driven_case(
         C={"Function expression": "1.0 + 0.5*x",
@@ -258,10 +259,11 @@ def test_cli_engine_auto_routes_and_falls_back(tmp_path, capsys):
     case = driven_case(**{"T": "0.03"})
     path = _write(tmp_path, case)
     assert _cli(cli_newmark.main, path, tmp_path, "a") == 0
-    # auto on an ineligible (P2) problem silently falls back to parity
-    path2 = _write(tmp_path, driven_case(R="2", T="0.03"), "p2.json")
+    # auto on an ineligible (Nel=1: no interior band) problem silently
+    # falls back to parity (R=2 is fast-eligible since round 4)
+    path2 = _write(tmp_path, driven_case(Nel="1", T="0.03"), "n1.json")
     assert _cli(cli_newmark.main, path2, tmp_path, "b") == 0
-    # explicit --engine fast on the P2 problem is a hard error
+    # explicit --engine fast on the ineligible problem is a hard error
     assert _cli(cli_newmark.main, path2, tmp_path, "c",
                 ("--engine", "fast")) == 1
 
@@ -463,3 +465,90 @@ def test_api_parity_kwargs_keep_routing_to_parity():
                                   Beta="0.0"))
     s = tpuwave.build_solver(p, "newmark", lumped_explicit=True)
     assert isinstance(s, ParityNewmark) and s.lumped_explicit
+
+
+def test_sharded_product_engine_matches_single_device():
+    """Round-4 contract: the product fast engine partitions across the
+    device mesh (reference analogue: every run partitionable,
+    GridTools::partition_triangulation, WaveEquationBase.cpp:65-69).
+    Driven + forced + mg-preconditioned Newmark on the 8-device virtual
+    mesh reproduces the single-device trajectory, iteration counts and
+    diagnostics."""
+    import jax
+    from tpuwave.models.fast_engine import make_fast_solver
+    from tpuwave.parallel.sharding import device_mesh, grid_sharding
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    p = load_params(driven_case(**{"Nel": "16,15", "Beta": "0.25",
+                                   "T": "0.03"}))
+    sh = grid_sharding(device_mesh(8))
+    s1 = make_fast_solver(p, "newmark", precond="mg")
+    s8 = make_fast_solver(p, "newmark", precond="mg", sharding=sh)
+    st1 = s1.initial_state()
+    st8 = s8.initial_state()
+    assert len(st8.u.sharding.device_set) == 8
+    t, i1, i8 = 0.0, None, None
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        st1, i1 = s1.step(st1, t)
+        st8, i8 = s8.step(st8, t)
+    assert len(st8.u.sharding.device_set) == 8
+    nu = float(jnp.linalg.norm(st1.u))
+    assert float(jnp.linalg.norm(st1.u - st8.u)) < 1e-13 * nu
+    assert int(i1["iterations_1"]) == int(i8["iterations_1"])
+    e1 = float(s1.disc.energy(st1.u, st1.v))
+    e8 = float(s8.disc.energy(st8.u, st8.v))
+    assert abs(e1 - e8) < 1e-12 * abs(e1)
+
+
+def test_cli_shard_rows_csv_parity(tmp_path, capsys):
+    """`--shard rows` through the CLI: the partitioned run's CSVs match
+    the unsharded run digit-for-digit (the sharded==single-device
+    CSV-parity criterion; psum reduction-order noise stays below the
+    %.6g formatting)."""
+    import jax
+    from tpuwave.cli import newmark as cli_newmark
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend")
+    case = driven_case(**{"Log Every": "1", "T": "0.05", "Beta": "0.25"})
+    path = _write(tmp_path, case)
+    assert _cli(cli_newmark.main, path, tmp_path, "one") == 0
+    assert cli_newmark.main([str(path), "--results-root",
+                             str(tmp_path / "sharded"), "--mesh-root",
+                             str(tmp_path / "mesh"),
+                             "--shard", "rows"]) == 0
+    out = capsys.readouterr().out
+    assert "Sharding: rows over" in out
+    sub = "newmark-case/run-R1-N16x16-dt0_01-T0_05-gamma0_5-beta0_25"
+    for csv in ("probe.csv", "energy.csv", "iterations.csv"):
+        fa = (tmp_path / "one" / sub / csv).read_text()
+        pa = (tmp_path / "sharded" / sub / csv).read_text()
+        assert fa == pa, csv
+
+
+@pytest.mark.parametrize("k,br", [(4, 8), (8, 8), (16, 32)])
+def test_leapfrog_driven_multistep_matches_xla(k, br):
+    """Round-4 contract: temporally-blocked DRIVEN leapfrog — per-substep
+    boundary values injected INSIDE the k-step kernel by global
+    coordinates (the FWI kernels' injection mechanism) — reproduces the
+    XLA driven step exactly in f64 interpret mode at k = 4/8/16."""
+    from tpuwave.models.fast import FastWaveSolver
+
+    def g_fn(x, y, t):
+        return 0.1 * jnp.sin(3.0 * t) * (1.0 + x * y)
+
+    fs = FastWaveSolver((24, 70), ((0.0, 0.0), (1.0, 1.0)), 5e-3,
+                        beta=0.0, dtype=jnp.float64)
+    st = fs.initial_leapfrog_state(
+        lambda xs, ys: jnp.sin(jnp.pi * xs) * jnp.sin(jnp.pi * ys),
+        g_fn=g_fn)
+    times = 5e-3 * (1.0 + np.arange(16))
+    want = st
+    for t in times:
+        want = fs.leapfrog_step_driven(want, float(t), g_fn)
+    got = fs.run_leapfrog_driven_multistep(st, times, g_fn,
+                                           steps_per_call=k,
+                                           block_rows=br, interpret=True)
+    nu = float(jnp.linalg.norm(want.u))
+    assert float(jnp.linalg.norm(got.u - want.u)) < 1e-13 * nu
+    assert float(jnp.linalg.norm(got.u_prev - want.u_prev)) < 1e-13 * nu

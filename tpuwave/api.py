@@ -27,9 +27,12 @@ def build_solver(params: Params, family: str = "theta",
     """Discretise and construct a stepper ('theta' or 'newmark').
 
     ``engine``: 'auto' (DEFAULT — the fast grid-stencil engine whenever
-    the problem is a structured P1 rectangle, falling back to the parity
-    engine), 'fast' (require it; ValueError when ineligible) or 'parity'
-    (the general gather-path engine). Mirrors the CLI ``--engine`` flag.
+    the problem is a structured P1/P2 rectangle, falling back to the
+    parity engine), 'fast' (require it; ValueError when ineligible) or
+    'parity' (the general gather-path engine). Mirrors the CLI
+    ``--engine`` flag, as do ``solver=`` ('3term'/'2term'/'cheby') and
+    ``sharding=`` (a grid NamedSharding — the device-mesh row
+    partitioning of ``--shard rows``).
     """
     if family not in ("theta", "newmark"):
         raise ValueError(f"Unknown solver family {family!r}")
@@ -37,7 +40,8 @@ def build_solver(params: Params, family: str = "theta",
     # the parity engine under 'auto', preserving the pre-engine-routing
     # build_solver contract; the fast engine accepts only these:
     _fast_kwargs = {"precond", "cheby_degree", "use_pallas",
-                    "pallas_block_rows", "pallas_interpret"}
+                    "pallas_block_rows", "pallas_interpret", "solver",
+                    "sharding", "cheby_solver_degree"}
     if engine == "auto" and set(solver_kwargs) - _fast_kwargs:
         engine = "parity"
     from tpuwave.models.fast_engine import resolve_engine

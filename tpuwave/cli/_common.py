@@ -63,6 +63,30 @@ def run_main(family: str, make_solver, argv=None) -> int:
                              "hierarchy at the rms wave speed; auto = mg "
                              "when the system is stiffness-dominated and "
                              "mg-eligible, else jacobi)")
+    parser.add_argument("--solver", choices=("3term", "2term", "cheby"),
+                        default="3term",
+                        help="implicit-solve strategy for the fast "
+                             "engine: 3term = the parity CG contract "
+                             "(default); 2term = displacement-form "
+                             "recurrence, ~1 MG-PCG iteration per step — "
+                             "the fastest implicit path, pair with "
+                             "--precond mg (P1, static c, Beta > 0 for "
+                             "newmark; velocity reconstructed at log "
+                             "points, models/fast_engine_2term.py); "
+                             "cheby = dot-product-free restarted "
+                             "Chebyshev solve blocks, fused Pallas "
+                             "passes on TPU (P1, constant c)")
+    parser.add_argument("--shard", choices=("none", "rows"),
+                        default="none",
+                        help="partition the fast-engine run across the "
+                             "local devices by grid rows (the analogue "
+                             "of the reference's mpirun -np N domain "
+                             "decomposition, WaveEquationBase.cpp:65-69): "
+                             "GSPMD lowers stencil halos to collective-"
+                             "permutes and CG/diagnostics reductions to "
+                             "psum. P1 structured runs only (the P2 "
+                             "product engine and the parity engine run "
+                             "unsharded)")
     parser.add_argument("--unstructured-sharding",
                         choices=("none", "cells", "dofs", "dofs2d"),
                         default="none",
@@ -135,16 +159,44 @@ def run_main(family: str, make_solver, argv=None) -> int:
         print(f"  Backend: {devs[0].platform}, {len(devs)} device(s), "
               f"{jax.process_count()} process(es)")
 
+    solver_kwargs = {"precond": args.precond, "solver": args.solver}
+    if args.shard == "rows":
+        if params.r == 1 and params.mesh_file is None:
+            from tpuwave.parallel.sharding import device_mesh, grid_sharding
+            solver_kwargs["sharding"] = grid_sharding(device_mesh())
+            if primary:
+                print(f"  Sharding: rows over {len(devs)} device(s)")
+        elif primary:
+            print("  (--shard rows ignored: only P1 structured fast runs "
+                  "shard)")
+
     try:
         from tpuwave.models.fast_engine import resolve_engine
-        solver, disc, reason = resolve_engine(
-            params, family, args.engine,
-            make_disc=lambda: make_discretization(
-                params, unstructured_sharding=args.unstructured_sharding),
-            precond=args.precond)
+        try:
+            solver, disc, reason = resolve_engine(
+                params, family, args.engine,
+                make_disc=lambda: make_discretization(
+                    params,
+                    unstructured_sharding=args.unstructured_sharding),
+                **solver_kwargs)
+        except ValueError as e:
+            if args.solver == "3term":
+                raise
+            print(f"--solver {args.solver} unavailable for this problem: "
+                  f"{e}\nHint: use the default --solver 3term.",
+                  file=sys.stderr)
+            return 1
+        if solver is None and args.solver != "3term":
+            print(f"--solver {args.solver} requires the fast engine "
+                  f"(ineligible here: {reason}); the parity engine runs "
+                  "the 3term form only.", file=sys.stderr)
+            return 1
         if solver is not None:
             if primary:
-                print("  Engine: fast (grid-stencil)")
+                banner = "  Engine: fast (grid-stencil)"
+                if args.solver != "3term":
+                    banner += f" [{args.solver}]"
+                print(banner)
         elif reason is not None:
             if args.engine == "fast":
                 print("--engine fast unavailable for this problem: "

@@ -560,6 +560,98 @@ class FastWaveSolver:
         u_f, up_f = run(u_pad, up_pad, times)
         return LeapfrogState(u=u_f[:h, :w], u_prev=up_f[:h, :w])
 
+    def run_leapfrog_driven_multistep(self, state: LeapfrogState, times,
+                                      g_fn, steps_per_call: int = 8,
+                                      block_rows: int = 128,
+                                      interpret: bool = False
+                                      ) -> LeapfrogState:
+        """DRIVEN leapfrog with temporal blocking: ``steps_per_call``
+        fused steps per kernel pass WITH per-substep boundary data
+        injected inside the kernel by global coordinates
+        (ops/pallas_kernels.py::leapfrog_multistep_driven_pallas — the
+        same in-kernel per-step injection mechanism as the FWI source
+        terms, disproving the round-3 note that temporal blocking cannot
+        drive boundaries). The per-chunk edge values (2 rows + 2 lane
+        strips per substep) are evaluated in XLA outside the kernel —
+        O(perimeter * k) work per chunk.
+
+        ``times``: the stamps being stepped TO, length a multiple of
+        ``steps_per_call``. Forcing is not offered on this path (a full
+        f plane per substep would defeat the blocking); use
+        run_leapfrog_driven_pallas for forced problems.
+        """
+        from tpuwave.ops.pallas_kernels import (
+            _HALO, leapfrog_multistep_driven_pallas)
+
+        k = int(steps_per_call)
+        times = jnp.asarray(times, self.dtype)
+        n = int(times.shape[0])
+        if n % k != 0:
+            raise ValueError("len(times) must be a multiple of "
+                             "steps_per_call")
+        h, w = self.shape
+        hp = -(-h // block_rows) * block_rows
+        wp = -(-w // 128) * 128
+        k_pad = -(-k // _HALO) * _HALO
+        coef = self.dt * self.dt / self.mesh.det_j
+        stencil = self.stiff.stencil
+        (x0, y0) = self.mesh.origin
+        hx, hy = self.mesh.hx, self.mesh.hy
+        x1 = x0 + hx * (w - 1)
+        y1 = y0 + hy * (h - 1)
+
+        def chunk_g(ts):
+            """(gtb, glr) edge-value arrays for one k-step chunk."""
+            xs = x0 + hx * jnp.arange(wp, dtype=self.dtype)
+            ys = y0 + hy * jnp.arange(hp, dtype=self.dtype)
+            gtb = jnp.zeros((2 * k_pad, wp), self.dtype)
+            glr = jnp.zeros((hp, 128), self.dtype)
+            for s in range(k):
+                t = ts[s]
+                gtb = gtb.at[s, :].set(jnp.broadcast_to(jnp.asarray(
+                    g_fn(xs, jnp.full_like(xs, y0), t), self.dtype),
+                    (wp,)))
+                gtb = gtb.at[k_pad + s, :].set(jnp.broadcast_to(
+                    jnp.asarray(g_fn(xs, jnp.full_like(xs, y1), t),
+                                self.dtype), (wp,)))
+                glr = glr.at[:, s].set(jnp.broadcast_to(jnp.asarray(
+                    g_fn(jnp.full_like(ys, x0), ys, t), self.dtype),
+                    (hp,)))
+                glr = glr.at[:, 64 + s].set(jnp.broadcast_to(
+                    jnp.asarray(g_fn(jnp.full_like(ys, x1), ys, t),
+                                self.dtype), (hp,)))
+            return gtb, glr
+
+        def step(carry, ts):
+            cu, cup = carry
+            gtb, glr = chunk_g(ts)
+            un, upn = leapfrog_multistep_driven_pallas(
+                cu, cup, gtb, glr, stencil=stencil, coef=coef,
+                n_steps=k, block_rows=block_rows, true_rows=h,
+                true_cols=w, interpret=interpret)
+            return (un, upn), None
+
+        key = ("lfm_driven", id(g_fn), k, n, block_rows, interpret)
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        run = cache.get(key)
+        if run is None:
+            while len(cache) >= 8:
+                cache.pop(next(iter(cache)))
+
+            @jax.jit
+            def run(u_pad, up_pad, ts_chunks):
+                (u_f, up_f), _ = jax.lax.scan(step, (u_pad, up_pad),
+                                              ts_chunks)
+                return u_f, up_f
+            cache[key] = run
+        u_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(state.u)
+        up_pad = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(
+            state.u_prev)
+        u_f, up_f = run(u_pad, up_pad, times.reshape(n // k, k))
+        return LeapfrogState(u=u_f[:h, :w], u_prev=up_f[:h, :w])
+
     def leapfrog_velocity(self, state_next: LeapfrogState,
                           state: LeapfrogState):
         """v^n = (u^{n+1} - u^{n-1}) / (2 dt)."""

@@ -80,13 +80,16 @@ class _Op(NamedTuple):
 def fast_engine_ineligible_reason(problem) -> Optional[str]:
     """None when ``problem`` (a Params or a built Discretization) can run
     on the grid-stencil engine, else why not. Eligibility = structured
-    rectangle triangulation with P1 elements; the wave speed may be
-    constant, spatially varying, or (with `Time Dependent C`)
-    time-dependent — each maps to a grid-plane operator form (module
-    docstring).
+    rectangle triangulation with P1 or P2 elements (the reference's
+    degree-generic engine, WaveEquationBase.cpp:74-84: R=1 routes to the
+    vertex-grid solvers here, R=2 to the plane-stencil solvers of
+    models/fast_engine_p2.py); the wave speed may be constant, spatially
+    varying, or (with `Time Dependent C`) time-dependent — each maps to a
+    grid-plane operator form (module docstring).
 
     Passing Params routes diagnostics through the O(grid)
-    :class:`~tpuwave.models.grid_diag.GridDiagnostics` surface — the
+    :class:`~tpuwave.models.grid_diag.GridDiagnostics` /
+    :class:`~tpuwave.models.p2_diag.P2GridDiagnostics` surface — the
     product path at bench scale, where building the gather-path parity
     ``Discretization`` would exceed HBM (its O(n_cells)-shaped buffers
     tile-pad 42-64x on TPU).
@@ -101,8 +104,8 @@ def fast_engine_ineligible_reason(problem) -> Optional[str]:
         if type(problem) is not Discretization or \
                 type(problem.mesh) is not StructuredTriMesh:
             return "mesh is not a generated structured rectangle"
-    if p.r != 1:
-        return f"fast engine is P1-only (R = {p.r})"
+    if p.r not in (1, 2):
+        return f"fast engine supports R = 1/2 (R = {p.r})"
     if min(p.nel) < 2:
         return "mesh has no interior band (Nel < 2)"
     return None
@@ -110,19 +113,56 @@ def fast_engine_ineligible_reason(problem) -> Optional[str]:
 
 def make_fast_solver(problem, family: str, *,
                      precond: str = "jacobi", cheby_degree: int = 3,
-                     **engine_kwargs):
+                     solver: str = "3term", **engine_kwargs):
     """Factory used by the CLI/api ``engine fast|auto`` routing.
 
     ``problem``: a Params (O(grid) diagnostics — the scalable product
     path) or an already-built structured Discretization (its gather-path
     diagnostics are then reused, byte-identical to the parity engine).
+    R = 2 problems route to the P2 plane-stencil engines
+    (models/fast_engine_p2.py — the reference's engine is degree-generic,
+    WaveEquationBase.cpp:74-84).
+
+    ``solver``: the implicit-solve strategy (``--solver``):
+    * ``3term`` — the parity CG contract (default)
+    * ``2term`` — displacement-form recurrence, ~1 MG-PCG iteration per
+      step (models/fast_engine_2term.py; P1, static c)
+    * ``cheby`` — restarted Chebyshev iteration, dot-product-free fused
+      solve blocks (P1, constant c)
     """
+    p = problem if isinstance(problem, Params) else problem.params
+    if p.r == 2:
+        from tpuwave.models.fast_engine_p2 import (FastP2NewmarkSolver,
+                                                   FastP2ThetaSolver)
+        cls2 = {"theta": FastP2ThetaSolver,
+                "newmark": FastP2NewmarkSolver}.get(family)
+        if cls2 is None:
+            raise ValueError(f"unknown solver family {family!r}")
+        if solver != "3term":
+            raise ValueError(f"--solver {solver} is P1-only; the P2 fast "
+                             "engine runs the 3term (parity-CG) form")
+        if engine_kwargs:
+            raise TypeError("P2 fast engine does not accept "
+                            f"{sorted(engine_kwargs)} (single-device XLA "
+                            "plane-stencil path)")
+        return cls2(problem, precond=precond, cheby_degree=cheby_degree)
+    if solver == "2term":
+        from tpuwave.models.fast_engine_2term import (Fast2TermNewmarkSolver,
+                                                      Fast2TermThetaSolver)
+        cls = {"theta": Fast2TermThetaSolver,
+               "newmark": Fast2TermNewmarkSolver}.get(family)
+        if cls is None:
+            raise ValueError(f"unknown solver family {family!r}")
+        return cls(problem, precond=precond, cheby_degree=cheby_degree,
+                   **engine_kwargs)
     if family == "theta":
         return FastThetaSolver(problem, precond=precond,
-                               cheby_degree=cheby_degree, **engine_kwargs)
+                               cheby_degree=cheby_degree, solver=solver,
+                               **engine_kwargs)
     if family == "newmark":
         return FastNewmarkSolver(problem, precond=precond,
-                                 cheby_degree=cheby_degree, **engine_kwargs)
+                                 cheby_degree=cheby_degree, solver=solver,
+                                 **engine_kwargs)
     raise ValueError(f"unknown solver family {family!r}")
 
 
@@ -164,10 +204,20 @@ class _FastEngineBase(ScanMixin):
     def __init__(self, problem, *, precond: str = "jacobi",
                  cheby_degree: int = 3, use_pallas=None,
                  pallas_block_rows: int = 128,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False, sharding=None,
+                 solver: str = "3term", cheby_solver_degree: int = 8):
         reason = fast_engine_ineligible_reason(problem)
         if reason is not None:
             raise ValueError(f"fast engine unavailable: {reason}")
+        if solver not in ("3term", "cheby"):
+            raise ValueError(f"unknown solver {solver!r} for this engine "
+                             "(3term | cheby; 2term is the displacement-"
+                             "form classes in models/fast_engine_2term.py)")
+        p_r = (problem if isinstance(problem, Params) else problem.params).r
+        if p_r != 1:
+            raise ValueError("FastThetaSolver/FastNewmarkSolver are the P1 "
+                             "engines; R = 2 routes to models/"
+                             "fast_engine_p2.py (use make_fast_solver)")
         if isinstance(problem, Params):
             from tpuwave.models.grid_diag import GridDiagnostics
             disc = GridDiagnostics(problem)
@@ -184,11 +234,40 @@ class _FastEngineBase(ScanMixin):
             self._c_mode = "varcoef"
         else:
             self._c_mode = "const"
+        #: device-mesh row layout (parallel/sharding.py::grid_sharding):
+        #: every run partitions across devices exactly like the
+        #: reference's GridTools::partition_triangulation across MPI
+        #: ranks (WaveEquationBase.cpp:65-69). GSPMD lowers the stencil
+        #: rolls to nearest-neighbour collective-permutes and the CG /
+        #: diagnostics reductions to psum; the fused single-device
+        #: Pallas solve path is disabled under sharding. Grids whose row
+        #: count divides the mesh keep a persistently row-sharded state
+        #: (device_put); other row counts (e.g. 2^k + 1) get in-step
+        #: ``with_sharding_constraint`` layouts instead — GSPMD pads the
+        #: uneven tiling internally (jax device_put rejects it).
+        self.sharding = sharding
+        self._flat_sharding = None
+        self._even_shards = False
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            spec = tuple(sharding.spec)
+            shape = (p.nel[1] + 1, p.nel[0] + 1)
+            divides = all(
+                name is None or shape[d] % sharding.mesh.shape[name] == 0
+                for d, name in enumerate(spec))
+            # flat device_put needs the row split to align with flat
+            # chunks: 1-D row sharding only
+            self._even_shards = (divides and spec and spec[0] is not None
+                                 and all(n is None for n in spec[1:]))
+            if self._even_shards:
+                self._flat_sharding = NamedSharding(sharding.mesh,
+                                                    PartitionSpec(spec[0]))
         self.fs = FastWaveSolver(
             p.nel, p.geometry, p.dt,
             c=1.0 if c_const is None else float(c_const),
             scheme=self.method_name, beta=p.beta, gamma=p.gamma,
-            theta=p.theta, lumped=False, dtype=disc.dtype)
+            theta=p.theta, lumped=False, dtype=disc.dtype,
+            sharding=sharding if self._even_shards else None)
         fs = self.fs
         self.dtype = fs.dtype
         self._max_iter = 10000 if self.dtype == jnp.float64 else 2000
@@ -221,7 +300,9 @@ class _FastEngineBase(ScanMixin):
         # preconditioner for the implicit system; the theta v-system is
         # the bare mass — mesh-independent conditioning, Jacobi always
         # (models/fast.py::_theta_step note)
-        if precond == "auto":
+        if solver == "cheby":
+            precond = "jacobi"   # cheby IS the solver; skip mg setup
+        elif precond == "auto":
             from tpuwave.solve.multigrid import auto_precond
             precond = auto_precond(disc, self.coef)
         self.precond = precond
@@ -257,7 +338,9 @@ class _FastEngineBase(ScanMixin):
         hp = -(-h // self._pblock) * self._pblock
         wp = -(-w // 128) * 128
         self._pad_shape = (hp, wp)
-        if use_pallas is None:
+        if sharding is not None:
+            use_pallas = False   # halo-DMA kernels are single-device
+        elif use_pallas is None:
             try:
                 on_accel = jax.devices()[0].platform not in ("cpu",)
             except Exception:
@@ -265,6 +348,20 @@ class _FastEngineBase(ScanMixin):
             use_pallas = (on_accel and self.dtype == jnp.float32
                           and self._c_mode == "const"
                           and hp // self._pblock >= 2)
+        #: inner linear solver: "3term" = the parity CG contract;
+        #: "cheby" = restarted Chebyshev iteration with analytic
+        #: stencil-symbol eigenvalue bounds (solve/cheby_iter.py — no dot
+        #: products, so iterations fuse into temporally-blocked Pallas
+        #: passes on TPU). Constant wave speed only (the symbol bounds
+        #: are per-stencil constants); same ReductionControl stopping
+        #: contract, different iteration counts (documented perf mode).
+        self._solver = solver
+        self._cheby_solver_degree = int(cheby_solver_degree)
+        if solver == "cheby" and self._c_mode != "const":
+            raise ValueError(
+                "--solver cheby needs a constant wave speed (analytic "
+                "stencil-symbol bounds); use 3term/2term for varcoef or "
+                "time-dependent C")
         self._use_pallas = bool(use_pallas)
         if self._use_pallas and precond == "mg":
             from tpuwave.solve.multigrid import PallasGmgPreconditioner
@@ -369,6 +466,14 @@ class _FastEngineBase(ScanMixin):
         return prec
 
     # -- helpers -------------------------------------------------------
+    def _shard_grid(self, x):
+        """Pin the device-mesh grid layout inside the jitted step for
+        row counts that cannot be device_put-sharded (uneven tiling —
+        GSPMD pads internally); no-op otherwise."""
+        if self.sharding is None or self._even_shards:
+            return x
+        return jax.lax.with_sharding_constraint(x, self.sharding)
+
     def _plane(self, expr, t):
         """expr(x, y, t) on the full vertex grid (only boundary entries
         are ever consumed; interior values are masked away). Coordinates
@@ -424,11 +529,74 @@ class _FastEngineBase(ScanMixin):
                g_zero: bool):
         apply_c, rhs_c, x0 = self._constrain(op, rhs, g_plane, x_prev,
                                              g_zero=g_zero)
+        if self._solver == "cheby":
+            return self._solve_cheby(op, rhs_c, x0)
         if self._use_pallas and op.stencil is not None:
             return self._solve_pallas(op, rhs_c, x0, precond)
         return pcg(apply_c, rhs_c, x0, precond_inv_diag=precond,
                    abs_tol=self._abs_tol(rhs_c, x0, op),
                    max_iter=self._max_iter, reduction=self.fs.cg_reduction)
+
+    def _solve_cheby(self, op: _Op, rhs_c, x0):
+        """Restarted Chebyshev iteration on the constrained system
+        (--solver cheby): data-independent coefficient schedules from the
+        analytic stencil-symbol bounds, so there are no dot products in
+        the iteration — blocks of ``cheby_solver_degree`` iterations run
+        between residual checks, and on TPU each block is ONE fused
+        Pallas halo pass (ops/pallas_kernels.py::cheby_block_pallas).
+        Same ReductionControl stopping contract as the CG paths."""
+        from tpuwave.solve.cheby_iter import (chebyshev_coefficients,
+                                              chebyshev_solve,
+                                              stencil_symbol_bounds)
+        lo, hi = stencil_symbol_bounds(op.stencil)
+        deg = self._cheby_solver_degree
+        abs_tol = self._abs_tol(rhs_c, x0, op)
+        if not self._use_pallas:
+            return chebyshev_solve(
+                self._constrained_apply(op), rhs_c, x0, lam_min=lo,
+                lam_max=hi, degree=deg, abs_tol=abs_tol,
+                reduction=self.fs.cg_reduction, max_iter=self._max_iter)
+        # fused path: every block is one temporally-blocked Mosaic pass
+        from tpuwave.ops.pallas_kernels import (
+            cheby_block_pallas, constrained_stencil_apply_pallas)
+        from tpuwave.solve.cg import CgResult
+        fs = self.fs
+        h, w = fs.shape
+        hp, wp = self._pad_shape
+        st = op.stencil
+        theta_c, coeffs = chebyshev_coefficients(lo, hi, deg)
+        coeffs = tuple(coeffs)
+        kw = dict(block_rows=self._pblock, true_rows=h, true_cols=w,
+                  interpret=self._pinterp)
+
+        def pad(x):
+            return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
+
+        x0p, bp = pad(x0), pad(rhs_c)
+        r0 = bp - constrained_stencil_apply_pallas(
+            x0p, stencil=st, diag=st[1][1], **kw)
+        rn2_0 = jnp.vdot(r0, r0).real.astype(jnp.float32)
+        tol = jnp.maximum(jnp.asarray(abs_tol, self.dtype),
+                          fs.cg_reduction * jnp.sqrt(rn2_0).astype(
+                              self.dtype))
+        tol2 = (tol * tol).astype(jnp.float32)
+        max_iter = self._max_iter
+
+        def cond(c):
+            x, r, rn2, k = c
+            return jnp.logical_and(rn2 > tol2, k < max_iter)
+
+        def body(c):
+            x, r, _, k = c
+            x, r, rn2 = cheby_block_pallas(
+                x, r, stencil=st, theta=theta_c, coeffs=coeffs, **kw)
+            return (x, r, rn2[0, 0], k + deg)
+
+        x, r, rn2, k = jax.lax.while_loop(
+            cond, body, (x0p, r0, rn2_0, jnp.asarray(0, jnp.int32)))
+        rnorm = jnp.sqrt(rn2).astype(self.dtype)
+        return CgResult(x=x[:h, :w], iterations=k, residual_norm=rnorm,
+                        converged=rnorm <= tol)
 
     def step(self, state: FastGridState, t):
         return self._step(state, t)
@@ -450,6 +618,9 @@ class FastThetaSolver(_FastEngineBase):
         d = self.disc
         u0 = jnp.asarray(d.interpolate(d.params.u0), self.dtype)
         v0 = jnp.asarray(d.interpolate(d.params.v0), self.dtype)
+        if self._flat_sharding is not None:
+            u0 = jax.device_put(u0, self._flat_sharding)
+            v0 = jax.device_put(v0, self._flat_sharding)
         pay = (self.fs._tdep_scales(self._c_eval, 0.0)
                if self._c_mode == "tdep" else None)
         return FastGridState(u=u0, v=v0, a=jnp.zeros_like(u0),
@@ -458,8 +629,8 @@ class FastThetaSolver(_FastEngineBase):
     def _step_impl(self, state: FastGridState, t):
         fs = self.fs
         dt, th = self.dt, fs.theta
-        u = state.u.reshape(fs.shape)
-        v = state.v.reshape(fs.shape)
+        u = self._shard_grid(state.u.reshape(fs.shape))
+        v = self._shard_grid(state.v.reshape(fs.shape))
 
         pay_np1 = None
         if self._c_mode == "tdep":
@@ -542,6 +713,9 @@ class FastNewmarkSolver(_FastEngineBase):
         d, fs, dt = self.disc, self.fs, self.dt
         u0 = jnp.asarray(d.interpolate(d.params.u0), self.dtype)
         v0 = jnp.asarray(d.interpolate(d.params.v0), self.dtype)
+        if self._flat_sharding is not None:
+            u0 = jax.device_put(u0, self._flat_sharding)
+            v0 = jax.device_put(v0, self._flat_sharding)
         u0g = u0.reshape(fs.shape)
         rhs = -self._k_at(0.0).apply(u0g)
         if self._f is not None:
@@ -559,9 +733,9 @@ class FastNewmarkSolver(_FastEngineBase):
     def _step_impl(self, state: FastGridState, t):
         fs = self.fs
         dt, beta, gamma = self.dt, fs.beta, fs.gamma
-        u = state.u.reshape(fs.shape)
-        v = state.v.reshape(fs.shape)
-        a = state.a.reshape(fs.shape)
+        u = self._shard_grid(state.u.reshape(fs.shape))
+        v = self._shard_grid(state.v.reshape(fs.shape))
+        a = self._shard_grid(state.a.reshape(fs.shape))
 
         # the elastic force acts at t^{n+1} (models/newmark.py tdep note)
         k_np1 = self._k_at(t)

@@ -164,6 +164,15 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
         except ValueError:
             pass
 
+    # velocity accessor: displacement-form (2-term) solvers carry v
+    # implicitly in the state pair and reconstruct it on demand
+    # (models/fast_engine_2term.py::state_velocity); 3-array solvers
+    # store it directly
+    _sv = getattr(solver, "state_velocity", None)
+
+    def state_v(st, t):
+        return st.v if _sv is None else _sv(st, t)
+
     pcout("Setting initial conditions...")
     state = solver.initial_state()
     if restored is not None:
@@ -172,7 +181,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
         state = type(state)(**{k: jnp.asarray(v, dtype=getattr(state, k).dtype)
                                for k, v in fields.items()})
     norm_u0 = float(np.linalg.norm(np.asarray(state.u)))
-    norm_v0 = float(np.linalg.norm(np.asarray(state.v)))
+    norm_v0 = float(np.linalg.norm(np.asarray(state_v(state, 0.0))))
     pcout(f"||u0|| = {norm_u0}")
     pcout(f"||v0|| = {norm_v0}")
     pcout("-----------------------------------------------")
@@ -223,7 +232,7 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
         if not primary and not local_pieces:
             return
         point_data = {"u": np.asarray(d.vertex_values(state.u)),
-                      "v": np.asarray(d.vertex_values(state.v))}
+                      "v": np.asarray(d.vertex_values(state_v(state, t)))}
         if p.has_exact_solution:
             ex = d.interpolate(p.solution, t)
             point_data["u_exact"] = np.asarray(d.vertex_values(ex))
@@ -277,7 +286,8 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
         has_sol = p.has_exact_solution
 
         def diag_fn(st, t):
-            out = {"energy": d.energy(st.u, st.v), "probe": d.probe(st.u)}
+            out = {"energy": d.energy(st.u, state_v(st, t)),
+                   "probe": d.probe(st.u)}
             if has_sol:
                 out["err"] = jnp.stack(d.errors(st.u, t))
             return out
@@ -340,7 +350,8 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
                     # state (the partial last chunk of a non-divisible run
                     # ends off-cadence and logs nothing, like the per-step
                     # loop)
-                    current_energy = float(d.energy(state.u, state.v))
+                    current_energy = float(d.energy(state.u,
+                                                    state_v(state, tj)))
                     logs.log_energy(ts_no, tj, current_energy)
                     if has_sol:
                         logs.log_error(ts_no, tj,
@@ -396,7 +407,9 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
 
         if log_every > 0 and timestep_number % log_every == 0:
             with phases.phase("diagnostics"):
-                current_energy = float(d.energy(state.u, state.v))
+                current_energy = float(d.energy(state.u,
+                                                state_v(state,
+                                                        current_time)))
                 logs.log_energy(timestep_number, current_time, current_energy)
                 if p.has_exact_solution:
                     l2, h1, rl2, rh1 = (float(x) for x in

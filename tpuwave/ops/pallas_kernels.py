@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["leapfrog_step_pallas", "leapfrog_multistep_pallas",
+           "leapfrog_multistep_driven_pallas",
            "constrained_stencil_apply_pallas", "cheby_block_pallas",
            "newmark_rhs_r0_pallas", "newmark_update_pallas",
            "theta_r0u_pallas", "theta_r0v_pallas"]
@@ -254,6 +255,148 @@ def _multistep_kernel(*refs, stencil, coef, n_steps: int,
     out_up_ref[:, :] = prev[hh:hh + br, :].astype(out_up_ref.dtype)
 
 
+def _multistep_driven_kernel(gtb_ref, glr_hbm, uprev_hbm, u_hbm,
+                             out_u_ref, out_up_ref, scr_u, scr_up, scr_g,
+                             sem_u, sem_up, sem_g, *, stencil, coef,
+                             n_steps: int, k_pad: int, block_rows: int,
+                             n_rows: int, n_cols: int, true_cols: int,
+                             halo: int):
+    """Temporal blocking WITH per-substep driven Dirichlet data.
+
+    The round-3 claim that per-sub-step boundary data is incompatible
+    with wide-halo autonomy was disproven by the FWI kernels' in-kernel
+    per-step source injection (ops/pallas_varcoef.py): boundary VALUES
+    are injected by GLOBAL coordinates, so every slab (including the
+    halo copies of boundary rows in neighbouring blocks) sees the same
+    values at every inner step — shard-transparent, exactly like the
+    Dirichlet mask itself.
+
+    Boundary data layout (precomputed per chunk by the caller, XLA):
+      * ``gtb``   (2 k_pad, W): row s = bottom-edge g at substep s,
+        row k_pad + s = top-edge g  (full-width VMEM block, small)
+      * ``glr``   (H, 128): lane s = left-edge g per grid row at substep
+        s, lane 64 + s = right-edge — DMA'd with the same halo-slab
+        windows as u so each block reads exactly its extended rows
+    """
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    br = block_rows
+    hh = halo
+    row0 = i * br
+    h_tot = br + 2 * hh
+
+    _halo_dma(u_hbm, scr_u, sem_u, i, n_blocks, br, n_cols, hh=hh)
+    _halo_dma(uprev_hbm, scr_up, sem_up, i, n_blocks, br, n_cols, hh=hh)
+    _halo_dma(glr_hbm, scr_g, sem_g, i, n_blocks, br, 128, hh=hh)
+
+    gr = row0 - hh + jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 1)
+    outside = (gr < 0) | (gr > n_rows - 1) | (gc > true_cols - 1)
+    bot = gr == 0
+    top = gr == n_rows - 1
+    lft = gc == 0
+    rgt = gc == true_cols - 1
+
+    glr = scr_g[:, :]                      # (h_tot, 128)
+    cur = scr_u[:, :]
+    prev = scr_up[:, :]
+    for s in range(n_steps):
+        ku = _rolled_stencil(cur, stencil, n_cols)
+        nxt = 2.0 * cur - prev - coef * ku
+        # driven boundary overlay at substep s (global coordinates);
+        # every cell the stencil leaves garbage in (roll wrap, padding,
+        # halo rows beyond the domain) is covered by the overlays or the
+        # final outside-zero select, so no pre-mask is needed
+        nxt = jnp.where(lft, glr[:, s][:, None], nxt)
+        nxt = jnp.where(rgt, glr[:, 64 + s][:, None], nxt)
+        nxt = jnp.where(bot, gtb_ref[s, :][None, :], nxt)
+        nxt = jnp.where(top, gtb_ref[k_pad + s, :][None, :], nxt)
+        nxt = jnp.where(outside, 0.0, nxt)
+        prev = cur
+        cur = nxt
+
+    out_u_ref[:, :] = cur[hh:hh + br, :].astype(out_u_ref.dtype)
+    out_up_ref[:, :] = prev[hh:hh + br, :].astype(out_up_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("stencil", "coef", "n_steps",
+                                             "block_rows", "true_rows",
+                                             "true_cols", "interpret"))
+def leapfrog_multistep_driven_pallas(u, u_prev, gtb, glr, *, stencil: Tuple,
+                                     coef: float, n_steps: int = 8,
+                                     block_rows: int = 128,
+                                     true_rows: int = None,
+                                     true_cols: int = None,
+                                     interpret: bool = False):
+    """Advance ``n_steps`` DRIVEN leapfrog steps in ONE kernel pass.
+
+    Same padding/halo contract as :func:`leapfrog_multistep_pallas`;
+    ``gtb`` is (2 * k_pad, W) with k_pad = 8-ceil(n_steps) and ``glr``
+    is (H, 128) (see the kernel docstring for the layouts). n_steps is
+    capped at 64 by the glr lane split (left lanes 0-63, right 64-127).
+    """
+    h, w = u.shape
+    halo = -(-n_steps // _HALO) * _HALO
+    k_pad = halo
+    if not (1 <= n_steps <= 64):
+        raise ValueError("n_steps must be in [1, 64]")
+    if block_rows % _HALO != 0:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"{_HALO}")
+    if block_rows < halo:
+        raise ValueError(f"block_rows {block_rows} must be >= the "
+                         f"{halo}-row halo for n_steps={n_steps}")
+    if h % block_rows != 0:
+        raise ValueError(f"rows {h} not a multiple of block_rows {block_rows}")
+    if w % 128 != 0 and not interpret:
+        raise ValueError(f"cols {w} not a multiple of 128 (pad + mask)")
+    if gtb.shape != (2 * k_pad, w):
+        raise ValueError(f"gtb must be (2*{k_pad}, {w}), got {gtb.shape}")
+    if glr.shape != (h, 128):
+        raise ValueError(f"glr must be ({h}, 128), got {glr.shape}")
+    n_rows = true_rows if true_rows is not None else h
+    n_cols_true = true_cols if true_cols is not None else w
+    grid = h // block_rows
+    if grid < 2:
+        raise ValueError("need at least 2 row blocks; use the roll path")
+
+    kernel = functools.partial(
+        _multistep_driven_kernel, stencil=stencil, coef=float(coef),
+        n_steps=n_steps, k_pad=k_pad, block_rows=block_rows, n_rows=n_rows,
+        n_cols=w, true_cols=n_cols_true, halo=halo)
+
+    slab = (block_rows + 2 * halo, w)
+    out_u, out_up = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((2 * k_pad, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # gtb (small)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # glr in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),    # u_prev in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),    # u in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct(u.shape, u.dtype)),
+        scratch_shapes=[
+            pltpu.VMEM(slab, u.dtype), pltpu.VMEM(slab, u.dtype),
+            pltpu.VMEM((block_rows + 2 * halo, 128), u.dtype),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(gtb, glr, u_prev, u)
+    return out_u, out_up
+
+
 def _newmark_rhs_r0_kernel(u_hbm, v_hbm, a_hbm, out_r0_ref, out_z_ref,
                            out_rn_ref, out_bn_ref, out_xn_ref, scr_u, scr_v,
                            scr_a, sem_u, sem_v, sem_a, *, k_stencil,
@@ -372,13 +515,19 @@ def _recurrence_r0_kernel(u_hbm, up_hbm, out_r0_ref, out_x0_ref, out_rn_ref,
                           out_xn_ref, scr_u, scr_up, sem_u, sem_up, *,
                           k_stencil, c_u: float, c_up: float,
                           block_rows: int, n_rows: int, n_cols: int,
-                          true_cols: int):
+                          true_cols: int, mask_combo: bool = True):
     """Fused displacement-recurrence solve setup (models/fast.py::
     run_implicit_mg_2term): x0 = masked(2 u - u_prev),
     r0 = masked(DiffStencil(kneg, c_u u + c_up u_prev)) with kneg the
     -dt^2-scaled stiffness stencil in zero-row-sum difference form, plus
     the ||r0||^2 / ||x0||^2 partials for the stopping rule — one halo
-    pass over (u, u_prev) instead of four XLA passes."""
+    pass over (u, u_prev) instead of four XLA passes.
+
+    ``mask_combo=False`` applies the stencil to the UNMASKED combo so
+    interior rows see the true (driven) boundary values of u/u_prev —
+    the driven 2-term product engine's setup
+    (models/fast_engine_2term.py; wrap garbage still lands only in
+    pinned output rows, which stay masked)."""
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     br = block_rows
@@ -396,7 +545,8 @@ def _recurrence_r0_kernel(u_hbm, up_hbm, out_r0_ref, out_x0_ref, out_rn_ref,
         combo = u
     else:
         combo = c_u * u + c_up * up
-    combo = jnp.where(pinned, 0.0, combo)
+    if mask_combo:
+        combo = jnp.where(pinned, 0.0, combo)
     r_full = _rolled_stencil_diff(combo, k_stencil, n_cols)
     x0 = jnp.where(pinned, 0.0, 2.0 * u - up)
     cen = slice(hh, hh + br)
@@ -418,15 +568,18 @@ def _recurrence_r0_kernel(u_hbm, up_hbm, out_r0_ref, out_x0_ref, out_rn_ref,
 
 @functools.partial(jax.jit, static_argnames=("k_stencil", "c_u", "c_up",
                                              "block_rows", "true_rows",
-                                             "true_cols", "interpret"))
+                                             "true_cols", "interpret",
+                                             "mask_combo"))
 def recurrence_r0_pallas(u, u_prev, *, k_stencil: Tuple, c_u: float,
                          c_up: float, block_rows: int = 128,
                          true_rows: int = None, true_cols: int = None,
-                         interpret: bool = False):
+                         interpret: bool = False, mask_combo: bool = True):
     """Returns (r0, x0, ||r0||^2, ||x0||^2) for the displacement-form
     implicit step in one fused pass. ``k_stencil`` must already carry
     the -dt^2 scale; it is evaluated in difference form (zero row sum).
-    Same padding contract as the other kernels."""
+    ``mask_combo=False`` keeps the true boundary values visible to the
+    stencil (driven problems). Same padding contract as the other
+    kernels."""
     h, w = u.shape
     if block_rows % _HALO != 0:
         raise ValueError(f"block_rows {block_rows} must be a multiple of "
@@ -444,7 +597,7 @@ def recurrence_r0_pallas(u, u_prev, *, k_stencil: Tuple, c_u: float,
     kernel = functools.partial(
         _recurrence_r0_kernel, k_stencil=k_stencil, c_u=float(c_u),
         c_up=float(c_up), block_rows=block_rows, n_rows=n_rows, n_cols=w,
-        true_cols=n_cols_true)
+        true_cols=n_cols_true, mask_combo=mask_combo)
 
     slab = (block_rows + 2 * _HALO, w)
     return pl.pallas_call(
