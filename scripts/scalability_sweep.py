@@ -52,6 +52,7 @@ def parse_args():
 def main():
     args = parse_args()
     if args.virtual_devices:
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "") +
@@ -59,6 +60,13 @@ def main():
         ).strip()
 
     import jax
+
+    if args.virtual_devices:
+        # the container's sitecustomize registers the axon plugin at
+        # interpreter start and force-sets jax_platforms="axon,cpu";
+        # env vars alone come too late — override the config directly
+        # (same belt-and-braces as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from tpuwave.harness import SCHEME_DEFS

@@ -160,7 +160,18 @@ class FastWaveSolver:
         bnd = boundary_mask_grid(self.space)
         self.boundary = jnp.asarray(bnd)
         self.interior = jnp.asarray(~bnd)
+        #: row counts that divide the mesh keep persistently-sharded
+        #: masks/state (device_put); others (e.g. the reference's 641 =
+        #: 2^k + 1 rows) get per-step with_sharding_constraint layouts
+        #: instead — GSPMD pads the uneven tiling internally, which
+        #: jax.device_put rejects
+        self._even_shards = True
         if sharding is not None:
+            self._even_shards = all(
+                name is None
+                or self.shape[d] % sharding.mesh.shape[name] == 0
+                for d, name in enumerate(tuple(sharding.spec)[:2]))
+        if sharding is not None and self._even_shards:
             self.inv_lumped = jax.device_put(self.inv_lumped, sharding)
             self.boundary = jax.device_put(self.boundary, sharding)
             self.interior = jax.device_put(self.interior, sharding)
@@ -174,6 +185,13 @@ class FastWaveSolver:
         self._n_dofs = self.shape[0] * self.shape[1]
 
     # ------------------------------------------------------------------
+    def _shard(self, x):
+        """Pin the device-mesh layout inside a traced step when the grid
+        cannot be device_put-sharded (uneven rows); no-op otherwise."""
+        if self.sharding is None or self._even_shards:
+            return x
+        return jax.lax.with_sharding_constraint(x, self.sharding)
+
     def grid_coords(self):
         """(ny+1, nx+1) x and y coordinate planes (device, jit-friendly)."""
         (x0, y0) = self.mesh.origin
@@ -199,7 +217,7 @@ class FastWaveSolver:
         a0 = jnp.where(self.boundary, 0.0,
                        -self._stiff_diff(u0) * self.inv_lumped)
         st = FastState(u=u0, v=v0, a=a0.astype(self.dtype))
-        if self.sharding is not None:
+        if self.sharding is not None and self._even_shards:
             st = FastState(*(jax.device_put(x, self.sharding) for x in st))
         return st
 
@@ -210,7 +228,7 @@ class FastWaveSolver:
         schemes instead of the lumped a0 of initial_state."""
         st = self.initial_state(u0_fn, v0_fn)
         a0 = self._consistent_accel(st.u)
-        if self.sharding is not None:
+        if self.sharding is not None and self._even_shards:
             a0 = jax.device_put(a0, self.sharding)
         return FastState(u=st.u, v=st.v, a=a0)
 
@@ -219,7 +237,7 @@ class FastWaveSolver:
         """Lumped-mass central difference (Newmark beta=0, gamma=1/2):
         one stencil apply + elementwise updates, zero solves."""
         dt = jnp.asarray(self.dt, self.dtype)
-        u, v, a = state
+        u, v, a = (self._shard(x) for x in state)
         z = u + dt * v + (0.5 * dt * dt) * a
         a_new = jnp.where(self.boundary, 0.0, -self.stiff(z) * self.inv_lumped)
         a_new = a_new.astype(self.dtype)
@@ -260,7 +278,7 @@ class FastWaveSolver:
     def _implicit_newmark_step(self, state: FastState,
                                precond=None) -> FastState:
         dt, beta, gamma = self.dt, self.beta, self.gamma
-        u, v, a = state
+        u, v, a = (self._shard(x) for x in state)
         z = u + dt * v + (dt * dt * (0.5 - beta)) * a
         rhs = jnp.where(self.interior, -self.stiff(z), 0.0)
 
@@ -288,7 +306,7 @@ class FastWaveSolver:
         ``precond`` overrides the u-system preconditioner (the v-system is
         the bare mass: mesh-independent conditioning, Jacobi suffices)."""
         dt, th = self.dt, self.theta
-        u, v, a = state
+        u, v, a = (self._shard(x) for x in state)
         mu, ku, mv = self.mass(u), self.stiff(u), self.mass(v)
         max_iter = 10000 if self.dtype == jnp.float64 else 2000
 
@@ -366,7 +384,7 @@ class FastWaveSolver:
 
     def leapfrog_step(self, state: LeapfrogState) -> LeapfrogState:
         dt2 = jnp.asarray(self.dt * self.dt, self.dtype)
-        u, u_prev = state
+        u, u_prev = (self._shard(x) for x in state)
         u_next = 2.0 * u - u_prev - dt2 * (self.stiff(u) * self.inv_lumped)
         u_next = jnp.where(self.boundary, 0.0, u_next).astype(self.dtype)
         return LeapfrogState(u=u_next, u_prev=u)

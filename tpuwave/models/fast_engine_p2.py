@@ -104,13 +104,17 @@ class _FastP2EngineBase(ScanMixin):
         self._dgdt = p.dgdt
         self._f = p.f if not p.f.is_zero else None
 
+        # NB every O(n_dofs) array this engine needs (interior/boundary
+        # masks, assembled diagonals, varcoef scale planes) is built
+        # INSIDE the trace from iota / jnp.full — a concrete array
+        # closed over by the jitted step lowers to an HLO literal, and
+        # at the 4096^2 bench scale (67.1M DoF) the ~1.2 GB of literals
+        # exceed the axon remote-compile request limit (measured
+        # HTTP 413). Hence the property/thunk structure below.
         quad = gauss_simplex(3)                       # assembly rule r + 1
         self.mass = P2PlaneStencil(
             self.space, element_mass_class(self.space, quad), self.dtype)
         self._mass_lam = _gershgorin_plane_stencil(self.mass)
-        self._mass_op = _P2Op(self.mass, self.mass.diagonal(),
-                              self._mass_lam)
-        self._prec_mass = 1.0 / self._mass_op.diag
 
         #: system coefficient: M + coef * K
         self.coef = (p.beta * p.dt * p.dt if self.method_name == "newmark"
@@ -120,23 +124,23 @@ class _FastP2EngineBase(ScanMixin):
             self.space, element_stiffness_class(self.space, quad, 1.0),
             self.dtype))
         if self._c_mode == "const":
-            stiff = P2PlaneStencil(
+            self._stiff = P2PlaneStencil(
                 self.space,
                 element_stiffness_class(self.space, quad,
                                         float(c_const) ** 2), self.dtype)
-            self._k_static = _P2Op(stiff, stiff.diagonal(),
-                                   _gershgorin_plane_stencil(stiff))
-            self._sys_static = self._system_of(self._k_static,
-                                               stiff_stencil=stiff)
-        elif self._c_mode == "varcoef":
-            # static variable-coefficient operator, built once
-            self._k_static = self._k_from_scales(self._tdep_scales(0.0))
-            self._sys_static = self._system_of(self._k_static)
+            self._stiff_lam = _gershgorin_plane_stencil(self._stiff)
+            self._sys_stencil = self.mass.axpy(self.coef, self._stiff) \
+                if self.coef != 0.0 else None
+            self._sys_lam = (_gershgorin_plane_stencil(self._sys_stencil)
+                             if self._sys_stencil is not None else None)
         else:
-            self._k_static = self._sys_static = None   # rebuilt per step
-
-        self.interior = _p2_interior_flat(self.nx, self.ny)
-        self.boundary = jnp.logical_not(self.interior)
+            # varcoef/tdep: the operator is rebuilt from iota-generated
+            # scale planes INSIDE each step trace (for varcoef the c(x,y)
+            # evaluation repeats per step — the price of keeping the HLO
+            # free of O(n_dofs) literals; see the __init__ note)
+            self._stiff = None
+            self._sys_stencil = None
+            self._sys_lam = None
 
         # preconditioner for the implicit system (the theta v-system is
         # the bare mass — mesh-independent conditioning, Jacobi always)
@@ -214,28 +218,46 @@ class _FastP2EngineBase(ScanMixin):
         c2max = jnp.max(s / wdet[None, :, None, None])
         return _P2Op(op, op.diagonal(), c2max * self._k_unit_lam)
 
+    # -- lazily-built O(n_dofs) structures (see __init__ note) ----------
+    @property
+    def interior(self):
+        return _p2_interior_flat(self.nx, self.ny)
+
+    @property
+    def boundary(self):
+        return jnp.logical_not(self.interior)
+
+    @property
+    def _mass_op(self) -> _P2Op:
+        return _P2Op(self.mass, self.mass.diagonal(), self._mass_lam)
+
+    @property
+    def _prec_mass(self):
+        return 1.0 / self.mass.diagonal()
+
     def _k_at(self, t) -> _P2Op:
-        if self._k_static is not None:
-            return self._k_static
+        if self._c_mode == "const":
+            return _P2Op(self._stiff, self._stiff.diagonal(),
+                         self._stiff_lam)
+        if self._c_mode == "varcoef":
+            return self._k_from_scales(self._tdep_scales(0.0))
         return self._k_from_scales(self._tdep_scales(t))
 
-    def _system_of(self, k_op: _P2Op, stiff_stencil=None) -> _P2Op:
-        """M + coef * K as a single operator (merged constant stencil when
-        K is constant-coefficient, varcoef-with-constant-part otherwise)."""
+    def _system_of(self, k_op: _P2Op) -> _P2Op:
+        """M + coef * K as a single operator (merged constant stencil
+        when K is constant-coefficient, varcoef-with-constant-part
+        otherwise)."""
         coef = self.coef
         if coef == 0.0:   # theta = 0 / beta = 0: the system is bare mass
             return self._mass_op
-        if stiff_stencil is not None:
-            sys_st = self.mass.axpy(coef, stiff_stencil)
-            return _P2Op(sys_st, sys_st.diagonal(),
-                         _gershgorin_plane_stencil(sys_st))
+        if self._sys_stencil is not None:
+            return _P2Op(self._sys_stencil, self._sys_stencil.diagonal(),
+                         self._sys_lam)
         sys_op = self.mass.axpy_varcoef(coef, k_op.apply)
         return _P2Op(sys_op, sys_op.diagonal(),
                      self._mass_lam + coef * k_op.lam_hi)
 
     def _system_at(self, k_op: _P2Op) -> _P2Op:
-        if self._sys_static is not None:
-            return self._sys_static
         return self._system_of(k_op)
 
     def _sys_precond(self, sys_op: _P2Op):

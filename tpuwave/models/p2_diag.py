@@ -119,7 +119,11 @@ class P2GridDiagnostics:
             grads = np.asarray(self.space.physical_grads(sh))  # (2,Q,6,2)
             self._g_quad = np.einsum("kqia,kqja->kqij", grads, grads)
             self._k_class = None
-            self._k_scales = self._scales_at(0.0)              # (2,Q,ny,nx)
+            #: scale planes are rebuilt from iota INSIDE each jitted
+            #: energy call (a concrete (2, Q, ny, nx) capture lowers to
+            #: an HLO literal — >500 MB at bench scale, rejected by the
+            #: axon remote-compile endpoint)
+            self._k_scales = "lazy"
 
         # probe: containing cell + P2 basis at the domain centre
         # (reference VectorTools::point_value, WaveEquationBase.cpp:170-222)
@@ -184,11 +188,12 @@ class P2GridDiagnostics:
         up = flat_to_planes(jnp.asarray(u, self.dtype), nx, ny)
         vp = flat_to_planes(jnp.asarray(v, self.dtype), nx, ny)
         em = ek = jnp.zeros((), self.dtype)
+        scales = (self._scales_at(0.0) if self._k_class is None else None)
         for k in range(2):
             vw = self._windows(vp, k)
             uw = self._windows(up, k)
             em = em + self._quad_form_class(vw, self._m_class[k])
-            if self._k_scales is None:
+            if scales is None:
                 ek = ek + self._quad_form_class(uw, self._k_class[k])
             else:
                 for q in range(self._g_quad.shape[1]):
@@ -200,7 +205,7 @@ class P2GridDiagnostics:
                                 continue
                             term = g * (uw[i] * uw[j])
                             acc = term if acc is None else acc + term
-                    ek = ek + jnp.sum(self._k_scales[k, q] * acc)
+                    ek = ek + jnp.sum(scales[k, q] * acc)
         return 0.5 * (em + ek)
 
     # -- probe ----------------------------------------------------------

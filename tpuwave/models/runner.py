@@ -180,8 +180,11 @@ def run_solver(solver, problem_name: str, config: Optional[RunConfig] = None) ->
         _, _, fields = restored
         state = type(state)(**{k: jnp.asarray(v, dtype=getattr(state, k).dtype)
                                for k, v in fields.items()})
-    norm_u0 = float(np.linalg.norm(np.asarray(state.u)))
-    norm_v0 = float(np.linalg.norm(np.asarray(state_v(state, 0.0))))
+    # device-side norms: np.asarray here would pull the full state to
+    # the host (268 MB at 4096^2 P2 over the remote-TPU tunnel)
+    import jax.numpy as _jnp
+    norm_u0 = float(_jnp.linalg.norm(state.u))
+    norm_v0 = float(_jnp.linalg.norm(state_v(state, 0.0)))
     pcout(f"||u0|| = {norm_u0}")
     pcout(f"||v0|| = {norm_v0}")
     pcout("-----------------------------------------------")

@@ -554,26 +554,41 @@ class P2GmgPreconditioner:
     def __init__(self, system, interior, diag, sm_theta: float,
                  sm_coeffs: Tuple, p1_cycle: GmgPreconditioner,
                  nx: int, ny: int):
+        # NB interior/diag are accepted for setup-time use (lambda_max
+        # estimation) but the V-cycle REBUILDS them from iota /
+        # system.diagonal() inside each traced call: closing the
+        # O(n_dofs) concrete arrays into a jitted solve lowers them to
+        # HLO literals (~0.5 GB at 4096^2 P2), which the axon
+        # remote-compile endpoint rejects.
         self.system = system            # P2PlaneStencil (flat call surface)
-        self.interior = interior        # flat bool
-        self.diag = diag                # flat system diagonal
-        self.inv_diag = 1.0 / diag
         self.sm_theta = float(sm_theta)
         self.sm_coeffs = tuple(sm_coeffs)
         self.p1_cycle = p1_cycle
         self.nx, self.ny = int(nx), int(ny)
 
-    def _apply_c(self, x):
-        xi = jnp.where(self.interior, x, 0.0)
-        return jnp.where(self.interior, self.system(xi), self.diag * x)
+    @property
+    def interior(self):
+        return _p2_interior_flat(self.nx, self.ny)
+
+    @property
+    def diag(self):
+        return self.system.diagonal()
 
     def __call__(self, b: jax.Array) -> jax.Array:
         from tpuwave.ops.stencil_p2 import flat_to_planes, planes_to_flat
 
+        interior = _p2_interior_flat(self.nx, self.ny)
+        diag = self.system.diagonal()
+        inv_diag = 1.0 / diag
+
+        def apply_c(x):
+            xi = jnp.where(interior, x, 0.0)
+            return jnp.where(interior, self.system(xi), diag * x)
+
         x = jnp.zeros_like(b)
-        x, r = _smooth_block_jacobi(self._apply_c, self.inv_diag, x, b,
+        x, r = _smooth_block_jacobi(apply_c, inv_diag, x, b,
                                     self.sm_theta, self.sm_coeffs)
-        planes = flat_to_planes(jnp.where(self.interior, r, 0.0),
+        planes = flat_to_planes(jnp.where(interior, r, 0.0),
                                 self.nx, self.ny)
         bc = restrict_p2_to_p1(planes)
         grid_int = _interior((self.ny + 1, self.nx + 1))
@@ -581,10 +596,10 @@ class P2GmgPreconditioner:
         ec = self.p1_cycle(bc)
         ec = jnp.where(grid_int, ec, 0.0)
         corr = planes_to_flat(prolong_p1_to_p2(ec))
-        corr = jnp.where(self.interior, corr, 0.0)
+        corr = jnp.where(interior, corr, 0.0)
         x = x + corr
-        r = r - self._apply_c(corr)
-        x, _ = _smooth_block_jacobi(self._apply_c, self.inv_diag, x, r,
+        r = r - apply_c(corr)
+        x, _ = _smooth_block_jacobi(apply_c, inv_diag, x, r,
                                     self.sm_theta, self.sm_coeffs)
         return x
 
