@@ -362,3 +362,25 @@ def test_p2_newmark_nonzero_boundary_data_decays_like_parity():
     assert float(jnp.linalg.norm(st_r.u - st_f.u)) < 1e-10 * nu
     bnd = np.asarray(d.boundary_mask)
     assert float(np.max(np.abs(np.asarray(st_f.u)[bnd]))) < 1e-5
+
+
+@pytest.mark.parametrize("fam,prec", [("theta", "jacobi"),
+                                      ("newmark", "mg"),
+                                      ("theta", "chebyshev")])
+def test_p2_canvas_solve_engine_matches_flat(fam, prec):
+    """The fused canvas solve path of the P2 product engine (use_pallas:
+    CG matvecs + mg smoothing through the Mosaic block-stencil kernel,
+    XLA lift) reproduces the flat solve path with identical iteration
+    counts on a driven + forced problem (interpret mode on CPU;
+    Mosaic-compiled certification is the chip gate's p2 check)."""
+    case = driven_case(**{"Nel": "12,21", "Beta": "0.25", "T": "0.03"})
+    p = load_params(case)
+    s_x = make_fast_solver(p, fam, precond=prec)
+    s_c = make_fast_solver(p, fam, precond=prec, use_pallas=True,
+                           pallas_block_rows=8, pallas_interpret=True)
+    assert s_c._use_pallas
+    st_x, info_x = _run(s_x, p)
+    st_c, info_c = _run(s_c, p)
+    nu = float(jnp.linalg.norm(st_x.u))
+    assert float(jnp.linalg.norm(st_x.u - st_c.u)) < 1e-11 * nu
+    assert int(info_x["iterations_1"]) == int(info_c["iterations_1"])

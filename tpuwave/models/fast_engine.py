@@ -141,11 +141,13 @@ def make_fast_solver(problem, family: str, *,
         if solver != "3term":
             raise ValueError(f"--solver {solver} is P1-only; the P2 fast "
                              "engine runs the 3term (parity-CG) form")
-        if engine_kwargs:
+        allowed = {"use_pallas", "pallas_block_rows", "pallas_interpret"}
+        if set(engine_kwargs) - allowed:
             raise TypeError("P2 fast engine does not accept "
-                            f"{sorted(engine_kwargs)} (single-device XLA "
-                            "plane-stencil path)")
-        return cls2(problem, precond=precond, cheby_degree=cheby_degree)
+                            f"{sorted(set(engine_kwargs) - allowed)} "
+                            "(single-device plane-stencil path)")
+        return cls2(problem, precond=precond, cheby_degree=cheby_degree,
+                    **engine_kwargs)
     if solver == "2term":
         from tpuwave.models.fast_engine_2term import (Fast2TermNewmarkSolver,
                                                       Fast2TermThetaSolver)

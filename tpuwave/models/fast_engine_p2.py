@@ -73,7 +73,9 @@ class _FastP2EngineBase(ScanMixin):
     symmetric Dirichlet elimination on the flat P2 vector."""
 
     def __init__(self, problem, *, precond: str = "jacobi",
-                 cheby_degree: int = 3):
+                 cheby_degree: int = 3, use_pallas=None,
+                 pallas_block_rows: int = 64,
+                 pallas_interpret: bool = False):
         if isinstance(problem, Params):
             disc = P2GridDiagnostics(problem)
         else:
@@ -144,6 +146,32 @@ class _FastP2EngineBase(ScanMixin):
 
         # preconditioner for the implicit system (the theta v-system is
         # the bare mass — mesh-independent conditioning, Jacobi always)
+        # fused canvas solve path: the state is laid out as four equal
+        # zero-padded canvases for the DURATION OF EACH SOLVE and every
+        # CG matvec (and the mg smoothing applies) runs through the
+        # Mosaic block-stencil kernel (ops/pallas_p2.py). rhs assembly
+        # and the boundary lift stay XLA (one unconstrained apply per
+        # solve — the matvecs dominate). Constant-coefficient operators
+        # only; auto-on for f32 on an accelerator like the P1 engine.
+        self._pblock = int(pallas_block_rows)
+        self._pinterp = bool(pallas_interpret)
+        if use_pallas is None:
+            try:
+                on_accel = jax.devices()[0].platform not in ("cpu",)
+            except Exception:
+                on_accel = False
+            use_pallas = (on_accel and self.dtype == jnp.float32
+                          and self._c_mode == "const")
+        self._use_pallas = bool(use_pallas) and self._c_mode == "const"
+        if self._use_pallas:
+            from tpuwave.ops.stencil_p2 import canvas_shape
+            self._cshape = canvas_shape(self.nx, self.ny,
+                                        row_multiple=self._pblock,
+                                        col_multiple=128)
+            hc = self._cshape[0]
+            if hc // self._pblock < 2 or hc < self._pblock + 16:
+                self._use_pallas = False
+
         if precond == "auto":
             from tpuwave.solve.multigrid import auto_precond
             precond = auto_precond(disc, self.coef)
@@ -164,6 +192,38 @@ class _FastP2EngineBase(ScanMixin):
             self._prec_sys = None   # derived from the (per-step) system op
         else:
             raise ValueError(f"Unknown preconditioner {precond!r}")
+
+        if self._use_pallas and precond == "mg":
+            if self._sys_stencil is None:
+                self._use_pallas = False   # coef == 0 + forced mg: flat
+            else:
+                # canvas-native (p+h) V-cycle: the smoothing applies run
+                # through the fused kernel; interior mask rebuilt from
+                # iota inside the trace (no O(n_dofs) HLO literals)
+                from tpuwave.ops.pallas_p2 import (
+                    coeffs_to_static, p2_constrained_apply_pallas)
+                from tpuwave.ops.stencil_p2 import _PLANES
+                from tpuwave.solve.multigrid import (
+                    P2CanvasGmgPreconditioner)
+                flat_pre = self._prec_sys
+                st = self._sys_stencil
+                coeffs = coeffs_to_static(st.coeffs)
+                diags = tuple(float(st.plane_diag[q]) for q in _PLANES)
+                inv_diag = 1.0 / jnp.asarray(
+                    [st.plane_diag[q] for q in _PLANES],
+                    self.dtype).reshape(4, 1, 1)
+                pblock, pinterp = self._pblock, self._pinterp
+                nx, ny = self.nx, self.ny
+
+                def apply_c(xc):
+                    return p2_constrained_apply_pallas(
+                        xc, coeffs=coeffs, diags=diags, nx=nx, ny=ny,
+                        block_rows=pblock, interpret=pinterp)
+
+                self._prec_sys = P2CanvasGmgPreconditioner(
+                    apply_c, None, inv_diag, flat_pre.sm_theta,
+                    flat_pre.sm_coeffs, flat_pre.p1_cycle, nx, ny,
+                    self._cshape)
 
         self._step = jax.jit(self._step_impl)
 
@@ -371,11 +431,80 @@ class _FastP2EngineBase(ScanMixin):
 
     def _solve(self, op: _P2Op, rhs, g_flat, x_prev, precond, *,
                g_zero: bool):
+        if self._use_pallas:
+            return self._solve_canvas(op, rhs, g_flat, x_prev,
+                                      g_zero=g_zero)
         apply_c, rhs_c, x0 = self._constrain(op, rhs, g_flat, x_prev,
                                              g_zero=g_zero)
         return pcg(apply_c, rhs_c, x0, precond_inv_diag=precond,
                    abs_tol=self._abs_tol(rhs_c, x0, op),
                    max_iter=self._max_iter)
+
+    def _solve_canvas(self, op: _P2Op, rhs, g_flat, x_prev, *,
+                      g_zero: bool):
+        """Fused canvas solve (P1 engine's _solve_pallas twin): the flat
+        rhs/warm-start/boundary data are laid out as four zero-padded
+        canvases, the lift uses ONE unconstrained XLA canvas apply, and
+        every CG matvec (plus the mg smoothing) is the Mosaic
+        block-stencil kernel. Same elimination algebra and stopping
+        contract as the flat path — interpret-mode equivalence pinned in
+        tests/test_fast_engine_p2.py."""
+        from tpuwave.ops.pallas_p2 import (coeffs_to_static,
+                                           p2_constrained_apply_pallas)
+        from tpuwave.ops.stencil_p2 import (_PLANES, canvases_to_planes,
+                                            flat_to_planes,
+                                            planes_to_canvases,
+                                            planes_to_flat)
+        from tpuwave.solve.multigrid import _p2_canvas_interior
+        nx, ny = self.nx, self.ny
+        cshape = self._cshape
+        st = op.apply                      # const P2PlaneStencil
+        coeffs = coeffs_to_static(st.coeffs)
+        diags = tuple(float(st.plane_diag[q]) for q in _PLANES)
+        diag_c = jnp.asarray([st.plane_diag[q] for q in _PLANES],
+                             self.dtype).reshape(4, 1, 1)
+
+        def to_c(x):
+            return planes_to_canvases(flat_to_planes(x, nx, ny), cshape)
+
+        def apply_p(xc):
+            return p2_constrained_apply_pallas(
+                xc, coeffs=coeffs, diags=diags, nx=nx, ny=ny,
+                block_rows=self._pblock, interpret=self._pinterp)
+
+        interior_c = _p2_canvas_interior(nx, ny, cshape)
+        if g_zero:
+            rhs_cv = jnp.where(interior_c, to_c(rhs), 0.0)
+            x0_cv = jnp.where(interior_c, to_c(x_prev), 0.0)
+        else:
+            g_cv = to_c(jnp.where(self.boundary, g_flat, 0.0))
+            rhs_cv = jnp.where(interior_c,
+                               to_c(rhs) - st.apply_canvases(g_cv),
+                               diag_c * g_cv)
+            x0_cv = jnp.where(interior_c, to_c(x_prev), g_cv)
+
+        # canvas-appropriate preconditioner (the flat arrays the caller
+        # resolved do not fit the canvas layout)
+        if self.precond == "mg" and st is self._sys_stencil:
+            prec = self._prec_sys          # canvas-native V-cycle
+        elif self.precond == "chebyshev" and st is self._sys_stencil:
+            from tpuwave.solve.chebyshev import chebyshev_apply
+            lmax = op.lam_hi / min(float(st.plane_diag[q])
+                                   for q in _PLANES)
+            deg = self.cheby_degree
+            inv_d = 1.0 / diag_c
+
+            def prec(r):
+                return chebyshev_apply(apply_p, inv_d, r,
+                                       lambda_max=lmax, degree=deg)
+        else:
+            prec = 1.0 / diag_c            # jacobi (mass solves too)
+
+        res = pcg(apply_p, rhs_cv, x0_cv, precond_inv_diag=prec,
+                  abs_tol=self._abs_tol(rhs_cv, x0_cv, op),
+                  max_iter=self._max_iter)
+        x_flat = planes_to_flat(canvases_to_planes(res.x, nx, ny))
+        return res._replace(x=x_flat)
 
     def step(self, state: FastGridState, t):
         return self._step(state, t)

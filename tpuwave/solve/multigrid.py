@@ -545,6 +545,32 @@ def _p2_interior_flat(nx: int, ny: int) -> jax.Array:
     return jnp.concatenate(parts)
 
 
+def _p2_canvas_interior(nx: int, ny: int, cshape) -> jax.Array:
+    """(4, Hc, Wc) interior (free-DoF) canvas mask from iota — mirrors
+    models/fast_p2.py::P2CanvasSolver._interior_canvas_mask."""
+    from tpuwave.ops.stencil_p2 import _PLANES, p2_plane_shapes
+    shapes = p2_plane_shapes(nx, ny)
+    hc, wc = cshape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+    masks = []
+    for p in _PLANES:
+        r, ccols = shapes[p]
+        lj = ri - 1
+        li = ci - 1
+        support = (lj >= 0) & (lj < r) & (li >= 0) & (li < ccols)
+        if p == "V":
+            bnd = (lj == 0) | (lj == r - 1) | (li == 0) | (li == ccols - 1)
+        elif p == "H":
+            bnd = (lj == 0) | (lj == r - 1)
+        elif p == "W":
+            bnd = (li == 0) | (li == ccols - 1)
+        else:
+            bnd = jnp.zeros((hc, wc), bool)
+        masks.append(support & ~bnd)
+    return jnp.stack(masks)
+
+
 class P2GmgPreconditioner:
     """One (p+h)-multigrid V-cycle on the flat P2 DoF vector: Jacobi-
     Chebyshev smoothing on the P2 plane-stencil system, coarse correction
@@ -622,13 +648,23 @@ class P2CanvasGmgPreconditioner:
                  sm_coeffs: Tuple, p1_cycle: GmgPreconditioner,
                  nx: int, ny: int, cshape: Tuple[int, int]):
         self.apply_c = apply_c          # constrained canvas apply
-        self.interior = interior        # (4, Hc, Wc) bool, False on pins/pads
+        #: (4, Hc, Wc) bool, False on pins/pads; pass None to rebuild it
+        #: from iota inside each traced call (bench-scale jitted solves:
+        #: a concrete capture lowers to an HLO literal — the axon
+        #: remote-compile request limit, see P2GmgPreconditioner)
+        self._interior = interior
         self.inv_diag = inv_diag        # (4, 1, 1) plane inverse diagonals
         self.sm_theta = float(sm_theta)
         self.sm_coeffs = tuple(sm_coeffs)
         self.p1_cycle = p1_cycle
         self.nx, self.ny = int(nx), int(ny)
         self.cshape = tuple(cshape)
+
+    @property
+    def interior(self):
+        if self._interior is not None:
+            return self._interior
+        return _p2_canvas_interior(self.nx, self.ny, self.cshape)
 
     def __call__(self, b: jax.Array) -> jax.Array:
         """b: (4, Hc, Wc) canvas residual, zero on pinned/pad entries (the
