@@ -209,3 +209,28 @@ def test_2term_checkpoint_roundtrip(tmp_path):
             "newmark-case/run-R1-N16x16-dt0_01-T0_06-gamma0_5-beta0_25"
             "/probe.csv").read_text()
     assert got.splitlines()[-1] == want.splitlines()[-1]
+
+
+def test_2term_sharded_matches_single_device():
+    """The 2-term displacement engine partitions like the 3-term one
+    (--shard rows composes with --solver 2term): driven + forced + mg on
+    the 8-device virtual mesh reproduces the single-device trajectory
+    and the reconstructed velocity."""
+    import jax
+    from tpuwave.parallel.sharding import device_mesh, grid_sharding
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    p = load_params(driven_case(**{"Nel": "16,15", "T": "0.03"}))
+    sh = grid_sharding(device_mesh(8))
+    s1 = make_fast_solver(p, "theta", solver="2term", precond="mg")
+    s8 = make_fast_solver(p, "theta", solver="2term", precond="mg",
+                          sharding=sh)
+    st1, _, tf = _run(s1, p)
+    st8, _, _ = _run(s8, p)
+    assert len(st8.u.sharding.device_set) == 8
+    nu = float(jnp.linalg.norm(st1.u))
+    assert float(jnp.linalg.norm(st1.u - st8.u)) < 1e-13 * nu
+    v1 = s1.state_velocity(st1, tf)
+    v8 = s8.state_velocity(st8, tf)
+    assert float(jnp.linalg.norm(v1 - v8)) \
+        < 1e-11 * float(jnp.linalg.norm(v1))
