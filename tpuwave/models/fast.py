@@ -500,9 +500,11 @@ class FastWaveSolver:
         the algebra of :meth:`leapfrog_step_driven` (interior recurrence
         + pinned g at t^{n+1}), at fused-kernel speed. Optional ``f_fn``
         adds the consistent forcing load (one extra elementwise pass).
-        Temporal blocking (k > 1) is NOT offered here: boundary data
-        changes every sub-step, which breaks the wide-halo autonomy the
-        multistep kernel relies on.
+        For temporal blocking (k > 1) with a driven boundary use
+        :meth:`run_leapfrog_driven_multistep` — per-substep boundary
+        values are injected INSIDE the k-step kernel by global
+        coordinates; this k=1 path remains the choice when forcing is
+        also present.
         """
         from tpuwave.ops.pallas_kernels import leapfrog_step_pallas
 
