@@ -60,20 +60,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nel", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["driven", "driven-pallas", "driven-multistep",
-                             "forced", "implicit", "implicit-2term",
-                             "implicit-cheby"])
-    ap.add_argument("--only", nargs="*", default=None,
-                    choices=["driven", "driven-pallas", "driven-multistep",
-                             "forced", "implicit", "implicit-2term",
-                             "implicit-cheby"])
+    _legs = ["driven", "driven-pallas", "driven-multistep", "forced",
+             "implicit", "implicit-2term", "implicit-cheby",
+             "p2-implicit"]
+    ap.add_argument("--skip", nargs="*", default=["p2-implicit"],
+                    choices=_legs)
+    ap.add_argument("--only", nargs="*", default=None, choices=_legs)
     args = ap.parse_args()
     if args.only is not None:
-        all_names = ["driven", "driven-pallas", "driven-multistep",
-                     "forced", "implicit", "implicit-2term",
-                     "implicit-cheby"]
-        args.skip = [n for n in all_names if n not in args.only]
+        args.skip = [n for n in _legs if n not in args.only]
 
     from tpuwave.models.fast import FastWaveSolver
 
@@ -223,6 +218,22 @@ def main():
         eng2 = make_fast_solver(load_params(implicit_case()), "theta",
                                 solver="2term", precond="mg")
         bench_engine("implicit CN driven (2term, mg, dt=1e-3)", eng2)
+
+    if "p2-implicit" not in args.skip:
+        # the R=2 product engine at the SAME geometry (67.1M DoF at
+        # --nel 4096): driven implicit Newmark-AA through the fused
+        # canvas solves — the CLI chip row of RESULTS.md round 4.
+        # Default-skipped (slow leg); enable with --only p2-implicit.
+        from tpuwave.models.fast_engine import make_fast_solver
+        from tpuwave.utils.params import load_params
+        from tpuwave import config
+        config.use_x64(False)
+        case2 = implicit_case()
+        case2["R"] = "2"
+        case2["Beta"] = "0.25"
+        engp2 = make_fast_solver(load_params(case2), "newmark",
+                                 precond="mg")
+        bench_engine("implicit NM-AA driven P2 (mg,  dt=1e-3)", engp2)
 
     if "implicit-cheby" not in args.skip:
         from tpuwave.models.fast_engine import make_fast_solver
