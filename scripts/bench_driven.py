@@ -62,9 +62,9 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     _legs = ["driven", "driven-pallas", "driven-multistep", "forced",
              "implicit", "implicit-2term", "implicit-cheby",
-             "p2-implicit"]
-    ap.add_argument("--skip", nargs="*", default=["p2-implicit"],
-                    choices=_legs)
+             "p2-implicit", "p2-2term"]
+    ap.add_argument("--skip", nargs="*",
+                    default=["p2-implicit", "p2-2term"], choices=_legs)
     ap.add_argument("--only", nargs="*", default=None, choices=_legs)
     args = ap.parse_args()
     if args.only is not None:
@@ -234,6 +234,22 @@ def main():
         engp2 = make_fast_solver(load_params(case2), "newmark",
                                  precond="mg")
         bench_engine("implicit NM-AA driven P2 (mg,  dt=1e-3)", engp2)
+
+    if "p2-2term" not in args.skip:
+        # round-5: --solver 2term at R=2 (models/fast_engine_p2_2term.py)
+        # — the displacement recurrence on the canvas planes with the
+        # driven boundary lift; the driven-implicit-P2 north-star leg
+        from tpuwave.models.fast_engine import make_fast_solver
+        from tpuwave.utils.params import load_params
+        from tpuwave import config
+        config.use_x64(False)
+        case3 = implicit_case()
+        case3["R"] = "2"
+        case3["Beta"] = "0.25"
+        engp22 = make_fast_solver(load_params(case3), "newmark",
+                                  solver="2term", precond="mg")
+        bench_engine("implicit NM-AA driven P2 (2term, mg, dt=1e-3)",
+                     engp22)
 
     if "implicit-cheby" not in args.skip:
         from tpuwave.models.fast_engine import make_fast_solver

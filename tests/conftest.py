@@ -29,6 +29,24 @@ config.use_x64()
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release each module's compiled executables when it finishes.
+
+    The suite holds ~460 JAX-heavy tests on an 8-virtual-device CPU
+    backend; without this, compile-cache/arena memory accumulates across
+    modules until an XLA `backend_compile_and_load` near the end of the
+    run segfaults the process (reproduced twice in round 4 at
+    test_tdep_c.py::test_tdep_unstructured_chebyshev_sharded, once in
+    round 3). Clearing per module keeps the high-water mark at the
+    largest single module instead of the sum of all of them; cross-module
+    jit reuse is rare, so the retrace cost is noise."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def parameters_dir():
     from pathlib import Path

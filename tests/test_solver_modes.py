@@ -94,7 +94,7 @@ def test_2term_scan_path_matches_per_step():
 
 
 def test_2term_rejections():
-    """tdep c and Newmark beta=0 are cleanly rejected; P2 is 3term-only."""
+    """tdep c and Newmark beta=0 are cleanly rejected (both degrees)."""
     td = driven_case(**{"Time Dependent C": "true",
                         "C": {"Function expression":
                               "sqrt(1 + 0.5*sin(2*t))",
@@ -104,9 +104,12 @@ def test_2term_rejections():
     with pytest.raises(ValueError, match="Beta > 0"):
         make_fast_solver(load_params(driven_case(Beta="0.0")), "newmark",
                          solver="2term")
-    with pytest.raises(ValueError, match="P1-only"):
-        make_fast_solver(load_params(driven_case(R="2")), "theta",
+    with pytest.raises(ValueError, match="time-static"):
+        make_fast_solver(load_params(dict(td, R="2")), "theta",
                          solver="2term")
+    with pytest.raises(ValueError, match="Beta > 0"):
+        make_fast_solver(load_params(driven_case(Beta="0.0", R="2")),
+                         "newmark", solver="2term")
 
 
 @pytest.mark.parametrize("fam", ["theta", "newmark"])
@@ -127,10 +130,103 @@ def test_cheby_solver_matches_parity_tolerance_class(fam):
 
 
 def test_cheby_rejects_varcoef():
-    with pytest.raises(ValueError, match="constant wave speed"):
-        make_fast_solver(load_params(driven_case(
-            C={"Function expression": "1.0 + 0.5*x",
-               "Variable names": "x, y, t"})), "theta", solver="cheby")
+    for r in ("1", "2"):
+        with pytest.raises(ValueError, match="constant wave speed"):
+            make_fast_solver(load_params(driven_case(
+                R=r, C={"Function expression": "1.0 + 0.5*x",
+                        "Variable names": "x, y, t"})), "theta",
+                solver="cheby")
+
+
+# ---------------------------------------------------------------------------
+# R = 2 (round-5 contract: the solver modes are degree-generic, like the
+# reference's one solve path for both degrees, WaveNewmark.cpp:177-262)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fam", ["theta", "newmark"])
+@pytest.mark.parametrize("name,over", [
+    ("base", {}),
+    ("homog", CASES[3][1]),
+    ("varcoef", CASES[4][1]),
+])
+def test_2term_r2_matches_parity_tolerance_class(fam, name, over):
+    """--solver 2term at R=2 (models/fast_engine_p2_2term.py): driven +
+    forced + varcoef quadratic runs match the parity trajectory at the
+    solve-tolerance class, with the exact v reconstruction (Newmark
+    boundary strips over the three P2 boundary plane families)."""
+    from tpuwave.models.fast_engine_p2_2term import (
+        FastP22TermNewmarkSolver, FastP22TermThetaSolver)
+    case = driven_case(Beta="0.25", R="2", Nel="8", **over)
+    p = load_params(case)
+    d = Discretization(p)
+    ref = ThetaSolver(d) if fam == "theta" else NewmarkSolver(d)
+    s2 = make_fast_solver(d, fam, solver="2term", precond="mg")
+    assert isinstance(s2, (FastP22TermThetaSolver,
+                           FastP22TermNewmarkSolver))
+    st_r, _, _ = _run(ref, p)
+    st_2, _, tf = _run(s2, p)
+    u2 = s2.to_flat(st_2.u)
+    nu = float(jnp.linalg.norm(st_r.u))
+    assert float(jnp.linalg.norm(st_r.u - u2)) < 1e-6 * nu, name
+    v2 = s2.to_flat(s2.state_velocity(st_2, tf))
+    nv = float(jnp.linalg.norm(st_r.v)) + 1e-30
+    assert float(jnp.linalg.norm(st_r.v - v2)) < 1e-4 * nv, name
+
+
+@pytest.mark.parametrize("fam", ["theta", "newmark"])
+def test_cheby_solver_r2_matches_parity_tolerance_class(fam):
+    """--solver cheby at R=2: restarted Chebyshev on the constrained
+    canvas system with 4x4 block-symbol eigenvalue bounds — same
+    ReductionControl stopping contract, trajectory at tolerance class."""
+    p = load_params(driven_case(Beta="0.25", R="2", Nel="8"))
+    d = Discretization(p)
+    ref = ThetaSolver(d) if fam == "theta" else NewmarkSolver(d)
+    sc = make_fast_solver(d, fam, solver="cheby")
+    st_r, _, _ = _run(ref, p)
+    st_c, info_c, _ = _run(sc, p)
+    nu = float(jnp.linalg.norm(st_r.u))
+    assert float(jnp.linalg.norm(st_r.u - sc.to_flat(st_c.u))) < 1e-6 * nu
+    assert int(info_c["iterations_1"]) > 0
+
+
+def test_2term_r2_scan_path_matches_per_step():
+    """ScanMixin over the lax.cond first/recurrence step at R=2."""
+    p = load_params(driven_case(R="2", Nel="8"))
+    s2 = make_fast_solver(p, "theta", solver="2term", precond="mg")
+    st_steps, _, _ = _run(s2, p)
+    times = []
+    t = 0.0
+    while t < p.t_final - 1e-12:
+        t += p.dt
+        times.append(t)
+    st_scan, infos = s2.run_steps(s2.initial_state(), times)
+    assert float(jnp.linalg.norm(st_steps.u - st_scan.u)) == 0.0
+    assert infos["iterations_1"].shape == (len(times),)
+
+
+def test_2term_r2_sharded_matches_single_device():
+    """--shard rows composes with --solver 2term at R=2: the canvas
+    plane stack row-shards over the 8-device virtual mesh and reproduces
+    the single-device trajectory + reconstructed velocity."""
+    import jax
+    from tpuwave.parallel.sharding import device_mesh, grid_sharding
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    p = load_params(driven_case(R="2", Nel="9,7", T="0.03"))
+    sh = grid_sharding(device_mesh(8))
+    s1 = make_fast_solver(p, "newmark", solver="2term", precond="mg")
+    s8 = make_fast_solver(p, "newmark", solver="2term", precond="mg",
+                          sharding=sh)
+    st1, _, tf = _run(s1, p)
+    st8, _, _ = _run(s8, p)
+    assert len(st8.u.sharding.device_set) == 8
+    u1, u8 = s1.to_flat(st1.u), s8.to_flat(st8.u)
+    nu = float(jnp.linalg.norm(u1))
+    assert float(jnp.linalg.norm(u1 - u8)) < 1e-12 * nu
+    v1 = s1.to_flat(s1.state_velocity(st1, tf))
+    v8 = s8.to_flat(s8.state_velocity(st8, tf))
+    assert float(jnp.linalg.norm(v1 - v8)) \
+        < 1e-10 * float(jnp.linalg.norm(v1))
 
 
 def _cli_energy(tmp_path, root, path, extra):
@@ -234,3 +330,32 @@ def test_2term_sharded_matches_single_device():
     v8 = s8.state_velocity(st8, tf)
     assert float(jnp.linalg.norm(v1 - v8)) \
         < 1e-11 * float(jnp.linalg.norm(v1))
+
+
+def test_cli_solver_modes_r2_energy_agrees(tmp_path):
+    """`--solver 2term|cheby` at R=2 through the CLI (round-5 done
+    criterion: `tpuwave-newmark <r2-preset> --solver 2term` accepted):
+    energy rows match `--solver 3term` at the CSVs' formatting."""
+    import csv as _csv
+    from tpuwave.cli import newmark as cli_newmark
+    case = driven_case(**{"Log Every": "1", "T": "0.05", "R": "2",
+                          "Nel": "8", "Beta": "0.25"})
+    path = tmp_path / "case.json"
+    path.write_text(json.dumps(case))
+
+    def energy(root, extra):
+        rc = cli_newmark.main([str(path), "--results-root",
+                               str(tmp_path / root), "--mesh-root",
+                               str(tmp_path / "mesh"), "--quiet", *extra])
+        assert rc == 0
+        sub = "newmark-case/run-R2-N8x8-dt0_01-T0_05-gamma0_5-beta0_25"
+        f = tmp_path / root / sub / "energy.csv"
+        return [float(r["energy"]) for r in _csv.DictReader(open(f))]
+
+    e3 = energy("a", ())
+    e2 = energy("b", ("--solver", "2term", "--precond", "mg"))
+    ec = energy("c", ("--solver", "cheby"))
+    assert len(e3) == 5
+    for i, (a, b, c) in enumerate(zip(e3, e2, ec)):
+        assert abs(a - b) < 5e-6 * abs(a), ("2term", i, a, b)
+        assert abs(a - c) < 5e-6 * abs(a), ("cheby", i, a, c)

@@ -70,23 +70,27 @@ def run_main(family: str, make_solver, argv=None) -> int:
                              "(default); 2term = displacement-form "
                              "recurrence, ~1 MG-PCG iteration per step — "
                              "the fastest implicit path, pair with "
-                             "--precond mg (P1, static c, Beta > 0 for "
-                             "newmark; velocity reconstructed at log "
-                             "points, models/fast_engine_2term.py); "
+                             "--precond mg (R=1/2, static c, Beta > 0 "
+                             "for newmark; velocity reconstructed at log "
+                             "points, models/fast_engine_2term.py and "
+                             "models/fast_engine_p2_2term.py); "
                              "cheby = dot-product-free restarted "
-                             "Chebyshev solve blocks, fused Pallas "
-                             "passes on TPU (P1, constant c)")
-    parser.add_argument("--shard", choices=("none", "rows"),
+                             "Chebyshev solve blocks with analytic "
+                             "symbol bounds, fused Pallas passes on TPU "
+                             "at R=1 (R=1/2, constant c)")
+    parser.add_argument("--shard", choices=("none", "rows", "blocks"),
                         default="none",
                         help="partition the fast-engine run across the "
-                             "local devices by grid rows (the analogue "
-                             "of the reference's mpirun -np N domain "
+                             "local devices (the analogue of the "
+                             "reference's mpirun -np N domain "
                              "decomposition, WaveEquationBase.cpp:65-69): "
+                             "rows = 1-D row slabs, blocks = 2-D "
+                             "row x column blocks over a 2-D device "
+                             "mesh (halves halo surface at 8+ devices). "
                              "GSPMD lowers stencil halos to collective-"
                              "permutes and CG/diagnostics reductions to "
-                             "psum. P1 structured runs only (the P2 "
-                             "product engine and the parity engine run "
-                             "unsharded)")
+                             "psum. Structured R=1/2 fast runs (the "
+                             "parity engine runs unsharded)")
     parser.add_argument("--unstructured-sharding",
                         choices=("none", "cells", "dofs", "dofs2d"),
                         default="none",
@@ -160,15 +164,27 @@ def run_main(family: str, make_solver, argv=None) -> int:
               f"{jax.process_count()} process(es)")
 
     solver_kwargs = {"precond": args.precond, "solver": args.solver}
-    if args.shard == "rows":
-        if params.r == 1 and params.mesh_file is None:
+    if args.shard != "none":
+        if params.mesh_file is None:
             from tpuwave.parallel.sharding import device_mesh, grid_sharding
-            solver_kwargs["sharding"] = grid_sharding(device_mesh())
+            if args.shard == "blocks":
+                n = len(devs)
+                ry = 1
+                for d in range(int(n ** 0.5), 0, -1):
+                    if n % d == 0:
+                        ry = d
+                        break
+                mesh = device_mesh(shape=(max(ry, n // ry),
+                                          min(ry, n // ry)))
+            else:
+                mesh = device_mesh()
+            solver_kwargs["sharding"] = grid_sharding(mesh)
             if primary:
-                print(f"  Sharding: rows over {len(devs)} device(s)")
+                print(f"  Sharding: {args.shard} over {len(devs)} "
+                      f"device(s)")
         elif primary:
-            print("  (--shard rows ignored: only P1 structured fast runs "
-                  "shard)")
+            print(f"  (--shard {args.shard} ignored: only structured "
+                  "fast runs shard)")
 
     try:
         from tpuwave.models.fast_engine import resolve_engine

@@ -132,20 +132,26 @@ def make_fast_solver(problem, family: str, *,
     """
     p = problem if isinstance(problem, Params) else problem.params
     if p.r == 2:
-        from tpuwave.models.fast_engine_p2 import (FastP2NewmarkSolver,
-                                                   FastP2ThetaSolver)
-        cls2 = {"theta": FastP2ThetaSolver,
-                "newmark": FastP2NewmarkSolver}.get(family)
+        if solver == "2term":
+            from tpuwave.models.fast_engine_p2_2term import (
+                FastP22TermNewmarkSolver, FastP22TermThetaSolver)
+            cls2 = {"theta": FastP22TermThetaSolver,
+                    "newmark": FastP22TermNewmarkSolver}.get(family)
+        else:
+            from tpuwave.models.fast_engine_p2 import (FastP2NewmarkSolver,
+                                                       FastP2ThetaSolver)
+            cls2 = {"theta": FastP2ThetaSolver,
+                    "newmark": FastP2NewmarkSolver}.get(family)
         if cls2 is None:
             raise ValueError(f"unknown solver family {family!r}")
-        if solver != "3term":
-            raise ValueError(f"--solver {solver} is P1-only; the P2 fast "
-                             "engine runs the 3term (parity-CG) form")
-        allowed = {"use_pallas", "pallas_block_rows", "pallas_interpret"}
+        allowed = {"use_pallas", "pallas_block_rows", "pallas_interpret",
+                   "sharding", "cheby_solver_degree", "mg_pre_degree",
+                   "mg_smooth_range"}
         if set(engine_kwargs) - allowed:
             raise TypeError("P2 fast engine does not accept "
-                            f"{sorted(set(engine_kwargs) - allowed)} "
-                            "(single-device plane-stencil path)")
+                            f"{sorted(set(engine_kwargs) - allowed)}")
+        if solver != "2term":
+            engine_kwargs["solver"] = solver
         return cls2(problem, precond=precond, cheby_degree=cheby_degree,
                     **engine_kwargs)
     if solver == "2term":

@@ -298,6 +298,22 @@ def _multistep_driven_kernel(gtb_ref, glr_hbm, uprev_hbm, u_hbm,
     rgt = gc == true_cols - 1
 
     glr = scr_g[:, :]                      # (h_tot, 128)
+    # extend the 128-lane edge table to slab width ONCE so the
+    # per-substep column overlays become cheap lane ROTATIONS instead of
+    # single-lane broadcasts (a broadcast from one lane is a cross-lane
+    # shuffle Mosaic serialises; pltpu.roll is the same native rotation
+    # the stencil itself uses — the round-4 'edge-restricted overlay'
+    # finding: the 4 full-slab broadcast-selects cost 4.2x at k=32)
+    if n_cols > 128:
+        glr_ext = jnp.concatenate(
+            [glr, jnp.zeros((h_tot, n_cols - 128), glr.dtype)], axis=1)
+    else:
+        glr_ext = glr
+    # top/bottom rows exist only in slabs overlapping the domain walls —
+    # a static per-launch check cannot know the block id, but the row
+    # masks are all-False in interior slabs, so fold both row overlays
+    # into the single outside-select via a per-substep row-value slab
+    # built from sublane broadcasts (native)
     cur = scr_u[:, :]
     prev = scr_up[:, :]
     for s in range(n_steps):
@@ -307,8 +323,11 @@ def _multistep_driven_kernel(gtb_ref, glr_hbm, uprev_hbm, u_hbm,
         # every cell the stencil leaves garbage in (roll wrap, padding,
         # halo rows beyond the domain) is covered by the overlays or the
         # final outside-zero select, so no pre-mask is needed
-        nxt = jnp.where(lft, glr[:, s][:, None], nxt)
-        nxt = jnp.where(rgt, glr[:, 64 + s][:, None], nxt)
+        lval = pltpu.roll(glr_ext, shift=(n_cols - s) % n_cols, axis=1)
+        rshift = (true_cols - 1 - (64 + s)) % n_cols
+        rval = pltpu.roll(glr_ext, shift=rshift, axis=1)
+        nxt = jnp.where(lft, lval, nxt)
+        nxt = jnp.where(rgt, rval, nxt)
         nxt = jnp.where(bot, gtb_ref[s, :][None, :], nxt)
         nxt = jnp.where(top, gtb_ref[k_pad + s, :][None, :], nxt)
         nxt = jnp.where(outside, 0.0, nxt)

@@ -57,7 +57,8 @@ def _plane_interior(gr, gc, plane_idx: int, nx: int, ny: int):
 
 
 def _p2_kernel(x_hbm, o0, o1, o2, o3, scratch, sems, *, coeffs, diags,
-               nx: int, ny: int, block_rows: int, n_cols: int):
+               nx: int, ny: int, block_rows: int, n_cols: int,
+               mask_input: bool = True):
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     br = block_rows
@@ -73,33 +74,49 @@ def _p2_kernel(x_hbm, o0, o1, o2, o3, scratch, sems, *, coeffs, diags,
                                                   (h_tot, n_cols), 0)
     gc_s = jax.lax.broadcasted_iota(jnp.int32, (h_tot, n_cols), 1)
 
-    # interior-masked slabs (input masking of the constrained operator)
+    # interior-masked slabs (input masking of the constrained operator);
+    # mask_input=False reads the slabs RAW — the driven-recurrence / lift
+    # form where the stencil must see true boundary values (caller
+    # guarantees zeros outside each plane's support, so roll wraparound
+    # still only moves zeros)
     slabs = []
     raw_center = []
+    int_slab = []
     for p in range(4):
         s_raw = scratch[p, :, :]
         interior = _plane_interior(gr_s, gc_s, p, nx, ny)
-        slabs.append(jnp.where(interior, s_raw, 0.0))
+        int_slab.append(interior)
+        slabs.append(jnp.where(interior, s_raw, 0.0) if mask_input
+                     else s_raw)
         raw_center.append(s_raw[hh:hh + br, :])
 
-    # accumulate coefficient terms per target plane
+    # accumulate coefficient terms per target plane, SHARING the shifted
+    # slab per (source plane, offset) — 46 coefficient terms reuse only
+    # 19 distinct shifted operands, so deduping halves the roll count
+    shifted = {}
+
+    def get_shifted(ib, ox, oy):
+        key = (ib, ox, oy)
+        if key not in shifted:
+            term = slabs[ib]
+            if oy != 0:
+                # out row r needs source row r + oy -> roll by -oy
+                term = pltpu.roll(term, shift=(h_tot - oy) % h_tot,
+                                  axis=0)
+            if ox != 0:
+                term = pltpu.roll(term, shift=(n_cols - ox) % n_cols,
+                                  axis=1)
+            shifted[key] = term
+        return shifted[key]
+
     outs = [None, None, None, None]
     for (ia, ib, ox, oy, c) in coeffs:
-        term = slabs[ib]
-        if oy != 0:
-            # out row r needs source row r + oy -> roll by -oy
-            shift = (h_tot - oy) % h_tot
-            term = pltpu.roll(term, shift=shift, axis=0)
-        if ox != 0:
-            shift = (n_cols - ox) % n_cols
-            term = pltpu.roll(term, shift=shift, axis=1)
+        term = get_shifted(ib, ox, oy)
         outs[ia] = c * term if outs[ia] is None else outs[ia] + c * term
 
-    gr_c = row0 + jax.lax.broadcasted_iota(jnp.int32, (br, n_cols), 0)
-    gc_c = jax.lax.broadcasted_iota(jnp.int32, (br, n_cols), 1)
     out_refs = (o0, o1, o2, o3)
     for p in range(4):
-        interior_c = _plane_interior(gr_c, gc_c, p, nx, ny)
+        interior_c = int_slab[p][hh:hh + br, :]
         val = outs[p][hh:hh + br, :] if outs[p] is not None \
             else jnp.zeros((br, n_cols), raw_center[p].dtype)
         pinned = diags[p] * raw_center[p]
@@ -108,14 +125,20 @@ def _p2_kernel(x_hbm, o0, o1, o2, o3, scratch, sems, *, coeffs, diags,
 
 
 @functools.partial(jax.jit, static_argnames=("coeffs", "diags", "nx", "ny",
-                                             "block_rows", "interpret"))
+                                             "block_rows", "interpret",
+                                             "mask_input"))
 def p2_constrained_apply_pallas(xc, *, coeffs: Tuple, diags: Tuple,
                                 nx: int, ny: int, block_rows: int = 64,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                mask_input: bool = True):
     """Fused constrained P2 block-stencil apply on canvases (4, Hc, Wc).
 
     ``coeffs`` from :func:`coeffs_to_static`; ``diags`` = per-plane pinned
     diagonals (V, H, W, D). Hc must be a multiple of block_rows; Wc of 128.
+    ``mask_input=False``: the stencil reads the raw canvases (true driven
+    boundary values) — with ``diags=(0, 0, 0, 0)`` the result is
+    ``where(interior, A x, 0)``, the rhs-assembly / boundary-lift form of
+    the product engines.
     """
     four, hc, wc = xc.shape
     assert four == 4
@@ -136,7 +159,7 @@ def p2_constrained_apply_pallas(xc, *, coeffs: Tuple, diags: Tuple,
 
     kernel = functools.partial(_p2_kernel, coeffs=coeffs, diags=diags,
                                nx=nx, ny=ny, block_rows=block_rows,
-                               n_cols=wc)
+                               n_cols=wc, mask_input=mask_input)
     blockspec = pl.BlockSpec((block_rows, wc), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(

@@ -296,7 +296,22 @@ class P2VarcoefStencil:
             r, c = self.shapes[p]
             canv[p] = jnp.zeros(cs, self.dtype).at[1:1 + r, 1:1 + c].set(
                 planes[p])
-        out = {p: jnp.zeros(cs, self.dtype) for p in _PLANES}
+        out = self._slice_add_apply([canv[p] for p in _PLANES], cs)
+        result = {}
+        for p, o in zip(_PLANES, out):
+            r, c = self.shapes[p]
+            result[p] = o[1:1 + r, 1:1 + c]
+        y = planes_to_flat(result)
+        if self.const_op is not None:
+            y = y + self.const_coef * self.const_op(x)
+        return y
+
+    def _slice_add_apply(self, canv, cs):
+        """Shared slice-add core: ``canv`` = list of 4 common canvases
+        (plane order V, H, W, D, each embedded at (1, 1), zero outside
+        support); returns the 4 output canvases (shape ``cs``)."""
+        idx = {p: i for i, p in enumerate(_PLANES)}
+        out = [jnp.zeros(cs, self.dtype) for _ in _PLANES]
         ny, nx = self.ny, self.nx
         vc = self.var_coef
         for k in range(2):
@@ -308,18 +323,58 @@ class P2VarcoefStencil:
                     cp = self._coeff_plane(k, i, j)
                     if cp is None:
                         continue
-                    src = canv[pb][1 + yb:1 + yb + ny, 1 + xb:1 + xb + nx]
-                    out[pa] = out[pa].at[1 + ya:1 + ya + ny,
-                                         1 + xa:1 + xa + nx].add(
+                    src = canv[idx[pb]][1 + yb:1 + yb + ny,
+                                        1 + xb:1 + xb + nx]
+                    out[idx[pa]] = out[idx[pa]].at[
+                        1 + ya:1 + ya + ny, 1 + xa:1 + xa + nx].add(
                         (vc * cp) * src)
-        result = {}
-        for p in _PLANES:
-            r, c = self.shapes[p]
-            result[p] = out[p][1:1 + r, 1:1 + c]
-        y = planes_to_flat(result)
+        return out
+
+    def apply_canvases(self, xc):
+        """Apply on stacked common canvases (4, Hc, Wc), planes embedded
+        at (1, 1) — the shardable canvas-layout twin of ``__call__``
+        (P2PlaneStencil.apply_canvases for the varcoef operator). Caller
+        guarantees zeros outside each plane's support; every slice window
+        stays inside the canvas for any Hc >= ny + 3, Wc >= nx + 3, so
+        row/col padding (Mosaic alignment, device-mesh divisibility) is
+        transparent."""
+        cs = (xc.shape[1], xc.shape[2])
+        out = self._slice_add_apply([xc[i] for i in range(4)], cs)
+        y = jnp.stack(out)
         if self.const_op is not None:
-            y = y + self.const_coef * self.const_op(x)
+            y = y + self.const_coef * self.const_op.apply_canvases(xc)
         return y
+
+    def diagonal_canvases(self, cshape):
+        """(4, Hc, Wc) EXACT assembled diagonal on the common canvases
+        (support entries only; zero on padding — callers pin padding to a
+        harmless 1.0 themselves). Canvas twin of :meth:`diagonal`."""
+        ny, nx = self.ny, self.nx
+        diag = [jnp.zeros(cshape, self.dtype) for _ in _PLANES]
+        idx = {p: i for i, p in enumerate(_PLANES)}
+        for k in range(2):
+            pos = _P2_POSITIONS[k]
+            for i in range(6):
+                pa, (xa, ya) = pos[i]
+                cp = self._coeff_plane(k, i, i)
+                if cp is None:
+                    continue
+                diag[idx[pa]] = diag[idx[pa]].at[
+                    1 + ya:1 + ya + ny, 1 + xa:1 + xa + nx].add(
+                    self.var_coef * cp)
+        d = jnp.stack(diag)
+        if self.const_op is not None:
+            cd = jnp.asarray([self.const_op.plane_diag[p] for p in _PLANES],
+                             self.dtype).reshape(4, 1, 1)
+            # restrict the constant part to each plane's support so the
+            # padding stays exactly zero (same contract as the varcoef part)
+            supp = []
+            for p in _PLANES:
+                r, c = self.shapes[p]
+                m = jnp.zeros(cshape, bool).at[1:1 + r, 1:1 + c].set(True)
+                supp.append(m)
+            d = d + jnp.where(jnp.stack(supp), self.const_coef * cd, 0.0)
+        return d
 
     def diagonal(self):
         """Flat EXACT assembled diagonal (per-node: boundary rows are only
