@@ -134,7 +134,11 @@ class _FastP2EngineBase(ScanMixin):
                  pallas_block_rows: int = 64,
                  pallas_interpret: bool = False, sharding=None,
                  solver: str = "3term", cheby_solver_degree: int = 8,
-                 mg_pre_degree: int = 2, mg_smooth_range: float = 8.0):
+                 mg_pre_degree: int = 4, mg_smooth_range: float = 8.0):
+        # mg_pre_degree=4 (round 5): with the fused Mosaic smoothing
+        # blocks extra smoothing degree costs VPU only (no HBM passes),
+        # and degree 4 drops the driven bench-scale correction solve from
+        # 3-4 to 2 CG iterations (measured 114 vs 148 ms/step per-call)
         if isinstance(problem, Params):
             disc = P2GridDiagnostics(problem)
         else:
@@ -319,10 +323,41 @@ class _FastP2EngineBase(ScanMixin):
                         return _p(bp)[:_h, :_w]
                 except ValueError:
                     pass
+            fused_pre = fused_post = None
+            if self._use_pallas:
+                # fused Mosaic smoothing blocks: the round-4 V-cycle paid
+                # ~12-16 canvas-sized HBM passes in elementwise glue
+                # around its 5 applies; these collapse each smoothing
+                # block (and the coarse-correction residual update) to
+                # one pass (ops/pallas_p2.py)
+                from tpuwave.ops.pallas_p2 import (coeffs_to_static,
+                                                   p2_presmooth_pallas,
+                                                   p2_postsmooth_pallas)
+                sm_coeffs_st = coeffs_to_static(mg_st.coeffs)
+                inv_dg = tuple(1.0 / float(mg_st.plane_diag[q])
+                               for q in _PLANES)
+                sm_cf = tuple((float(a), float(b))
+                              for a, b in flat_pre.sm_coeffs)
+                sm_th = float(flat_pre.sm_theta)
+                nx_, ny_ = self.nx, self.ny
+                pblock, pinterp = self._pblock, self._pinterp
+
+                def fused_pre(b):
+                    return p2_presmooth_pallas(
+                        b, coeffs=sm_coeffs_st, inv_diags=inv_dg,
+                        theta=sm_th, sm_coeffs=sm_cf, nx=nx_, ny=ny_,
+                        block_rows=pblock, interpret=pinterp)
+
+                def fused_post(x, r, corr):
+                    return p2_postsmooth_pallas(
+                        x, r, corr, coeffs=sm_coeffs_st, inv_diags=inv_dg,
+                        theta=sm_th, sm_coeffs=sm_cf, nx=nx_, ny=ny_,
+                        block_rows=pblock, interpret=pinterp)
             self._prec_sys = P2CanvasGmgPreconditioner(
                 self._constrained_stencil_apply(mg_st), None, inv_diag,
                 flat_pre.sm_theta, flat_pre.sm_coeffs, p1_cycle,
-                self.nx, self.ny, self._cshape)
+                self.nx, self.ny, self._cshape,
+                fused_pre=fused_pre, fused_post=fused_post)
         elif precond in ("jacobi", "chebyshev"):
             self._prec_sys = None   # derived from the (per-step) system op
         else:

@@ -646,7 +646,8 @@ class P2CanvasGmgPreconditioner:
 
     def __init__(self, apply_c, interior, inv_diag, sm_theta: float,
                  sm_coeffs: Tuple, p1_cycle: GmgPreconditioner,
-                 nx: int, ny: int, cshape: Tuple[int, int]):
+                 nx: int, ny: int, cshape: Tuple[int, int],
+                 fused_pre=None, fused_post=None):
         self.apply_c = apply_c          # constrained canvas apply
         #: (4, Hc, Wc) bool, False on pins/pads; pass None to rebuild it
         #: from iota inside each traced call (bench-scale jitted solves:
@@ -659,6 +660,12 @@ class P2CanvasGmgPreconditioner:
         self.p1_cycle = p1_cycle
         self.nx, self.ny = int(nx), int(ny)
         self.cshape = tuple(cshape)
+        #: optional fused Mosaic smoothing blocks (ops/pallas_p2.py):
+        #: fused_pre(b) -> (x, r) and fused_post(x, r, corr) -> x_out
+        #: collapse the smoothing/correction elementwise chains to one
+        #: HBM pass each — same polynomial, reassociation-level numerics
+        self.fused_pre = fused_pre
+        self.fused_post = fused_post
 
     @property
     def interior(self):
@@ -672,16 +679,23 @@ class P2CanvasGmgPreconditioner:
         from tpuwave.ops.stencil_p2 import (canvases_to_planes,
                                             planes_to_canvases)
 
-        x = jnp.zeros_like(b)
-        x, r = _smooth_block_jacobi(self.apply_c, self.inv_diag, x, b,
-                                    self.sm_theta, self.sm_coeffs)
-        planes = canvases_to_planes(jnp.where(self.interior, r, 0.0),
-                                    self.nx, self.ny)
+        if self.fused_pre is not None:
+            # kernel outputs are interior-supported by construction —
+            # no re-mask pass needed before restriction
+            x, r = self.fused_pre(b)
+        else:
+            x = jnp.zeros_like(b)
+            x, r = _smooth_block_jacobi(self.apply_c, self.inv_diag, x, b,
+                                        self.sm_theta, self.sm_coeffs)
+            r = jnp.where(self.interior, r, 0.0)
+        planes = canvases_to_planes(r, self.nx, self.ny)
         bc = restrict_p2_to_p1(planes)
         grid_int = _interior((self.ny + 1, self.nx + 1))
         bc = jnp.where(grid_int, bc, 0.0)
         ec = jnp.where(grid_int, self.p1_cycle(bc), 0.0)
         corr = planes_to_canvases(prolong_p1_to_p2(ec), self.cshape)
+        if self.fused_post is not None:
+            return self.fused_post(x, r, corr)
         corr = jnp.where(self.interior, corr, 0.0)
         x = x + corr
         r = r - self.apply_c(corr)
