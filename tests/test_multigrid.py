@@ -733,6 +733,57 @@ def test_implicit_2term_compensated_beats_plain():
     assert got.u.shape == ref.u.shape  # conversion path wired
 
 
+def test_implicit_2term_comp_driven_tracks_f64():
+    """run_implicit_mg_2term_comp_driven (round-5: the compensated row
+    measured on the DRIVEN config) tracks the f64 driven 2-term product
+    engine trajectory at ~f48 accuracy: a broken boundary lift would err
+    at O(dt^2 g_tt) ~ 1e-3, a missing boundary fill at O(1); measured
+    4.2e-7 rel at 24^2/20 steps."""
+    from tpuwave.models.fast_engine import make_fast_solver
+    from tpuwave.utils.params import load_params
+    n, dt, steps = 24, 1e-2, 20
+    case = {
+        "Nel": str(n), "R": "1", "T": "1.0", "Theta": "0.5",
+        "Dt": str(dt), "Save Solution": "false", "Log Every": "0",
+        "C": {"Function expression": "1.0", "Variable names": "x, y, t"},
+        "F": {"Function expression": "0.0", "Variable names": "x, y, t"},
+        "U0": {"Function expression": "0.0", "Variable names": "x, y"},
+        "V0": {"Function expression": "0.0", "Variable names": "x, y"},
+        "G": {"Function expression":
+              "if(y < 0.0001 && x < 0.34, sin(4*pi*t), 0)",
+              "Variable names": "x, y, t"},
+        "DGDT": {"Function expression":
+                 "if(y < 0.0001 && x < 0.34, 4*pi*cos(4*pi*t), 0)",
+                 "Variable names": "x, y, t"},
+    }
+    eng = make_fast_solver(load_params(case), "theta", solver="2term",
+                           precond="mg")
+    assert eng.dtype == jnp.float64   # conftest x64 parity mode
+    ts = dt * (1.0 + jnp.arange(steps, dtype=jnp.float64))
+    out, _ = eng.run_steps(eng.initial_state(), ts)
+    u_ref = np.asarray(eng.disc.vertex_values(out.u),
+                       np.float64).reshape(n + 1, n + 1)
+
+    s32 = FastWaveSolver((n, n), GEOM, dt, scheme="theta", theta=0.5,
+                         lumped=False, dtype=jnp.float32)
+
+    def g_strip(xs, ys, t):
+        return jnp.where((ys <= 0.0) & (xs <= 1.0 / 3.0),
+                         jnp.sin(4.0 * jnp.pi * t), 0.0)
+
+    def u0_zero(x, y):
+        return jnp.zeros_like(x)
+
+    cs = s32.implicit_2term_init_comp(s32.initial_state(u0_zero))
+    ts32 = dt * (1.0 + jnp.arange(steps, dtype=jnp.float32))
+    got = s32.run_implicit_mg_2term_comp_driven(cs, ts32, g_strip,
+                                                pallas=False)
+    full = np.asarray(got.u, np.float64) + np.asarray(got.u_lo, np.float64)
+    rel = (np.max(np.abs(full - u_ref))
+           / max(np.max(np.abs(u_ref)), 1e-30))
+    assert rel < 3e-6, rel
+
+
 def test_implicit_2term_comp_rejects_f64():
     s = FastWaveSolver((16, 16), GEOM, 0.02, scheme="newmark", beta=0.25,
                        lumped=False, dtype=jnp.float64)

@@ -1487,6 +1487,131 @@ class FastWaveSolver:
             return CompensatedState(*(x[:h, :w] for x in out))
         return runner(state)
 
+    def run_implicit_mg_2term_comp_driven(
+            self, state: CompensatedState, times, g_fn, *,
+            pre_degree: int = 1, smooth_range: float = 8.0,
+            coarse_tol: float = 1e-2, block_rows: int = 128,
+            pallas: bool = True, tol_factor: float = 1.0,
+            interpret: bool = False) -> CompensatedState:
+        """DRIVEN-boundary compensated displacement stepping: the TwoSum
+        recurrence of :meth:`run_implicit_mg_2term_comp` with the product
+        engine's boundary machinery (models/fast_engine_2term.py) —
+        r0 gets the driven lift ``-A(delta 1_b)`` with
+        ``delta = g(t^{n+1}) - 2 u^n|b + u^{n-1}|b`` (head values only:
+        the boundary carries no compensation, ``u|b = g`` exactly in f32
+        like the plain engine), and the updated state's boundary is
+        pinned to ``g(t^{n+1})``. The recurrence stencil reads the TRUE
+        boundary values (the combo is applied unmasked, as in the plain
+        method). Round-5 verdict ask 7: the precision table's
+        compensated row measured on the same driven configuration as
+        its f32 row."""
+        if self.dtype == jnp.float64:
+            raise ValueError("compensated stepping is the f32 accuracy "
+                             "mode; run the plain 2-term path in f64")
+        if self.scheme == "newmark":
+            if self.beta <= 1e-12:
+                raise ValueError("needs beta > 0 for Newmark")
+            c_u, c_up = self.gamma + 0.5, 0.5 - self.gamma
+        elif self.scheme == "theta":
+            c_u, c_up = 2.0 * self.theta, 1.0 - 2.0 * self.theta
+        else:
+            raise ValueError("needs scheme newmark/theta")
+        h, w = self.shape
+        dt = self.dt
+        base = self.gmg_preconditioner(
+            pre_degree=pre_degree, smooth_range=smooth_range,
+            coarse_tol=coarse_tol)
+        max_iter = 2000
+        eta = float(jnp.finfo(self.dtype).eps) * float(tol_factor)
+        s_abs = (abs(c_u) + abs(c_up)) * dt * dt * sum(
+            abs(cc) for row in self.stiff.stencil for cc in row)
+
+        hp = -(-h // block_rows) * block_rows
+        wp = -(-w // 128) * 128
+        use_pallas = (pallas and len(base.levels) >= 2
+                      and hp // block_rows >= 2)
+        if use_pallas:
+            from tpuwave.ops.pallas_kernels import (
+                constrained_stencil_apply_pallas)
+            from tpuwave.solve.multigrid import PallasGmgPreconditioner
+            precond = PallasGmgPreconditioner(
+                base.levels, base.coarse_theta, base.coarse_coeffs,
+                block_rows=block_rows, interpret=interpret)
+            a_st = self.system.stencil
+
+            def apply_sys(x):
+                return constrained_stencil_apply_pallas(
+                    x, stencil=a_st, diag=a_st[1][1],
+                    block_rows=block_rows, true_rows=h, true_cols=w,
+                    interpret=interpret)
+
+            ri = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+            interior = (ri > 0) & (ri < h - 1) & (ci > 0) & (ci < w - 1)
+            boundary = (~interior) & (ri < h) & (ci < w)
+        else:
+            precond = base
+            apply_sys = self._constrained(self.system)
+            interior = self.interior
+            boundary = ~interior
+
+        times = jnp.asarray(times, self.dtype)
+        xs, ys = self.grid_coords()
+
+        def g_bnd(t):
+            """g(x, y, t) on the TRUE boundary nodes, zero elsewhere
+            (incl. pads) — the driven fill / delta operand."""
+            gv = jnp.asarray(g_fn(xs, ys, t), self.dtype)
+            if use_pallas:
+                gv = jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(gv)
+            return jnp.where(boundary, gv, 0.0)
+
+        def step(carry):
+            (uh, ul, ph, pl), idx = carry
+            t = times[idx]
+            if c_u == 1.0 and c_up == 0.0:
+                combo_h, combo_l = uh, ul
+            else:
+                combo_h = c_u * uh + c_up * ph
+                combo_l = c_u * ul + c_up * pl
+            # unmasked combo: the stencil sees the true driven boundary
+            r0 = jnp.where(interior,
+                           (-dt * dt) * (self._stiff_diff(combo_h)
+                                         + self._stiff_diff(combo_l)),
+                           0.0)
+            g_new = g_bnd(t)
+            delta = g_new - jnp.where(boundary, 2.0 * uh - ph, 0.0)
+            r0 = r0 - jnp.where(interior, self.system(delta), 0.0)
+            rn2 = jnp.vdot(r0, r0)
+            xnorm = jnp.linalg.norm(jnp.where(interior, 2.0 * uh - ph,
+                                              0.0))
+            abs_tol = jnp.minimum(eta * s_abs * xnorm,
+                                  0.5 * jnp.sqrt(rn2)).astype(self.dtype)
+            res = pcg(apply_sys, r0, jnp.zeros_like(r0), r0=r0,
+                      norm0_sq=rn2, precond_inv_diag=precond,
+                      abs_tol=abs_tol, max_iter=max_iter,
+                      reduction=self.cg_reduction)
+            t2, r1 = _two_sum(2.0 * uh, -ph)
+            small = (2.0 * ul - pl) + (res.x + r1)
+            un, un_lo = _fast_two_sum(t2, small)
+            un = jnp.where(interior, un, g_new).astype(self.dtype)
+            un_lo = jnp.where(interior, un_lo, 0.0).astype(self.dtype)
+            return (CompensatedState(u=un, u_lo=un_lo, u_prev=uh,
+                                     u_prev_lo=ul), idx + 1)
+
+        runner = cached_scan(self, ("mg2cd", id(g_fn), len(times),
+                                    pre_degree, smooth_range, coarse_tol,
+                                    block_rows, use_pallas, tol_factor,
+                                    interpret), step, len(times))
+        if use_pallas:
+            def pad(x):
+                return jnp.zeros((hp, wp), self.dtype).at[:h, :w].set(x)
+            out, _ = runner((CompensatedState(*(pad(x) for x in state)),
+                             jnp.asarray(0, jnp.int32)))
+            return CompensatedState(*(x[:h, :w] for x in out))
+        out, _ = runner((state, jnp.asarray(0, jnp.int32)))
+        return out
+
     # ------------------------------------------------------------------
     # implicit stepping with the fused pallas constrained-apply kernel
     # (the hot op of every CG iteration; TPU only, f32 production mode)
