@@ -314,6 +314,19 @@ def _multistep_driven_kernel(gtb_ref, glr_hbm, uprev_hbm, u_hbm,
     # masks are all-False in interior slabs, so fold both row overlays
     # into the single outside-select via a per-substep row-value slab
     # built from sublane broadcasts (native)
+    # per-substep column overlays as INCREMENTAL shift-by-1 rotations:
+    # substep s needs glr lane s at the left wall (lane 0) and lane
+    # 64 + s at the right wall (lane true_cols - 1). A fresh roll by
+    # ~n_cols per substep is an arbitrary cross-vreg rotation Mosaic
+    # lowers far slower than the stencil's shift-by-1 rolls (measured:
+    # driven k=32 plateaued at ~740 us/step, 4.5x the undriven kernel).
+    # Instead hoist ONE alignment roll per wall and rotate the table by
+    # a single lane each substep — the same op class as the stencil's
+    # own neighbour rolls, and identical values.
+    lval = glr_ext                                   # lane 0 = substep 0
+    rval = pltpu.roll(glr_ext,
+                      shift=(true_cols - 1 - 64) % n_cols, axis=1)
+    dec = n_cols - 1                                 # lane rotate by -1
     cur = scr_u[:, :]
     prev = scr_up[:, :]
     for s in range(n_steps):
@@ -323,9 +336,6 @@ def _multistep_driven_kernel(gtb_ref, glr_hbm, uprev_hbm, u_hbm,
         # every cell the stencil leaves garbage in (roll wrap, padding,
         # halo rows beyond the domain) is covered by the overlays or the
         # final outside-zero select, so no pre-mask is needed
-        lval = pltpu.roll(glr_ext, shift=(n_cols - s) % n_cols, axis=1)
-        rshift = (true_cols - 1 - (64 + s)) % n_cols
-        rval = pltpu.roll(glr_ext, shift=rshift, axis=1)
         nxt = jnp.where(lft, lval, nxt)
         nxt = jnp.where(rgt, rval, nxt)
         nxt = jnp.where(bot, gtb_ref[s, :][None, :], nxt)
@@ -333,6 +343,9 @@ def _multistep_driven_kernel(gtb_ref, glr_hbm, uprev_hbm, u_hbm,
         nxt = jnp.where(outside, 0.0, nxt)
         prev = cur
         cur = nxt
+        if s + 1 < n_steps:
+            lval = pltpu.roll(lval, shift=dec, axis=1)
+            rval = pltpu.roll(rval, shift=dec, axis=1)
 
     out_u_ref[:, :] = cur[hh:hh + br, :].astype(out_u_ref.dtype)
     out_up_ref[:, :] = prev[hh:hh + br, :].astype(out_up_ref.dtype)
